@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators (SURVEY.md §2.7).
+  *
+  * Reference patterns re-expressed:
+  *  - partition-key formatting ≙ format_number + regexp_replace
+  *    (split_csv_maps_to_slices.py:81-84) and "%.4f"/"_ms<level>" labels
+  *    (generate_slice_tensor.py:54-55, 199-205). Done on integer cents —
+  *    float printf tie-breaking differs across runtimes, integers don't.
+  *  - label split "X_msL" → (value, level) ≙ msproc.py:462-464
+  *  - regex strip/extract ≙ seqproc.py:38,53, adjust_mgf_files.py:59-61
+  *  - unit conversion / ppm tolerance arithmetic ≙ msproc.py:135-137,
+  *    generate_slice_tensor.py:232-233
+  *  - cents-int round-trip key ≙ models.py:69-70, 128-133
+  *    (uint32(round(v*100)) then "%.2f" re-format)
+  *
+  * All expressions are built-in Column functions — whole-stage codegen,
+  * no UDFs (SURVEY §2.9).
+  */
+object Scalars extends QueryPack {
+
+  val queries: Map[String, GraftQuery] = Map(
+    // Label round-trip: value → cents int key → "%.2f"-style string →
+    // split back. Mirrors the reference's swath_start key discipline.
+    "q_scalar_format_keys" -> GraftQuery(
+      run = (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_partkey") <= 200)
+          .withColumn("cents", round(col("p_retailprice") * 100.0, 0).cast("long"))
+          .withColumn("price_key",
+            concat(
+              format_string("%d", floor(col("cents") / 100).cast("long")), lit("."),
+              format_string("%02d", col("cents") % 100)))
+          .withColumn("label",
+            concat(col("price_key"), lit("_ms"), col("p_size").cast("string")))
+          .withColumn("parsed_level",
+            split(col("label"), "_ms").getItem(1).cast("int"))
+          .select(col("p_partkey"), col("cents"), col("price_key"),
+            col("label"), col("parsed_level"))
+          .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey, cents,
+               printf('%d', cents // 100) || '.' || printf('%02d', cents % 100)
+                 AS price_key,
+               printf('%d', cents // 100) || '.' || printf('%02d', cents % 100)
+                 || '_ms' || CAST(p_size AS VARCHAR) AS label,
+               p_size AS parsed_level
+        FROM (SELECT p_partkey, p_size,
+                     CAST(round(p_retailprice * 100.0, 0) AS BIGINT) AS cents
+              FROM part WHERE p_partkey <= 200)
+        ORDER BY p_partkey""")),
+
+    // Regex extract + replace over semi-structured props strings.
+    "q_scalar_regex" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast("long"))
+          .withColumn("props_clean",
+            regexp_replace(col("props"), "[^0-9]", ""))
+          .filter(col("event_id") < 500)
+          .select(col("event_id"), col("k"), col("props_clean"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+               regexp_replace(props, '[^0-9]', '', 'g') AS props_clean
+        FROM events WHERE event_id < 500 ORDER BY event_id""")),
+
+    // Arithmetic battery: unit conversion (×60), ppm tolerance, min-max
+    // unscale — all plain column arithmetic, identical IEEE semantics.
+    "q_scalar_arithmetic" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .filter(col("event_id") < 1000)
+          .withColumn("value_seconds", round(col("value") * 60.0, 4))
+          .withColumn("ppm_tol", round(col("value") * 40.0 / 1e6, 10))
+          .withColumn("clipped", greatest(least(col("value"), lit(100.0)), lit(1.0)))
+          .select(col("event_id"), col("value_seconds"), col("ppm_tol"),
+            col("clipped"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               round(value * 60.0, 4) AS value_seconds,
+               round(value * 40.0 / 1e6, 10) AS ppm_tol,
+               greatest(least(value, 100.0), 1.0) AS clipped
+        FROM events WHERE event_id < 1000 ORDER BY event_id""")),
+
+    // Conditional remap (RT-unit branch + case routing).
+    "q_scalar_case_route" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("weight",
+            when(col("event_type") === "purchase", col("value") * 10.0)
+              .when(col("event_type") === "click", col("value") * 2.0)
+              .otherwise(col("value")))
+          .groupBy(col("event_type"))
+          .agg(round(sum(col("weight")), 4).as("weighted_sum"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value * 10.0
+                              WHEN event_type = 'click' THEN value * 2.0
+                              ELSE value END), 4) AS weighted_sum
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

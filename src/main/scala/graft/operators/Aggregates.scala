@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * Each query re-expresses one aggregation pattern from the reference
+  * pipeline on the driver's star schema:
+  *  - pricing summary   ≙ round-mz+sum / round-rt+mean rollups
+  *    (reference msproc.py:634-657)
+  *  - global extrema    ≙ max-RT scan (split_csv_maps_to_slices.py:62) —
+  *    done as agg(max), not the reference's .rdd.max() detour
+  *  - count-distinct    ≙ distinct time points (msproc.py:698-706)
+  *  - CV                ≙ stddev_pop/mean per component
+  *    (collect_sample_modes.py:92-95, scipy.stats.variation)
+  *  - unimodal fraction ≙ count(when)/count(*) (select_best_models.R:16-28)
+  *  - histogram bins    ≙ 100-bin intensity cutoff (msproc.py:660-685)
+  *  - median            ≙ median sequence length (seqproc.py:61-77)
+  *  - group-wise max    ≙ best-model selection (select_best_models.R:34-35)
+  *
+  * Scale notes: every aggregate here is a hash aggregate with map-side
+  * partial aggregation (Catalyst emits partial + final HashAggregate), so
+  * the shuffle carries one row per group per task — at 100 TB the shuffled
+  * volume is O(groups × tasks), not O(rows). The histogram derives its bin
+  * edges from a 1-row broadcast aggregate, not a driver collect.
+  */
+object Aggregates extends QueryPack {
+
+  val queries: Map[String, GraftQuery] = Map(
+    // TPC-H Q1-shaped rollup: group on two low-cardinality flags.
+    "q_agg_pricing_summary" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Global extrema scan (reference computed max rt to derive RT windows).
+    "q_agg_global_extrema" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d).agg(
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"),
+          count(lit(1)).as("n_rows")),
+      oracle = Some("""
+        SELECT max(value) AS max_value, min(value) AS min_value,
+               count(*) AS n_rows
+        FROM events""")),
+
+    // countDistinct per group (exact — the reference never approximates).
+    "q_agg_count_distinct" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Coefficient of variation: population stddev / mean (scipy semantics).
+    "q_agg_cv" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(round(stddev_pop(col("value")) / avg(col("value")), 4).as("cv_value"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, round(stddev_pop(value) / avg(value), 4) AS cv_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Unimodal-fraction pattern: conditional count over total.
+    "q_agg_unimodal_fraction" -> GraftQuery(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(count(when(col("o_orderstatus") === "F", 1)).cast("double") /
+              count(lit(1)), 4).as("frac_f"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               round(CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+                     / count(*), 4) AS frac_f,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // 100-bin histogram of a measure; only bin ids + counts are emitted
+    // (the reference only uses bin edges for its intensity cutoff).
+    "q_agg_histogram" -> GraftQuery(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val mm = li.agg(
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            least(floor((col("l_extendedprice") - col("lo")) * 100.0 /
+              (col("hi") - col("lo"))), lit(99L)).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        SELECT CAST(least(floor((l_extendedprice - mm.lo) * 100.0
+                                / (mm.hi - mm.lo)), 99) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM lineitem,
+             (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+              FROM lineitem) mm
+        GROUP BY bin ORDER BY bin""")),
+
+    // Exact interpolated median (seqproc e-value threshold pattern).
+    "q_agg_median" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            round(median(col("n_chars")), 1).as("median_chars"),
+            round(avg(col("n_chars")), 4).as("avg_chars"))
+          .orderBy("lang"),
+      oracle = Some("""
+        SELECT lang, round(median(n_chars), 1) AS median_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Group-wise max with ties kept (select_best_models.R:34-35): a window
+    // max rather than a self-join — one shuffle instead of two scans+join.
+    "q_agg_groupwise_max" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+        Tables.orders(s, d)
+          .withColumn("mx", max(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") === col("mx"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+              FROM orders)
+        WHERE o_totalprice = mx
+        ORDER BY o_orderkey"""))
+  )
+}

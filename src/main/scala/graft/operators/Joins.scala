@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Reference patterns re-expressed:
+  *  - star equi-join     ≙ index-table joins (models.py:107-140,
+  *    collect_sample_modes.py:65-113)
+  *  - left join          ≙ raw map ← adjusted windows (adjust_swaths.R:43)
+  *  - interval containment ≙ peak → isolation-window tagging
+  *    (msproc.py:89-91, 164-170) — broadcast nested-loop with a range
+  *    predicate; the window table is tiny, so the big side streams with
+  *    NO shuffle
+  *  - anti join          ≙ out-of-SWATH discard (msproc.py:164-170)
+  *  - semi join          ≙ membership selection (msproc.py:605-618)
+  *
+  * Scale notes: all dimension tables (region/nation/bands) are broadcast —
+  * the fact side never shuffles for these joins. The customer⋈orders
+  * semi/anti joins hash-partition on the join key; at 100 TB those would
+  * be the only exchanges, and AQE converts them to broadcast when the
+  * filtered build side fits.
+  */
+object Joins extends QueryPack {
+
+  /** Static value-band dimension (isolation-window analog): [lo, hi). */
+  private def bands(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (0, 0.0, 2.0), (1, 2.0, 5.0), (2, 5.0, 10.0),
+      (3, 10.0, 20.0), (4, 20.0, 1.0e18)
+    ).toDF("band_id", "lo", "hi")
+  }
+
+  private val bandsSqlCte = """
+    bands(band_id, lo, hi) AS (VALUES
+      (0, 0.0, 2.0), (1, 2.0, 5.0), (2, 5.0, 10.0),
+      (3, 10.0, 20.0), (4, 20.0, 1.0e18))"""
+
+  val queries: Map[String, GraftQuery] = Map(
+    // Three-way star join, both dims broadcast (no shuffle on customer).
+    "q_join_star" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .orderBy("r_name", "n_name"),
+      oracle = Some("""
+        SELECT r_name, n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // Left outer join keeping unmatched dimension rows.
+    "q_join_left" -> GraftQuery(
+      run = (s, d) =>
+        Tables.nation(s, d)
+          .join(Tables.customer(s, d),
+            col("n_nationkey") === col("c_nationkey"), "left")
+          .groupBy(col("n_name"))
+          .agg(count(col("c_custkey")).as("n_cust"))
+          .orderBy("n_name"),
+      oracle = Some("""
+        SELECT n_name, count(c_custkey) AS n_cust
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // Interval-containment join: point value into [lo, hi) bands.
+    // Broadcast nested-loop — the fact table streams unshuffled.
+    "q_join_range_bands" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .join(broadcast(bands(s)),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("band_id"),
+      oracle = Some(s"""
+        WITH $bandsSqlCte
+        SELECT band_id, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id ORDER BY band_id""")),
+
+    // Semi join: customers having at least one large order (EXISTS).
+    "q_join_semi" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(
+            Tables.orders(s, d).filter(col("o_totalprice") > 100000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        ORDER BY c_custkey""")),
+
+    // Anti join: customers with no orders at all (out-of-SWATH discard).
+    "q_join_anti" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Fact-to-fact equi-join with aggregation (orders ⋈ lineitem): the one
+    // genuinely shuffling join — both sides hash-partition on the key.
+    "q_join_fact_fact" -> GraftQuery(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("revenue"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n_lines,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
+}

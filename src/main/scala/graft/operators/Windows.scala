@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.5).
+  *
+  * Reference patterns re-expressed:
+  *  - lead/lag interval adjustment ≙ adjust_swaths.R:31-41 (distinct
+  *    sorted windows; midpoint of [upper, next lower]; first lower kept)
+  *  - running conditional count    ≙ per-sample cycle binning
+  *    (generate_slice_tensor.py:99-145): a row's cycle = number of MS1
+  *    scans at rt ≤ its rt, minus 1; rows before the first MS1 dropped
+  *  - row_number ordinal           ≙ melt cycle index (msproc.py:460)
+  *  - top-k                        ≙ sorted exports
+  *
+  * Scale notes: the lead/lag adjustment runs on a DISTINCT of a
+  * low-cardinality column — a single tiny partition after aggregation, so
+  * the global (unpartitioned) window is safe by construction. The running
+  * count partitions by user_id: per-user history fits one task; skewed
+  * users would be handled by AQE skew splitting on the upstream exchange.
+  */
+object Windows extends QueryPack {
+
+  val queries: Map[String, GraftQuery] = Map(
+    // Interval adjustment over the distinct sorted value domain.
+    "q_window_adjust" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.orderBy("lower")
+        Tables.lineitem(s, d)
+          .select(col("l_quantity").as("lower")).distinct()
+          .withColumn("next_lower", lead(col("lower"), 1).over(w))
+          .withColumn("upper_adj",
+            round((col("lower") + col("next_lower")) / 2.0, 2))
+          .withColumn("lower_adj",
+            coalesce(lag(col("upper_adj"), 1).over(w), col("lower")))
+          .orderBy("lower")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT DISTINCT l_quantity AS lower FROM lineitem),
+        adj AS (
+          SELECT lower,
+                 lead(lower) OVER (ORDER BY lower) AS next_lower,
+                 round((lower + lead(lower) OVER (ORDER BY lower)) / 2.0, 2)
+                   AS upper_adj
+          FROM v)
+        SELECT lower, next_lower, upper_adj,
+               coalesce(lag(upper_adj) OVER (ORDER BY lower), lower) AS lower_adj
+        FROM adj ORDER BY lower""")),
+
+    // Cycle binning: running count of 'view' events per user; rows before
+    // the first 'view' get cycle < 0 and are dropped (NaN-bin semantics).
+    "q_window_cycle_binning" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("cycle",
+            (sum(when(col("event_type") === "view", 1).otherwise(0)).over(w)
+              - lit(1)).cast("long"))
+          .filter(col("cycle") >= 0)
+          .select(col("user_id"), col("event_id"), col("cycle"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, cycle FROM (
+          SELECT user_id, event_id,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS cycle
+          FROM events)
+        WHERE cycle >= 0
+        ORDER BY user_id, event_id""")),
+
+    // Running sum + ordinal per partition (same frame order both engines
+    // ⇒ identical float accumulation order; rounded for safety).
+    "q_window_running_sum" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // Filter on the partition key BEFORE the window: commutes with the
+        // window and pushes to the parquet scan.
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("running_value",
+            round(sum(col("value")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+          .select(col("user_id"), col("event_id"), col("rn"), col("running_value"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS rn,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 4)
+                 AS running_value
+        FROM events
+        WHERE user_id < 10
+        ORDER BY user_id, event_id""")),
+
+    // Deterministic top-k with tie-break (TakeOrderedAndProject — a
+    // per-partition top-k then a k-row merge on the driver; no full sort).
+    "q_window_topk" -> GraftQuery(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+  )
+}
