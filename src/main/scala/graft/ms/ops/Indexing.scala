@@ -1,0 +1,146 @@
+package graft.ms.ops
+
+import graft.ms.{ComponentPeaks, ParafacModelRow}
+import graft.ms.linalg.RickerCwt
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stages 6–8: model/spectrum indexing, time-mode peak counting,
+  * best-model selection, and sample-mode (abundance) collection.
+  *
+  * Index semantics are the reference's exact ordinal contract
+  * (models.py:61-117, golden test models.py:206-225): the model grid is
+  * the cross product swath-major → rt_window → ncomp with model_id = row
+  * ordinal; the spectrum index explodes 0..ncomp-1 per model with a
+  * global ordered `scan` ordinal. Ordinals come from row_number over an
+  * explicit total order — deterministic at any parallelism.
+  *
+  * Scale notes: index tables are tiny (|swaths|·|windows|·|F|) and always
+  * broadcast-joined against model/result data; peak counting is a
+  * flatMap over models (no shuffle); selection is one window aggregate
+  * partitioned by (swath_start, rt_window).
+  */
+object Indexing {
+
+  /** Cents-integer swath key (models.py:69-70): uint32(round(lower·100)). */
+  def centsKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100.0, 0).cast("long")
+
+  /** Model index over adjusted windows × RT windows × F range.
+    * `windows` must carry swath_lower_adjusted (one row per adjusted
+    * window, ascending order expected as in the reference CSV). */
+  def modelIndex(
+      spark: SparkSession,
+      windows: DataFrame,
+      nRtWindows: Int,
+      fMin: Int,
+      fMax: Int): DataFrame = {
+    import spark.implicits._
+    val swaths = windows
+      .select(centsKey(col("swath_lower_adjusted")).as("swath_start"))
+      .distinct()
+    val rts = (0 until nRtWindows).toDF("rt_window")
+    val fs = (fMin to fMax).toDF("ncomp")
+    val w = Window.orderBy("swath_start", "rt_window", "ncomp")
+    swaths.crossJoin(rts).crossJoin(fs)
+      .withColumn("model_id", (row_number().over(w) - 1).cast("long"))
+      .select("swath_start", "rt_window", "ncomp", "model_id")
+  }
+
+  /** Spectrum index: one row per (model, component), with a global
+    * ordered `scan` ordinal (models.py:81-117). */
+  def spectrumIndex(modelIndex: DataFrame): DataFrame = {
+    val w = Window.orderBy("model_id", "spectrum_num")
+    modelIndex
+      .withColumn("spectrum_num",
+        explode(sequence(lit(0L), col("ncomp").cast("long") - 1)))
+      .withColumn("scan", (row_number().over(w) - 1).cast("long"))
+      .select("swath_start", "rt_window", "ncomp", "model_id",
+        "spectrum_num", "scan")
+  }
+
+  /** Stage-7a: CWT peak count per (model, component) time-mode profile
+    * (collect_time_mode_values.py:54-87). */
+  def countTimeModePeaks(
+      spark: SparkSession,
+      models: Dataset[ParafacModelRow],
+      avgPeakFwhmSec: Double,
+      windowSizeSec: Double): Dataset[ComponentPeaks] = {
+    import spark.implicits._
+    val frac = avgPeakFwhmSec / windowSizeSec
+    models.flatMap { mrow =>
+      val t = mrow.n_cycles
+      val expectedWidth = t * frac
+      (0 until mrow.ncomp).map { k =>
+        val profile = Array.tabulate(t)(i => mrow.time_mode(i * mrow.ncomp + k).toDouble)
+        ComponentPeaks(mrow.swath_key, mrow.rt_window, mrow.ncomp, k,
+          RickerCwt.countPeaks(profile, expectedWidth))
+      }
+    }
+  }
+
+  /** Attach model_id to per-component peak counts via the model index. */
+  def peakCountsWithModelId(peaks: Dataset[ComponentPeaks], index: DataFrame): DataFrame = {
+    val p = peaks.toDF()
+      .withColumn("swath_start", centsKey(col("swath_key")))
+      .drop("swath_key")
+    p.join(broadcast(index), Seq("swath_start", "rt_window", "ncomp"))
+      .select("model_id", "comp_num", "npeaks")
+  }
+
+  /** Stage-7b: best models by unimodality (select_best_models.R:14-41).
+    * Models with zero unimodal components are excluded entirely (the
+    * reference's data.table join has inner semantics); within each
+    * (swath_start, rt_window) all models tying at the max unimodal
+    * fraction are kept. */
+  def bestModels(peakCounts: DataFrame, modelIndex: DataFrame): DataFrame = {
+    val frac = peakCounts
+      .groupBy("model_id")
+      .agg(
+        (count(when(col("npeaks") === 1, 1)).cast("double") / count(lit(1)))
+          .as("unimodal_fraction"),
+        count(when(col("npeaks") === 1, 1)).as("n_unimodal"))
+      .filter(col("n_unimodal") > 0)
+      .drop("n_unimodal")
+    val joined = frac.join(broadcast(modelIndex), "model_id")
+    val w = Window.partitionBy("swath_start", "rt_window")
+    joined
+      .withColumn("mx", max(col("unimodal_fraction")).over(w))
+      .filter(col("unimodal_fraction") === col("mx"))
+      .drop("mx")
+      .withColumn("swath_start_key",
+        format_string("%.2f", col("swath_start") / lit(100.0)))
+  }
+
+  /** Stage-8: stack sample modes to long format with the per-component
+    * population CV (collect_sample_modes.py:79-97). */
+  def sampleModes(spark: SparkSession, models: Dataset[ParafacModelRow]): DataFrame = {
+    import spark.implicits._
+    val stacked = models.flatMap { mrow =>
+      for {
+        s <- 0 until mrow.n_samples
+        k <- 0 until mrow.ncomp
+      } yield (mrow.swath_key, mrow.rt_window, mrow.ncomp, s, k,
+        mrow.sample_mode(s * mrow.ncomp + k))
+    }.toDF("swath_key", "rt_window", "ncomp", "sample_num", "comp_num", "abundance")
+    val w = Window.partitionBy("swath_key", "rt_window", "ncomp", "comp_num")
+    stacked.withColumn("cv_sample_mode",
+      stddev_pop(col("abundance")).over(w) / avg(col("abundance")).over(w))
+  }
+
+  /** Join stacked sample modes of best models against the spectrum index:
+    * (scan, sample_num, abundance) (collect_sample_modes.py:55-76). */
+  def spectraWithSampleAbundance(
+      sampleModes: DataFrame,
+      spectrumIndex: DataFrame): DataFrame = {
+    val sm = sampleModes
+      .withColumn("swath_start", centsKey(col("swath_key")))
+    sm.join(broadcast(spectrumIndex),
+        sm("swath_start") === spectrumIndex("swath_start") &&
+          sm("rt_window") === spectrumIndex("rt_window") &&
+          sm("ncomp") === spectrumIndex("ncomp") &&
+          sm("comp_num") === spectrumIndex("spectrum_num"))
+      .select(spectrumIndex("scan"), sm("sample_num"), sm("abundance"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ms.ops
+
+import graft.ms.{AdjustedPeak, SliceTensor}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Spark wrapper for stage-4 tensorization: group the sliced peak table
+  * by (swath_key, rt_window) and build one dense tensor per group.
+  *
+  * Scale notes: this is the natural `groupByKey.mapGroups` shape — one
+  * shuffle clustered on the slice key, then an independent sequential
+  * kernel per slice (the greedy partitioner is order-dependent, so
+  * intra-slice parallelism is impossible by construction; the reference
+  * ran one OS process per slice instead, generate_slice_tensors
+  * .Snakefile:35-43). Slices are bounded (≤ a few MB) regardless of total
+  * data volume, so at 100 TB this becomes O(10⁶) uniform tasks with no
+  * driver involvement. Failed slices (the reference's "Could not
+  * tensorize" sentinel JSON) are dropped here and can be collected via
+  * [[errors]].
+  */
+object TensorizeOp {
+
+  /** peaks must carry: file, spectrum_index, level, rt, mz, intensity,
+    * prec_mz, swath_lower_adjusted, swath_upper_adjusted, rt_window. */
+  def tensorize(
+      spark: SparkSession,
+      peaks: Dataset[AdjustedPeak],
+      mzTolPpm: Double): Dataset[SliceTensor] = {
+    import spark.implicits._
+    peaks
+      .groupByKey(p => (f"${p.swath_lower_adjusted}%.2f", p.rt_window))
+      .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
+        Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm))
+      .flatMap(_.toOption)
+  }
+
+  /** Per-slice tensorization failures (slice key → reason). */
+  def errors(
+      spark: SparkSession,
+      peaks: Dataset[AdjustedPeak],
+      mzTolPpm: Double): Dataset[(String, Int, String)] = {
+    import spark.implicits._
+    peaks
+      .groupByKey(p => (f"${p.swath_lower_adjusted}%.2f", p.rt_window))
+      .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
+        Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm) match {
+          case Left(err) => Some((key._1, key._2, err.message))
+          case Right(_)  => None
+        })
+      .flatMap(identity)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ms.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stages 2–3: isolation-window adjustment and slicing.
+  *
+  * Window adjustment (semantics of adjust_swaths.R:26-41): over the
+  * distinct isolation windows sorted by lower bound,
+  *   upper_adj = round-half-even(mean(next window's lower, this upper), 2)
+  *               (mean of the non-null values — last row keeps its upper)
+  *   lower_adj = previous row's upper_adj; first row keeps its raw lower.
+  * The result is a non-overlapping cover of the SWATH range.
+  *
+  * Slicing (Spark-native rewrite of split_csv_maps_to_slices.py:29-101,
+  * see SURVEY §3.2): rt_window = floor(rt / windowSizeSec) — no ML
+  * Bucketizer, no RDD detour, no schema re-inference, no coalesce(1).
+  *
+  * Scale notes: the window table is O(dozens) rows — the global
+  * (unpartitioned) lead/lag window runs on a single tiny partition after
+  * DISTINCT, and the tagging join broadcasts it; the peak table never
+  * shuffles for either step. The partitioned write hash-clusters by
+  * (swath, rt_window) so downstream tensorization reads one partition
+  * per slice.
+  */
+object WindowOps {
+
+  /** Distinct adjusted windows from a raw peak table carrying
+    * prec_isolation_window_start/_end columns. */
+  def adjustedWindows(peaks: DataFrame): DataFrame = {
+    val w = Window.orderBy("prec_isolation_window_start")
+    peaks
+      .select(col("prec_isolation_window_start"), col("prec_isolation_window_end"))
+      .distinct()
+      .withColumn("lead_lower", lead(col("prec_isolation_window_start"), 1).over(w))
+      .withColumn("swath_upper_adjusted",
+        bround(
+          when(col("lead_lower").isNull, col("prec_isolation_window_end"))
+            .otherwise((col("lead_lower") + col("prec_isolation_window_end")) / 2.0),
+          2))
+      .withColumn("swath_lower_adjusted",
+        coalesce(lag(col("swath_upper_adjusted"), 1).over(w),
+          col("prec_isolation_window_start")))
+      .drop("lead_lower")
+  }
+
+  /** Tag each peak row with its adjusted window (left join on the raw
+    * window bounds, adjust_swaths.R:43) and drop the raw bounds. */
+  def applyAdjustment(peaks: DataFrame, windows: DataFrame): DataFrame =
+    peaks
+      .join(broadcast(windows),
+        Seq("prec_isolation_window_start", "prec_isolation_window_end"), "left")
+      .drop("prec_isolation_window_start", "prec_isolation_window_end")
+
+  /** Assign RT windows: ordinal = floor(rt / windowSizeSec). */
+  def assignRtWindows(peaks: DataFrame, windowSizeSec: Double): DataFrame =
+    peaks.withColumn("rt_window",
+      floor(col("rt") / lit(windowSizeSec)).cast("int"))
+
+  /** The slice partition key the reference encodes in directory names:
+    * "%.2f" of the adjusted lower bound (split_csv_maps_to_slices.py:81-84). */
+  def withSwathKey(peaks: DataFrame): DataFrame =
+    peaks.withColumn("swath_key", format_string("%.2f", col("swath_lower_adjusted")))
+
+  /** Partitioned columnar sink for the sliced peak table (replaces the
+    * reference's per-slice CSV directories; drops its coalesce(1)). */
+  def writeSlices(peaks: DataFrame, path: String): Unit =
+    peaks
+      .repartition(col("swath_key"), col("rt_window"))
+      .write
+      .partitionBy("swath_key", "rt_window")
+      .mode("overwrite")
+      .parquet(path)
+}
