@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Joins,
     operators.Windows,
     operators.Reshape,
+    operators.Dedup,
     functions.Scalars,
   )
 
