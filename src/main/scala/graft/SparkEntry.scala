@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.Reshape,
     operators.Dedup,
+    operators.Similarity,
     functions.Scalars,
   )
 

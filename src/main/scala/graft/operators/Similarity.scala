@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: Array[Float]`, 64-dim).
+  *
+  * Three tiers, mirroring a production ANN stack:
+  *
+  *  - brute-force top-k: the exactness baseline. The (small) query batch
+  *    is broadcast against the corpus scan — the corpus never shuffles;
+  *    the only exchange is the per-query top-k, which Spark computes
+  *    with partial top-k under the window when k is small.
+  *  - IVF: corpus is pre-clustered (here: by the `label` column, whose
+  *    centroid is the positional mean — deterministic, so the oracle can
+  *    reproduce it); a query probes its nearest centroid and scans only
+  *    that inverted list. At 100 TB the lists are parquet partitions and
+  *    partition pruning turns the probe into a fractional scan.
+  *  - hyperplane LSH: 8 md5-derived ±1 hyperplanes → 8-bit bucket key;
+  *    candidates = bucket-mates, ranked by exact cosine. Bucketing is
+  *    map-side; only bucket-key equi-joins shuffle.
+  *
+  * Dot products run through `zip_with` + `aggregate` in double precision
+  * (codegen'd, no UDF).
+  */
+object Similarity extends QueryPack {
+
+  /** Vectors cast to double with their L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x*x))"))
+
+  private val cosExpr =
+    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x*y), 0D, (a, x) -> a + x)") /
+      (col("q.nrm") * col("c.nrm"))
+
+  private val unnestCte = """
+    u AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding,1) AS i FROM embeddings),
+    nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM u GROUP BY vec_id)"""
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------ brute-force cosine kNN
+    "q_sim_knn_brute" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        val q = broadcast(all.filter(col("vec_id") < 10))
+        q.as("q").join(all.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosExpr.as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cosine").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+        ranked AS (
+          SELECT q_id, n_id, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ----------------------------------------------------------- IVF top-k
+    // Coarse quantizer = per-label positional-mean centroids; each query
+    // probes its nearest centroid's list only.
+    "q_sim_ivf_topk" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        val comp = all.select(col("vec_id"), col("label"), col("nrm"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        val cent = comp.groupBy(col("label").as("c_label"), col("i"))
+          .agg(avg(col("x")).as("cx"))
+        val centNrm = cent.groupBy("c_label")
+          .agg(expr("sqrt(sum(cx*cx))").as("c_nrm"))
+        val qComp = comp.filter(col("vec_id") < 10)
+        // query → nearest centroid by cosine
+        val assign = qComp.join(cent, "i")
+          .groupBy(col("vec_id").as("q_id"), col("c_label"))
+          .agg(sum(col("x") * col("cx")).as("dot"),
+            first(col("nrm")).as("q_nrm"))
+          .join(centNrm, "c_label")
+          .withColumn("ccos", col("dot") / (col("q_nrm") * col("c_nrm")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("ccos").desc, col("c_label"))))
+          .filter(col("crank") === 1)
+          .select(col("q_id"), col("c_label").as("probe_label"))
+        // scan only the probed inverted list
+        val q = broadcast(all.filter(col("vec_id") < 10).as("q")
+          .join(assign, col("q.vec_id") === col("q_id")))
+        q.join(all.as("c"),
+            col("c.label") === col("probe_label") &&
+              col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q_id"), col("probe_label"), col("c.vec_id").as("n_id"),
+            cosExpr.as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cosine").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("probe_label"), col("rank"), col("n_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        cent AS (SELECT label AS c_label, i, avg(x) AS cx
+                 FROM u GROUP BY label, i),
+        centnrm AS (SELECT c_label, sqrt(sum(cx*cx)) AS c_nrm
+                    FROM cent GROUP BY c_label),
+        assign AS (
+          SELECT q_id, c_label AS probe_label FROM (
+            SELECT a.vec_id AS q_id, cent.c_label,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY sum(a.x*cent.cx)/(min(na.nrm)*min(cn.c_nrm)) DESC,
+                              cent.c_label) AS crank
+            FROM u a JOIN cent ON a.i = cent.i
+                     JOIN nrm na ON na.vec_id = a.vec_id
+                     JOIN centnrm cn ON cn.c_label = cent.c_label
+            WHERE a.vec_id < 10
+            GROUP BY a.vec_id, cent.c_label)
+          WHERE crank = 1),
+        dots AS (SELECT a.vec_id AS q_id, min(probe_label) AS probe_label,
+                        b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                 FROM u a JOIN assign ON assign.q_id = a.vec_id
+                          JOIN u b ON b.i = a.i AND b.label = assign.probe_label
+                                      AND b.vec_id <> a.vec_id
+                 GROUP BY a.vec_id, b.vec_id),
+        ranked AS (
+          SELECT q_id, probe_label, n_id, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, probe_label, rank, n_id, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------- hyperplane LSH ANN
+    // 8 deterministic ±1 hyperplanes (sign of an md5 bit per (plane, dim))
+    // → 8-bit bucket; rank bucket-mates of each query by exact cosine.
+    "q_sim_lsh_bucket" -> GraftQuery(
+      run = (s, d) => {
+        // plane j, dim i: +1 if lowest bit of md5h("j_i") set else -1
+        val planeSign = (j: Int) =>
+          s"""transform(sequence(0, 63), i ->
+              CASE WHEN CAST(conv(substr(md5(concat('$j', '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
+                   THEN 1D ELSE -1D END)"""
+        val sigBits = (0 until 8).map { j =>
+          expr(s"CASE WHEN aggregate(zip_with(v, ${planeSign(j)}, (x, p) -> x*p), 0D, (a, x) -> a + x) > 0 THEN ${1 << j} ELSE 0 END")
+        }
+        val bucketed = vecs(s, d)
+          .withColumn("bucket", sigBits.reduce(_ + _))
+        val q = broadcast(bucketed.filter(col("vec_id") < 10))
+        q.as("q").join(bucketed.as("c"),
+            col("q.bucket") === col("c.bucket") &&
+              col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("q.bucket").as("bucket"),
+            col("c.vec_id").as("n_id"), cosExpr.as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cosine").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("bucket"), col("rank"), col("n_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        planes AS (SELECT j, i,
+                          CASE WHEN ('0x'||substr(md5(j::VARCHAR || '_' || i::VARCHAR),1,8))::BIGINT % 2 = 0
+                               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS p
+                   FROM generate_series(0,7) tj(j), generate_series(0,63) ti(i)),
+        sig AS (SELECT vec_id,
+                       sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS bucket
+                FROM (SELECT u.vec_id AS vec_id, planes.j AS j,
+                             sum(u.x * planes.p) AS s
+                      FROM u JOIN planes ON planes.i = u.i - 1
+                      GROUP BY u.vec_id, planes.j)
+                GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS q_id, min(sa.bucket) AS bucket,
+                        b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                 FROM u a JOIN sig sa ON sa.vec_id = a.vec_id
+                          JOIN sig sb ON sb.bucket = sa.bucket
+                          JOIN u b ON b.vec_id = sb.vec_id AND b.i = a.i
+                                      AND b.vec_id <> a.vec_id
+                 WHERE a.vec_id < 10
+                 GROUP BY a.vec_id, b.vec_id),
+        ranked AS (
+          SELECT q_id, bucket, n_id, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, bucket, rank, n_id, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+  )
+}
