@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Reshape,
     operators.Dedup,
     operators.Similarity,
+    operators.TextAnalysis,
     functions.Scalars,
   )
 

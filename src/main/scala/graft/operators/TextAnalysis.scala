@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation pipelines.
+  *
+  * Every operator here is a pure per-row computation over `documents.text`
+  * — array transforms + regexes inside whole-stage codegen, NO shuffle
+  * except the final ORDER BY. At 100 TB these run at scan speed and
+  * their outputs (quality score, language, fingerprint) become partition
+  * or filter columns for downstream stages.
+  *
+  *  - token counting: whitespace tokens + a BPE-ish lexical split
+  *    (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letters / digits / single
+  *    punctuation, the classic pre-tokenizer shape).
+  *  - quality scoring: length, punctuation ratio, stopword ratio →
+  *    composite score (the C4/Gopher-style heuristic family).
+  *  - language ID: per-language stopword-lexicon hit counting with a
+  *    deterministic argmax tie-break.
+  *  - fingerprinting: rolling polynomial hash over word-hash 3-grams
+  *    (winnowing-style document signature; min + distinct-count).
+  */
+object TextAnalysis extends QueryPack {
+
+  private val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** 32-bit md5-derived word hash, identical in Spark and DuckDB. */
+  private def md5h(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in", "on")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "zu", "im", "auf")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "de", "dans", "sur")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------- token counting
+    "q_text_tokens" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .select(
+            col("doc_id"),
+            size(col("ws")).as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+              .as("bpe_tokens"),
+            length(col("text")).as("n_chars"),
+            octet_length(col("text")).as("n_bytes"),
+            round(length(col("text")).cast("double") /
+              size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0))), 4)
+              .as("chars_per_token"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '$bpeRegex')) AS bpe_tokens,
+               length(text) AS n_chars,
+               octet_length(encode(text)) AS n_bytes,
+               round(CAST(length(text) AS DOUBLE) /
+                     len(regexp_extract_all(text, '$bpeRegex')), 4)
+                 AS chars_per_token
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------ quality scoring
+    "q_text_quality" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .withColumn("n_tokens", size(col("ws")))
+          .withColumn("mean_word_len",
+            expr("aggregate(ws, 0, (a, x) -> a + length(x))").cast("double") /
+              col("n_tokens"))
+          .withColumn("stop_ratio",
+            size(filter(col("ws"),
+              w => w.isin(stopEn: _*))).cast("double") / col("n_tokens"))
+          .withColumn("punct_ratio",
+            size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+              .cast("double") / length(col("text")))
+          .withColumn("quality",
+            round(
+              lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 200.0) +
+                lit(0.3) * least(lit(1.0), col("stop_ratio") * 4.0) +
+                lit(0.2) * (lit(1.0) - col("punct_ratio")), 4))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("mean_word_len"), 4).as("mean_word_len"),
+            round(col("stop_ratio"), 4).as("stop_ratio"),
+            round(col("punct_ratio"), 4).as("punct_ratio"), col("quality"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(ws) AS n_tokens,
+                 CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                   / len(ws) AS mean_word_len,
+                 CAST(len(list_filter(ws,
+                     w -> list_contains([${sqlList(stopEn)}], w))) AS DOUBLE)
+                   / len(ws) AS stop_ratio,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   / length(text) AS punct_ratio
+          FROM t)
+        SELECT doc_id, n_tokens,
+               round(mean_word_len, 4) AS mean_word_len,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(punct_ratio, 4) AS punct_ratio,
+               round(0.5 * least(1.0::DOUBLE, CAST(n_tokens AS DOUBLE) / 200.0)
+                   + 0.3 * least(1.0::DOUBLE, stop_ratio * 4.0)
+                   + 0.2 * (1.0 - punct_ratio), 4) AS quality
+        FROM m ORDER BY doc_id""")),
+
+    // --------------------------------------------------------- language ID
+    // Stopword-lexicon hits per language; argmax with en > de > fr
+    // tie-break. Lexicons are inline literals → fully map-side.
+    "q_text_langid" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .withColumn("en_hits", size(filter(col("ws"), w => w.isin(stopEn: _*))))
+          .withColumn("de_hits", size(filter(col("ws"), w => w.isin(stopDe: _*))))
+          .withColumn("fr_hits", size(filter(col("ws"), w => w.isin(stopFr: _*))))
+          .withColumn("pred_lang",
+            when(col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("fr_hits"), "en")
+              .when(col("de_hits") >= col("fr_hits"), "de")
+              .otherwise("fr"))
+          .select(col("doc_id"), col("en_hits"), col("de_hits"), col("fr_hits"),
+            col("pred_lang"),
+            (col("pred_lang") === col("lang")).cast("int").as("is_match"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopEn)}], w))) AS en_hits,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopDe)}], w))) AS de_hits,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopFr)}], w))) AS fr_hits
+          FROM t)
+        SELECT doc_id, en_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS pred_lang,
+               CAST(CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                         WHEN de_hits >= fr_hits THEN 'de'
+                         ELSE 'fr' END = lang AS INT) AS is_match
+        FROM h ORDER BY doc_id""")),
+
+    // ------------------------------------------------ document fingerprinting
+    // Rolling polynomial hash over word-hash 3-grams (winnowing-style).
+    "q_text_fingerprint" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("hs", expr(s"transform(ws, w -> ${md5h("w")})"))
+          .withColumn("rs",
+            when(size(col("ws")) >= 3,
+              expr("transform(sequence(0, size(hs)-3), " +
+                "i -> (hs[i]*961 + hs[i+1]*31 + hs[i+2]) % 1000000007)"))
+              .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+          .select(col("doc_id"),
+            array_min(col("rs")).as("fingerprint"),
+            size(col("rs")).as("n_windows"),
+            size(array_distinct(col("rs"))).as("n_distinct"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH w AS (
+          SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h, i FROM (
+            SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                   generate_subscripts(string_split(text,' '),1) AS i
+            FROM documents)),
+        r AS (
+          SELECT doc_id,
+                 (h*961 + lead(h,1) OVER win*31 + lead(h,2) OVER win)
+                   % 1000000007 AS rh
+          FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+        SELECT doc_id, min(rh) AS fingerprint,
+               count(rh) AS n_windows,
+               count(DISTINCT rh) AS n_distinct
+        FROM r GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}
