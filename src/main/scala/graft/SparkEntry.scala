@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,
+    operators.Multimodal,
     functions.Scalars,
   )
 

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One opaque media payload: the engine's multimodal row shape. */
+final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+/** Batch-extracted features for one payload. */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Int, mean_byte: Double, max_byte: Int,
+    entropy: Double)
+
+/** Multimodal-column operators: image/audio/video as opaque `BINARY`
+  * columns with typed metadata, processed by byte-level expressions or a
+  * batched `mapPartitions` kernel (the Scala/`Dataset` analog of
+  * `mapInPandas` — rows are consumed in fixed-size batches so a real
+  * decoder could amortize library setup per batch exactly like an Arrow
+  * batch UDF).
+  *
+  * STUB NOTE: this container has no image/audio codecs, so "decode" is a
+  * deterministic fake — payloads are synthesized as
+  * `unhex(repeat(md5(text), 8))` (128 bytes) and the "header" fields are
+  * derived from the leading bytes. The Spark-side plumbing — binary
+  * schema, metadata struct, batch shape, partitioning — is real; swap
+  * [[Multimodal.decodeBatch]] for a codec call (e.g. javax.imageio /
+  * ffmpeg bindings) to process real media. No row ever leaves the
+  * executor: payload bytes stay columnar and map-side; only extracted
+  * (small) features shuffle.
+  */
+object Multimodal extends QueryPack {
+
+  /** Deterministic fake media table: doc_id + 128-byte payload. */
+  private def synth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        unhex(repeat(md5(col("text")), 8)).as("blob"))
+
+  /** DuckDB mirror works on the hex string (no BLOB substr in 1.0):
+    * byte k of the payload = hex chars [2k-1, 2k]. */
+  private val synthCte = """
+    media AS (SELECT doc_id, source, repeat(md5(text), 8) AS hx
+              FROM documents)"""
+
+  /** byte k (1-based) of a blob as BIGINT — Spark syntax. */
+  private def byteAt(blob: String, pos: String): String =
+    s"CAST(conv(hex(substring($blob, $pos, 1)), 16, 10) AS BIGINT)"
+
+  /** Same, DuckDB syntax over the hex string (pos is a 1-based byte). */
+  private def byteAtDuck(pos: String): String =
+    s"('0x'||substr(hx, 2*($pos) - 1, 2))::BIGINT"
+
+  /** The batch kernel: replace the body with a real codec for real media.
+    * Runs once per 64-row batch, mirroring an Arrow-batch UDF. */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.content.map(_ & 0xff)
+      val n = bytes.length
+      val hist = new Array[Int](256)
+      bytes.foreach(b => hist(b) += 1)
+      val entropy = -hist.iterator.filter(_ > 0).map { c =>
+        val p = c.toDouble / n
+        p * math.log(p) / math.log(2.0)
+      }.sum
+      MediaFeatures(r.doc_id, n, bytes.sum.toDouble / n, bytes.max,
+        math.rint(entropy * 10000) / 10000)
+    }
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // ---------------------------------------------- header decode → metadata
+    // Fake-header parse with native byte expressions (fully codegen'd).
+    "q_mm_decode_meta" -> GraftQuery(
+      run = (s, d) =>
+        synth(s, d).select(
+          col("doc_id"),
+          octet_length(col("blob")).as("n_bytes"),
+          expr(s"16 + ${byteAt("blob", "1")} % 64").as("width"),
+          expr(s"16 + ${byteAt("blob", "2")} % 64").as("height"),
+          expr(s"1 + ${byteAt("blob", "3")} % 8").as("n_frames"),
+          expr(s"CASE ${byteAt("blob", "4")} % 3 WHEN 0 THEN 'image' " +
+            "WHEN 1 THEN 'audio' ELSE 'video' END").as("media_type"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH $synthCte
+        SELECT doc_id, length(hx) // 2 AS n_bytes,
+               16 + ${byteAtDuck("1")} % 64 AS width,
+               16 + ${byteAtDuck("2")} % 64 AS height,
+               1 + ${byteAtDuck("3")} % 8 AS n_frames,
+               CASE ${byteAtDuck("4")} % 3 WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+        FROM media ORDER BY doc_id""")),
+
+    // --------------------------------------------------------- frame sampling
+    // Payload = 8 frames × 16 bytes; keep every 2nd frame.
+    "q_mm_frame_sample" -> GraftQuery(
+      run = (s, d) =>
+        synth(s, d)
+          .select(col("doc_id"), col("blob"),
+            explode(sequence(lit(0), lit(7))).as("frame_idx"))
+          .filter(col("frame_idx") % 2 === 0)
+          .select(col("doc_id"), col("frame_idx"),
+            expr("hex(substring(blob, 1 + 16*frame_idx, 16))").as("frame_hex"))
+          .orderBy("doc_id", "frame_idx"),
+      oracle = Some(s"""
+        WITH $synthCte
+        SELECT doc_id, frame_idx,
+               upper(substr(hx, 1 + 32*frame_idx, 32)) AS frame_hex
+        FROM media, generate_series(0,7) t(frame_idx)
+        WHERE frame_idx % 2 = 0
+        ORDER BY doc_id, frame_idx""")),
+
+    // ------------------------------------------------------- resize (pooling)
+    // Average-pool 128 bytes → 32 buckets of 4 ("thumbnail").
+    "q_mm_resize_pool" -> GraftQuery(
+      run = (s, d) =>
+        synth(s, d).select(col("doc_id"),
+          expr(s"""concat_ws(',', transform(sequence(0, 31), i ->
+              (${byteAt("blob", "1 + 4*i")} + ${byteAt("blob", "2 + 4*i")} +
+               ${byteAt("blob", "3 + 4*i")} + ${byteAt("blob", "4 + 4*i")})
+              div 4))""").as("pooled"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH $synthCte
+        SELECT doc_id,
+               string_agg(((${byteAtDuck("1 + 4*i")} +
+                            ${byteAtDuck("2 + 4*i")} +
+                            ${byteAtDuck("3 + 4*i")} +
+                            ${byteAtDuck("4 + 4*i")}) // 4)::VARCHAR,
+                          ',' ORDER BY i) AS pooled
+        FROM media, generate_series(0,31) t(i)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------- batched feature extraction (kernel)
+    // The genuine custom-kernel path: typed Dataset → mapPartitions in
+    // 64-row batches. Rows-only check (not SQL-expressible by design —
+    // this is where a real codec would run).
+    "q_mm_features" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        synth(s, d).select(col("doc_id"), col("blob").as("content"))
+          .as[MediaRow]
+          .mapPartitions(it => it.grouped(64).flatMap(decodeBatch))
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            round(col("mean_byte"), 4).as("mean_byte"), col("max_byte"),
+            col("entropy"))
+          .orderBy("doc_id")
+      },
+      oracle = None)
+  )
+}
