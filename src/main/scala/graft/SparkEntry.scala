@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
+    ms.MsPipeline,
     functions.Scalars,
   )
 

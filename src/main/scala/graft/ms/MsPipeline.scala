@@ -1,0 +1,243 @@
+package graft.ms
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ms.ops._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The CANDIA pipeline (SURVEY.md §3) exposed through the driver's query
+  * registry, stage by stage, over a deterministic synthetic peak table
+  * derived from `lineitem` (the driver's testdata is the only permitted
+  * input; real mzML ingestion lives in [[graft.sources]]).
+  *
+  * The synthesis is pure column arithmetic, so the relational stages
+  * (window adjustment, slicing) carry full DuckDB oracles; the tensor
+  * stages (tensorize → PARAFAC → CWT selection → reconstruction) are
+  * sequential per-slice kernels with no SQL equivalent — the driver
+  * records rows-only checks for them, and their numerics are covered by
+  * the golden ScalaTest specs (NNParafacSpec, RickerCwtSpec,
+  * TensorizerSpec).
+  *
+  * Derivation (all values exact in double precision):
+  *   file      = "s" ++ (l_suppkey mod 3)           — 3 samples
+  *   rt        = (l_orderkey mod 1000) · 0.6        — 0..599.4 s
+  *   level     = 1 + (l_linenumber mod 2)           — MS1/MS2 mix
+  *   mz        = 400 + (l_partkey mod 200) · 2      — 400..798
+  *   intensity = l_quantity · 100
+  *   window    = [400 + (l_partkey mod 10)·40, +41) — 10 overlapping
+  *   prec_mz   = window start + 20
+  * → 10 adjusted swaths × 10 RT windows (window size 60 s) ≈ 100 slices.
+  */
+object MsPipeline extends QueryPack {
+
+  private val rtWindowSec = 60.0
+  private val nRtWindows = 10 // ceil(999·0.6 / 60)
+  private val mzTolPpm = 2000.0
+  private val fMin = 2
+  private val fMax = 3
+  private val maxIter = 100
+
+  private def rawPeaks(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      concat(lit("s"), col("l_suppkey") % 3).as("file"),
+      (col("l_orderkey") % 500).cast("int").as("spectrum_index"),
+      (lit(1) + col("l_linenumber") % 2).cast("int").as("level"),
+      ((col("l_orderkey") % 1000) * 0.6).as("rt"),
+      (lit(400.0) + (col("l_partkey") % 200) * 2.0).as("mz"),
+      (col("l_quantity") * 100.0).as("intensity"),
+      (lit(400.0) + (col("l_partkey") % 10) * 40.0)
+        .as("prec_isolation_window_start"),
+      (lit(441.0) + (col("l_partkey") % 10) * 40.0)
+        .as("prec_isolation_window_end"))
+      .withColumn("prec_mz", col("prec_isolation_window_start") + 20.0)
+
+  private val rawPeaksCte = """
+    peaks AS (
+      SELECT 's' || (l_suppkey % 3) AS file,
+             CAST(l_orderkey % 500 AS INT) AS spectrum_index,
+             CAST(1 + l_linenumber % 2 AS INT) AS level,
+             (l_orderkey % 1000) * 0.6 AS rt,
+             400.0 + (l_partkey % 200) * 2.0 AS mz,
+             l_quantity * 100.0 AS intensity,
+             400.0 + (l_partkey % 10) * 40.0 AS w_start,
+             441.0 + (l_partkey % 10) * 40.0 AS w_end
+      FROM lineitem)"""
+
+  /** Stages 2–3 applied: adjusted-window tagging + RT windowing, typed. */
+  private def adjustedPeaks(s: SparkSession, d: String): Dataset[AdjustedPeak] = {
+    import s.implicits._
+    val raw = rawPeaks(s, d)
+    val windows = WindowOps.adjustedWindows(raw)
+    WindowOps.assignRtWindows(
+      WindowOps.applyAdjustment(raw, windows), rtWindowSec)
+      .select(col("file"), col("spectrum_index"), col("level"),
+        col("rt").cast("float").as("rt"), col("mz").cast("float").as("mz"),
+        col("intensity").cast("float").as("intensity"),
+        col("prec_mz").cast("float").as("prec_mz"),
+        col("swath_lower_adjusted").cast("float").as("swath_lower_adjusted"),
+        col("swath_upper_adjusted").cast("float").as("swath_upper_adjusted"),
+        col("rt_window"))
+      .as[AdjustedPeak]
+  }
+
+  private def tensors(s: SparkSession, d: String): Dataset[SliceTensor] =
+    TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm)
+
+  private def models(s: SparkSession, d: String): Dataset[ParafacModelRow] =
+    Decomposer.run(s, tensors(s, d), fMin, fMax, maxIter = maxIter)
+
+  private def peakCounts(s: SparkSession, d: String): Dataset[ComponentPeaks] =
+    Indexing.countTimeModePeaks(s, models(s, d),
+      avgPeakFwhmSec = 5.0, windowSizeSec = rtWindowSec)
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // ---------------------------------------- stage 2: window adjustment
+    // lead/lag midpoint adjustment of the distinct isolation windows
+    // (adjust_swaths.R:26-41). Integer-valued bounds ⇒ midpoints land on
+    // exact halves, so half-even (Spark bround) == half-away (DuckDB
+    // round) and the oracle is exact.
+    "q_ms_window_adjust" -> GraftQuery(
+      run = (s, d) =>
+        WindowOps.adjustedWindows(rawPeaks(s, d))
+          .select(
+            col("prec_isolation_window_start").as("w_start"),
+            col("prec_isolation_window_end").as("w_end"),
+            col("swath_lower_adjusted"), col("swath_upper_adjusted"))
+          .orderBy("w_start"),
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
+        adj AS (
+          SELECT w_start, w_end,
+                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
+                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
+                   AS swath_upper_adjusted
+          FROM w WINDOW win AS (ORDER BY w_start))
+        SELECT w_start, w_end,
+               coalesce(lag(swath_upper_adjusted,1) OVER (ORDER BY w_start),
+                        w_start) AS swath_lower_adjusted,
+               swath_upper_adjusted
+        FROM adj ORDER BY w_start""")),
+
+    // ------------------------------------------------- stage 3: slicing
+    // Tag peaks with adjusted windows, bucket RT, count per slice — the
+    // Spark-native rewrite of the reference's own PySpark job
+    // (split_csv_maps_to_slices.py, SURVEY §3.2).
+    "q_ms_slice_counts" -> GraftQuery(
+      run = (s, d) => {
+        val raw = rawPeaks(s, d)
+        val windows = WindowOps.adjustedWindows(raw)
+        WindowOps.withSwathKey(
+          WindowOps.assignRtWindows(
+            WindowOps.applyAdjustment(raw, windows), rtWindowSec))
+          .groupBy("swath_key", "rt_window")
+          .agg(count(lit(1)).as("n_peaks"),
+            round(sum(col("intensity")), 2).as("sum_intensity"))
+          .orderBy("swath_key", "rt_window")
+      },
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
+        adj AS (
+          SELECT w_start, w_end,
+                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
+                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
+                   AS upper_adj
+          FROM w WINDOW win AS (ORDER BY w_start)),
+        adj2 AS (
+          SELECT w_start, w_end,
+                 coalesce(lag(upper_adj,1) OVER (ORDER BY w_start), w_start)
+                   AS lower_adj,
+                 upper_adj
+          FROM adj)
+        SELECT format('{:.2f}', lower_adj) AS swath_key,
+               CAST(floor(rt / ${rtWindowSec}) AS INT) AS rt_window,
+               count(*) AS n_peaks,
+               round(sum(intensity), 2) AS sum_intensity
+        FROM peaks JOIN adj2 ON peaks.w_start = adj2.w_start
+                            AND peaks.w_end = adj2.w_end
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -------------------------------------------- stage 4: tensorization
+    // Per-slice dense (sample × cycle × m/z) tensors; output = shape +
+    // NaN-fill stats per slice. Rows-only (sequential greedy partitioner).
+    "q_ms_tensorize" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        tensors(s, d)
+          .map(t => (t.swath_key, t.rt_window, t.n_samples, t.n_cycles,
+            t.n_mz, t.data.count(_.isNaN)))
+          .toDF("swath_key", "rt_window", "n_samples", "n_cycles", "n_mz",
+            "n_nan")
+          .orderBy("swath_key", "rt_window")
+      },
+      oracle = None),
+
+    // ----------------------------------------- stage 5: NN-PARAFAC (ALS)
+    // One decomposition per (slice, F) pair; output = the reference's
+    // decomp_measures log (ncomp, Rsq, iterations).
+    "q_ms_decompose" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        models(s, d)
+          .map(m => (m.swath_key, m.rt_window, m.ncomp,
+            math.rint(m.rsq * 1e4) / 1e4, m.iterations))
+          .toDF("swath_key", "rt_window", "ncomp", "rsq", "iterations")
+          .orderBy("swath_key", "rt_window", "ncomp")
+      },
+      oracle = None),
+
+    // ------------------------- stages 6–7: peak counting + model selection
+    // CWT time-mode peak counts → unimodal fraction → group-wise max
+    // (ties kept) per (swath, rt_window).
+    "q_ms_best_models" -> GraftQuery(
+      run = (s, d) => {
+        val raw = rawPeaks(s, d)
+        val windows = WindowOps.adjustedWindows(raw)
+          .select(col("swath_lower_adjusted"))
+        val index = Indexing.modelIndex(s, windows, nRtWindows, fMin, fMax)
+        val counts = Indexing.peakCountsWithModelId(peakCounts(s, d), index)
+        Indexing.bestModels(counts, index)
+          .select(col("model_id"), col("swath_start"), col("rt_window"),
+            col("ncomp"), round(col("unimodal_fraction"), 4)
+              .as("unimodal_fraction"))
+          .orderBy("model_id")
+      },
+      oracle = None),
+
+    // ------------------------------------- stage 8: sample-mode abundances
+    // Stacked (sample, component) abundances with population CV.
+    "q_ms_sample_modes" -> GraftQuery(
+      run = (s, d) =>
+        Indexing.sampleModes(s, models(s, d))
+          .select(col("swath_key"), col("rt_window"), col("ncomp"),
+            col("sample_num"), col("comp_num"),
+            round(col("abundance"), 4).as("abundance"),
+            round(col("cv_sample_mode"), 4).as("cv_sample_mode"))
+          .orderBy("swath_key", "rt_window", "ncomp", "sample_num", "comp_num"),
+      oracle = None),
+
+    // ------------------------------------- stage 9 prep: scan reconstruction
+    // Kruskal reconstruction of scan 0 from unimodal components; output
+    // aggregated per model (count + order-independent max).
+    "q_ms_reconstruct" -> GraftQuery(
+      run = (s, d) => {
+        val ms = models(s, d)
+        val ts = tensors(s, d)
+        val pc = peakCounts(s, d).toDF()
+        Reconstructor.run(s, ms, ts, pc, scanNum = 0)
+          .toDF()
+          .groupBy("swath_key", "rt_window", "ncomp")
+          .agg(count(lit(1)).as("n_points"),
+            // NaN scale is faithful to the reference (it reads the raw
+            // NaN-padded tensor at argmax, reconstruct_scan.py:98-114);
+            // report the finite max separately (order-independent).
+            count(when(isnan(col("intensity")), 1)).as("n_nan"),
+            round(max(when(!isnan(col("intensity")), col("intensity"))), 3)
+              .as("max_finite_intensity"))
+          .orderBy("swath_key", "rt_window", "ncomp")
+      },
+      oracle = None)
+  )
+}
