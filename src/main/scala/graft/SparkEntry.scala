@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Multimodal,
     ms.MsPipeline,
+    streaming.EventStreams,
     functions.Scalars,
   )
 

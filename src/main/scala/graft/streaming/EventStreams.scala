@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.{GraftQuery, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event record as read from the stream (ts = nanos since epoch; the
+  * testdata parquet stores TIMESTAMP(NANOS), read as long). */
+final case class Event(
+    event_id: Long, ts: Long, user_id: Long, event_type: String,
+    value: Double, props: String)
+
+/** Accumulated session state for one user (mapGroupsWithState buffer);
+  * `cur_len` carries the open session across micro-batches. */
+final case class UserSessions(
+    n_sessions: Int, n_events: Int, last_ts: Long, cur_len: Int,
+    longest_session: Int)
+
+/** Structured Streaming operators over the `events` table.
+  *
+  * The reference is pure batch (SURVEY §2.10) — these are the
+  * forward-looking streaming surface a 100 TB pipeline needs: file-source
+  * streams with event-time watermarks, tumbling-window aggregation, and
+  * arbitrary stateful processing via `mapGroupsWithState`.
+  *
+  * Both queries run with `Trigger.AvailableNow` against the static
+  * parquet (one micro-batch, nothing past the watermark), so their
+  * results equal the batch computation and carry full DuckDB oracles —
+  * the same code pointed at a live directory is a real continuous
+  * pipeline.
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key) with
+  * partial aggregation map-side; sessionization shuffles once on
+  * user_id and holds O(1) state per key in the state store — both are
+  * the canonical shapes that scale linearly with executor count.
+  */
+object EventStreams extends QueryPack {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. */
+  private def runToMemory(
+      s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .queryName(name)
+      .format("memory")
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private val gapNs = 30L * 60 * 1000000000L
+
+  private val emptySessions = UserSessions(0, 0, Long.MinValue, 0, 0)
+
+  /** Fold a sorted batch of event times into the running session state
+    * (a >30-minute event-time gap opens a new session). */
+  private def advance(st: UserSessions, tsSorted: Seq[Long]): UserSessions = {
+    var n = st.n_sessions; var e = st.n_events; var last = st.last_ts
+    var cur = st.cur_len; var lon = st.longest_session
+    tsSorted.foreach { t =>
+      if (n == 0 || t - last > gapNs) { n += 1; cur = 0 }
+      cur += 1
+      if (cur > lon) lon = cur
+      last = t
+      e += 1
+    }
+    UserSessions(n, e, last, cur, lon)
+  }
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // ---------------------------- tumbling event-time window with watermark
+    "q_stream_tumbling" -> GraftQuery(
+      run = (s, d) => {
+        val stream = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("sum_value"))
+        // Update (not Append): Append would hold back windows the
+        // watermark hasn't closed yet — the final hour would be missing
+        // at end-of-stream. With Update the watermark still evicts state;
+        // one AvailableNow batch emits each group exactly once.
+        runToMemory(s, stream, "graft_stream_tumbling", OutputMode.Update())
+          .orderBy("hour", "event_type")
+      },
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------------------- arbitrary stateful: gap-based sessionization
+    // mapGroupsWithState holds one UserSessions row per user; a 30-minute
+    // event-time gap opens a new session.
+    "q_stream_sessionize" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val sessions = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .as[Event]
+          .groupByKey(_.user_id)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+            (user: Long, events: Iterator[Event], state: GroupState[UserSessions]) =>
+              val st = advance(state.getOption.getOrElse(emptySessions),
+                events.map(_.ts).toSeq.sorted)
+              state.update(st)
+              (user, st.n_sessions, st.n_events, st.longest_session)
+          }
+          .toDF("user_id", "n_sessions", "n_events", "longest_session")
+        runToMemory(s, sessions, "graft_stream_sessions", OutputMode.Update())
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+               max(n) AS longest_session
+        FROM per_session GROUP BY user_id ORDER BY user_id"""))
+  )
+}
