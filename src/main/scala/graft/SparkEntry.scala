@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
+    operators.SpectralExtras,
     ms.MsPipeline,
     streaming.EventStreams,
     functions.Scalars,
