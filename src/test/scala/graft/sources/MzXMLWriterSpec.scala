@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MzXMLWriterSpec extends AnyFunSuite with Matchers {
+
+  test("peaks base64 is byte-exact vs the reference encoder") {
+    // golden value from numpy: float32 big-endian interleaved pairs of
+    // mz=[100.5, 200.25], int=[10.0, 20.0] (msproc.py:511-521)
+    MzXMLWriter.peaksBase64(Array(100.5, 200.25), Array(10.0, 20.0)) shouldBe
+      "QskAAEEgAABDSEAAQaAAAA=="
+  }
+
+  test("component with MS1 points uses idxmax pseudo-precursor") {
+    val c = MzXMLWriter.Component(
+      scanId = 7,
+      points = Seq(
+        (450.1, 1, 5.0), (451.2, 1, 50.0), // MS1: max at 451.2
+        (200.0, 2, 1.0), (100.0, 2, 2.0)), // MS2, unsorted
+      isolationWindowCenter = 630.0)
+    val xml = MzXMLWriter.componentXml(c).get
+    xml should include("""<scan num="7"""")
+    xml should include("msLevel=\"2\"")
+    xml should include("peaksCount=\"2\"")
+    // precursor from MS1 idxmax
+    xml should include("""<precursorMz precursorIntensity="50.0">451.2</precursorMz>""")
+    // MS2 sorted by mz: low=100, high=200
+    xml should include("lowMz=\"100.0\" highMz=\"200.0\"")
+  }
+
+  test("component with no MS2 points is dropped; no MS1 falls back to window center") {
+    MzXMLWriter.componentXml(MzXMLWriter.Component(1,
+      Seq((450.0, 1, 5.0)), 630.0)) shouldBe None
+    val xml = MzXMLWriter.componentXml(MzXMLWriter.Component(2,
+      Seq((100.0, 2, 3.0)), 630.0)).get
+    xml should include(">630.05</precursorMz>")
+  }
+
+  test("finalized file carries scanCount, offset index, indexOffset") {
+    val tmp = Files.createTempFile("graft", ".mzXML").toString
+    val comps = Seq(
+      MzXMLWriter.Component(0, Seq((100.0, 2, 1.0), (450.0, 1, 2.0)), 630.0),
+      MzXMLWriter.Component(1, Seq((110.0, 2, 4.0)), 630.0))
+    MzXMLWriter.write(tmp, comps)
+    val content = new String(Files.readAllBytes(Paths.get(tmp)), "ISO-8859-1")
+    content should include("<msRun scanCount=\"2\">")
+    content should include("<index name = \"scan\">")
+    content should include("</mzXML>\n")
+    // every recorded offset points at a '<scan' byte position
+    val offs = "<offset id = \"(\\d+)\">(\\d+)</offset>".r
+      .findAllMatchIn(content).map(m => (m.group(1).toLong, m.group(2).toInt)).toSeq
+    offs should have size 2
+    offs.foreach { case (_, off) =>
+      content.substring(off, off + 5) shouldBe "<scan"
+    }
+    // indexOffset points at the index element
+    val io = "<indexOffset>(\\d+)</indexOffset>".r
+      .findFirstMatchIn(content).get.group(1).toInt
+    content.substring(io, io + 6) shouldBe "<index"
+    Files.delete(Paths.get(tmp))
+  }
+
+  test("MGF writer duplicates spectra at charges 2 and 3") {
+    val tmp = Files.createTempFile("graft", ".mgf").toString
+    MgfWriter.write(tmp, Seq(MgfWriter.MgfSpectrum(
+      scan = 5, precMz = 630.5, precIntensity = 42.0,
+      mzs = Array(100.0, 200.0), ints = Array(1.0, 2.0))))
+    val content = new String(Files.readAllBytes(Paths.get(tmp)), "ISO-8859-1")
+    "BEGIN IONS".r.findAllIn(content).size shouldBe 2
+    content should include("CHARGE=2+")
+    content should include("CHARGE=3+")
+    content should include("SCANS=5")
+    content should include("PEPMASS=630.5 42.0")
+    Files.delete(Paths.get(tmp))
+  }
+}
