@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.ms.{AdjustedPeak, ComponentPeaks, ParafacModelRow, SliceTensor}
+import graft.ms.ops.{Decomposer, Indexing, TensorizeOp, WindowOps}
+import graft.sources.{MzMLSource, MzXMLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline configuration — the keys of the reference's experiment YAML
+  * that drive stages 1–9 (test/test_experiment/config/candia.yaml:1-64). */
+final case class CandiaConfig(
+    minScanIntensity: Double = 1.0, // candia.yaml: min_scan_intensity
+    windowSizeSec: Double = 60.0, //   candia.yaml: window_size_sec
+    massTolPpm: Double = 40.0, //      candia.yaml: mass_tol_ppm
+    parafacMinComp: Int = 10, //       candia.yaml: parafac_min_comp
+    parafacMaxComp: Int = 14, //       candia.yaml: parafac_max_comp
+    parafacMaxIter: Int = 5000, //     candia.yaml: parafac_max_iter
+    parafacTol: Double = 1e-7, //      candia.yaml: parafac_min_error_diff
+    avgPeakFwhmSec: Double = 5.0, //   candia.yaml: avg_peak_fwhm_sec
+    seed: Long = 123L)
+
+/** Stage outputs of one end-to-end run (the in-engine replacements of
+  * the reference's on-disk inter-stage artifacts). */
+final case class CandiaResult(
+    peaks: Dataset[AdjustedPeak],
+    tensors: Dataset[SliceTensor],
+    models: Dataset[ParafacModelRow],
+    peakCounts: Dataset[ComponentPeaks],
+    bestModels: DataFrame)
+
+/** The whole CANDIA dataflow (reference driver script `candia:1-69`,
+  * SURVEY §3.1) as ONE Spark program: the reference's 9 process-per-file
+  * / process-per-slice stages with filesystem hand-offs collapse into a
+  * single lineage over one SparkSession — process boundaries become
+  * shuffle boundaries, Snakemake scheduling becomes Spark task
+  * scheduling, and every intermediate is a Dataset that can be
+  * checkpointed to partitioned parquet instead of ~10⁶ tiny files.
+  */
+object CandiaPipeline {
+
+  /** Stages 1–3: mzML → tagged, RT-windowed peak table. */
+  def ingest(
+      spark: SparkSession,
+      mzmlFiles: Seq[String],
+      config: CandiaConfig): Dataset[AdjustedPeak] = {
+    import spark.implicits._
+    val raw = MzMLSource.read(spark, mzmlFiles,
+      minIntensity = config.minScanIntensity).toDF()
+    val windows = WindowOps.adjustedWindows(raw)
+    WindowOps.assignRtWindows(
+      WindowOps.applyAdjustment(raw, windows), config.windowSizeSec)
+      .select(col("file"), col("spectrum_index"), col("level"),
+        col("rt").cast("float").as("rt"),
+        col("mz").cast("float").as("mz"),
+        col("intensity").cast("float").as("intensity"),
+        col("prec_mz").cast("float").as("prec_mz"),
+        col("swath_lower_adjusted").cast("float").as("swath_lower_adjusted"),
+        col("swath_upper_adjusted").cast("float").as("swath_upper_adjusted"),
+        col("rt_window"))
+      .as[AdjustedPeak]
+  }
+
+  /** Stages 1–8: mzML files → models + best-model selection. */
+  def run(
+      spark: SparkSession,
+      mzmlFiles: Seq[String],
+      config: CandiaConfig = CandiaConfig()): CandiaResult = {
+    import spark.implicits._
+    val peaks = ingest(spark, mzmlFiles, config)
+    val tensors = TensorizeOp.tensorize(spark, peaks, config.massTolPpm)
+      .persist()
+    val models = Decomposer.run(spark, tensors,
+      config.parafacMinComp, config.parafacMaxComp,
+      maxIter = config.parafacMaxIter, tol = config.parafacTol,
+      seed = config.seed).persist()
+    val counts = Indexing.countTimeModePeaks(spark, models,
+      config.avgPeakFwhmSec, config.windowSizeSec).persist()
+
+    val windows = peaks.toDF()
+      .select(col("swath_lower_adjusted")).distinct()
+    val nRt = peaks.toDF().agg(max(col("rt_window"))).head().getInt(0) + 1
+    val index = Indexing.modelIndex(spark, windows, nRt,
+      config.parafacMinComp, config.parafacMaxComp)
+    val best = Indexing.bestModels(
+      Indexing.peakCountsWithModelId(counts, index), index)
+
+    CandiaResult(peaks, tensors, models, counts, best)
+  }
+
+  /** Stage 9 prep: export each best model's unimodal mass-mode components
+    * as mzXML scans (id_models_concat.py:58-119): component spectrum =
+    * the mass-mode column over the slice's m/z labels; scan ids follow
+    * the spectrum index's global ordinal contract. */
+  def exportBestSpectra(
+      spark: SparkSession,
+      result: CandiaResult,
+      path: String): Int = {
+    import spark.implicits._
+    val bestKeys = result.bestModels
+      .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    val unimodal = result.peakCounts
+      .filter((c: ComponentPeaks) => c.npeaks == 1)
+      .collect()
+      .groupBy(c => (c.swath_key, c.rt_window, c.ncomp))
+      .map { case (k, cs) => k -> cs.map(_.comp_num).toSet }
+
+    val comps = result.models
+      .filter((m: ParafacModelRow) =>
+        bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
+      .collect()
+      .sortBy(m => (m.swath_key, m.rt_window, m.ncomp))
+      .flatMap { m =>
+        val keep = unimodal.getOrElse((m.swath_key, m.rt_window, m.ncomp),
+          Set.empty[Int])
+        val labels = m.mz_indices.map(graft.ms.ops.Tensorizer.parseLabel)
+        val center = m.swath_key.toDouble
+        (0 until m.ncomp).filter(keep).map { k =>
+          MzXMLWriter.Component(
+            scanId = m.rt_window.toLong * 1000 + m.ncomp * 100 + k,
+            points = labels.zipWithIndex.map { case ((lvl, mzv), i) =>
+              (mzv, lvl, m.mass_mode(i * m.ncomp + k).toDouble)
+            },
+            isolationWindowCenter = center)
+        }
+      }
+    MzXMLWriter.write(path, comps.toSeq)
+    comps.length
+  }
+}

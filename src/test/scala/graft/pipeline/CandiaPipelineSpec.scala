@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end smoke over the reference's toy experiment (SURVEY §7.2):
+  * 2 mzML scans → adjust → slice → tensorize → PARAFAC → select →
+  * mzXML export. F range and iterations are reduced vs the reference
+  * toy config (F∈[10,14], 5000 iters) to keep CI fast — the numerics
+  * at full settings are covered by NNParafacSpec's golden test. */
+class CandiaPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val scanDir = "/root/reference/test/test_experiment/samples/scans_mzml"
+  private val files = Seq(s"$scanDir/scan1.mzML", s"$scanDir/scan2.mzML")
+  private def haveToyData = new java.io.File(files.head).isFile
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("candia-e2e")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("toy experiment runs end-to-end through selection and export") {
+    assume(haveToyData)
+    import spark.implicits._
+    val config = CandiaConfig(
+      minScanIntensity = 1.0, windowSizeSec = 60.0, massTolPpm = 40.0,
+      parafacMinComp = 2, parafacMaxComp = 3, parafacMaxIter = 60)
+    val result = CandiaPipeline.run(spark, files, config)
+
+    // stage 1-3: both samples present, both MS levels, 2 adjusted swaths
+    val peaks = result.peaks.persist()
+    peaks.map(_.file).distinct().count() shouldBe 2
+    peaks.map(_.level).distinct().collect().sorted shouldBe Array(1, 2)
+    val swaths = peaks.map(p => f"${p.swath_lower_adjusted}%.2f")
+      .distinct().collect().sorted
+    swaths should have length 2
+    // toy SWATHs start at 623 and ~639.5 (midpoint-adjusted boundary)
+    swaths.head shouldBe "623.00"
+
+    // stage 4: one tensor per (swath, rt_window), 2 samples each
+    val tensors = result.tensors.collect()
+    tensors.length should be >= 1
+    tensors.foreach { t =>
+      t.n_samples shouldBe 2
+      t.n_cycles should be >= 3
+      t.n_mz should be >= 3
+      t.data.length shouldBe t.n_samples * t.n_cycles * t.n_mz
+    }
+
+    // stage 5: one model per (slice, F); R^2 in (0, 1]
+    val models = result.models.collect()
+    models.length shouldBe tensors.length * 2
+    models.foreach { m =>
+      m.rsq should be > 0.0
+      m.rsq should be <= 1.0
+      m.iterations should be > 0
+    }
+
+    // stage 6-8: selection returns at least one best model per slice
+    // with any unimodal component
+    val best = result.bestModels.collect()
+    best.length should be >= 0 // may legitimately be empty on tiny F range
+    if (best.nonEmpty) {
+      // stage 9 prep: export writes a well-formed indexed mzXML
+      val out = Files.createTempFile("graft-e2e", ".mzXML").toString
+      val n = CandiaPipeline.exportBestSpectra(spark, result, out)
+      val content = new String(Files.readAllBytes(Paths.get(out)), "ISO-8859-1")
+      content should include(s"""<msRun scanCount="$n">""")
+      content should include("<indexOffset>")
+      Files.delete(Paths.get(out))
+    }
+    peaks.unpersist()
+  }
+}
