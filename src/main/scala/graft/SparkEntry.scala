@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Multimodal,
     operators.SpectralExtras,
+    operators.ScaleOps,
     ms.MsPipeline,
     streaming.EventStreams,
     functions.Scalars,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Skew-management patterns for heavy-key workloads (the 100 TB
+  * survival kit; complements AQE's runtime skew handling with explicit
+  * plan-level shapes).
+  *
+  *  - salted aggregation: a two-phase aggregate for pathological key
+  *    skew — phase 1 fans each hot key across 16 salted sub-keys
+  *    (shuffle is uniform by construction), phase 2 merges the 16
+  *    partials per key. Results are identical to the direct aggregate
+  *    (sums/counts/min/max are associative), which is exactly what the
+  *    oracle checks.
+  *  - salted broadcast-replicated join: the skewed fact side gets a
+  *    random-free deterministic salt; the small dimension is exploded
+  *    ×16 so every salted fact row still finds its match. The dimension
+  *    stays broadcast — no fact shuffle at all.
+  *
+  * `events.event_type` has only 5 distinct values — every row lands in
+  * 5 reducers in the naive plan, the textbook hot-key case.
+  */
+object ScaleOps extends QueryPack {
+
+  private val Salts = 16
+
+  val queries: Map[String, GraftQuery] = Map(
+
+    // -------------------------------------------------- salted aggregation
+    "q_scale_salted_agg" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), round(sum(col("sv")), 4).as("sum_value"),
+            round(min(col("mn")), 2).as("min_value"),
+            round(max(col("mx")), 2).as("max_value"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------- salted dimension-replicated join
+    "q_scale_salted_join" -> GraftQuery(
+      run = (s, d) => {
+        val dim = Tables.events(s, d)
+          .groupBy(col("event_type")).agg(avg(col("value")).as("type_avg"))
+          .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+        Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(Salts)).cast("int"))
+          .join(broadcast(dim), Seq("event_type", "salt"))
+          .filter(col("value") > col("type_avg"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_above"),
+            round(avg(col("value") - col("type_avg")), 4).as("avg_excess"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT event_type, avg(value) AS type_avg
+                     FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_above,
+               round(avg(e.value - dim.type_avg), 4) AS avg_excess
+        FROM events e JOIN dim ON e.event_type = dim.event_type
+        WHERE e.value > dim.type_avg
+        GROUP BY e.event_type ORDER BY e.event_type"""))
+  )
+}
