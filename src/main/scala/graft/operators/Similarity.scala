@@ -29,15 +29,18 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryPack {
 
   /** Vectors cast to double with their L2 norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x*x))"))
+  }
 
-  private val cosExpr =
-    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x*y), 0D, (a, x) -> a + x)") /
-      (col("q.nrm") * col("c.nrm"))
+  /** Native codegen'd cosine (graft.functions.CosineSim) — bit-identical
+    * to the composable aggregate(zip_with(...)) fold, minus the
+    * interpreted per-element lambdas. */
+  private val cosExpr = expr("graft_cosine(q.v, c.v)")
 
   private val unnestCte = """
     u AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
