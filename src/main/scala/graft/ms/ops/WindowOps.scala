@@ -72,4 +72,17 @@ object WindowOps {
       .partitionBy("swath_key", "rt_window")
       .mode("overwrite")
       .parquet(path)
+
+  /** Matching source: partition-type inference is disabled so swath_key
+    * stays the reference's 2-dp STRING key ("440.00", not 440.0 —
+    * the string form IS the identity, split_csv_maps_to_slices.py:81-84);
+    * rt_window is cast back to int. Slice-key filters prune partitions. */
+  def readSlices(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // partition schema resolves eagerly here
+    try spark.read.parquet(path)
+      .withColumn("rt_window", col("rt_window").cast("int"))
+    finally spark.conf.set(key, prev)
+  }
 }
