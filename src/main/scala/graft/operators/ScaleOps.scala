@@ -68,6 +68,30 @@ object ScaleOps extends QueryPack {
                round(avg(e.value - dim.type_avg), 4) AS avg_excess
         FROM events e JOIN dim ON e.event_type = dim.event_type
         WHERE e.value > dim.type_avg
-        GROUP BY e.event_type ORDER BY e.event_type"""))
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    // ----------------------------------------------- sketched distinct count
+    // HLL++ distinct counting — the constant-memory path for cardinality
+    // at 100 TB (exact distinct shuffles every key). The oracle checks
+    // the exact count and that the sketch landed within its error bound;
+    // at this cardinality (≤ a few hundred users per type) HLL++ is
+    // exact in both engines, so the flag is deterministic.
+    "q_scale_approx_distinct" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), rsd = 0.05)
+              .as("approx_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users") * 0.1).cast("int").as("within_10pct"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               CAST(abs(approx_count_distinct(user_id)
+                        - count(DISTINCT user_id))
+                    <= count(DISTINCT user_id) * 0.1 AS INT) AS within_10pct
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

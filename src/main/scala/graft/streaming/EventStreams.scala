@@ -77,6 +77,32 @@ object EventStreams extends QueryPack {
     UserSessions(n, e, last, cur, lon)
   }
 
+  /** The sessionization stream: parquet file source → per-user
+    * mapGroupsWithState. Public so specs can drive it across multiple
+    * micro-batches (maxFilesPerTrigger) to exercise the state carry. */
+  def sessionizeStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    var reader = s.readStream.schema(eventSchema)
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event], state: GroupState[UserSessions]) =>
+          val st = advance(state.getOption.getOrElse(emptySessions),
+            events.map(_.ts).toSeq.sorted)
+          state.update(st)
+          (user, st.n_sessions, st.n_events, st.longest_session)
+      }
+      .toDF("user_id", "n_sessions", "n_events", "longest_session")
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ---------------------------- tumbling event-time window with watermark
@@ -109,20 +135,7 @@ object EventStreams extends QueryPack {
     // event-time gap opens a new session.
     "q_stream_sessionize" -> GraftQuery(
       run = (s, d) => {
-        import s.implicits._
-        val sessions = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .as[Event]
-          .groupByKey(_.user_id)
-          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-            (user: Long, events: Iterator[Event], state: GroupState[UserSessions]) =>
-              val st = advance(state.getOption.getOrElse(emptySessions),
-                events.map(_.ts).toSeq.sorted)
-              state.update(st)
-              (user, st.n_sessions, st.n_events, st.longest_session)
-          }
-          .toDF("user_id", "n_sessions", "n_events", "longest_session")
+        val sessions = sessionizeStream(s, d, Some("events.parquet"))
         runToMemory(s, sessions, "graft_stream_sessions", OutputMode.Update())
           .orderBy("user_id")
       },
