@@ -112,15 +112,28 @@ object Multimodal extends QueryPack {
         ORDER BY doc_id, frame_idx""")),
 
     // ------------------------------------------------------- resize (pooling)
-    // Average-pool 128 bytes → 32 buckets of 4 ("thumbnail").
+    // Average-pool 128 bytes → 32 buckets of 4 ("thumbnail"). Typed
+    // kernel: one JIT loop over the byte array beats 128 hex/conv
+    // expressions per row.
     "q_mm_resize_pool" -> GraftQuery(
-      run = (s, d) =>
-        synth(s, d).select(col("doc_id"),
-          expr(s"""concat_ws(',', transform(sequence(0, 31), i ->
-              (${byteAt("blob", "1 + 4*i")} + ${byteAt("blob", "2 + 4*i")} +
-               ${byteAt("blob", "3 + 4*i")} + ${byteAt("blob", "4 + 4*i")})
-              div 4))""").as("pooled"))
-          .orderBy("doc_id"),
+      run = (s, d) => {
+        import s.implicits._
+        synth(s, d).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            val sb = new StringBuilder
+            var i = 0
+            while (i < 32) {
+              val v = ((b(4 * i) & 0xff) + (b(4 * i + 1) & 0xff) +
+                (b(4 * i + 2) & 0xff) + (b(4 * i + 3) & 0xff)) / 4
+              if (i > 0) sb += ','
+              sb.append(v)
+              i += 1
+            }
+            (id, sb.toString)
+          }
+          .toDF("doc_id", "pooled")
+          .orderBy("doc_id")
+      },
       oracle = Some(s"""
         WITH $synthCte
         SELECT doc_id,
