@@ -80,17 +80,23 @@ object SpectralExtras extends QueryPack {
     // ------------------------------------------------ nearest-value (as-of)
     "q_join_asof" -> GraftQuery(
       run = (s, d) => {
+        // argmin as min(struct(diff, key)) — a partial-aggregable hash
+        // aggregate (map-side combine), NOT a row_number window, which
+        // would full-sort the |sup|×|cust| pair stream. Lexicographic
+        // struct order == ORDER BY diff, custkey, so tie-breaks match
+        // the oracle exactly.
         val sup = Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_acctbal"))
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_acctbal"))
-        val w = Window.partitionBy("s_suppkey")
-          .orderBy(abs(col("s_acctbal") - col("c_acctbal")), col("c_custkey"))
         broadcast(sup).join(cust)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("s_suppkey"), col("c_custkey").as("nearest_cust"),
-            round(abs(col("s_acctbal") - col("c_acctbal")), 2).as("diff"))
+          .select(col("s_suppkey"),
+            struct(abs(col("s_acctbal") - col("c_acctbal")).as("diff"),
+              col("c_custkey").as("cust")).as("p"))
+          .groupBy("s_suppkey")
+          .agg(min(col("p")).as("best"))
+          .select(col("s_suppkey"), col("best.cust").as("nearest_cust"),
+            round(col("best.diff"), 2).as("diff"))
           .orderBy("s_suppkey")
       },
       oracle = Some("""
