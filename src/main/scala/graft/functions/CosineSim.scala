@@ -81,10 +81,26 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Session registration for the engine's native expressions. */
 object GraftFunctions {
-  /** Idempotently register `graft_cosine(a, b)` with the session. */
+  /** Idempotently register `graft_cosine(a, b)` with the session
+    * (imperative path for sessions built without extensions). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (children: Seq[Expression]) => CosineSim(children(0), children(1)),
       "built-in")
+}
+
+/** The canonical injection point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every session — including
+  * thrift/connect ones the engine never touches imperatively — gets the
+  * native functions. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
 }

@@ -46,6 +46,20 @@ class CosineSimSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     cs(2) shouldBe -1.0 +- 1e-12
   }
 
+  test("registers through SparkSessionExtensions") {
+    val s2 = SparkSession.builder()
+      .master("local[1]").appName("ext-spec")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // no s2.stop(): it shares the SparkContext with the suite session
+    import s2.implicits._
+    val c = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c")
+      .collect().head.getDouble(0)
+    c shouldBe 1.0 +- 1e-12
+  }
+
   test("participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     import spark.implicits._
