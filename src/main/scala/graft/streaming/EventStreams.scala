@@ -130,6 +130,31 @@ object EventStreams extends QueryPack {
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ------------------------------------ streaming dedup (keyed state)
+    // Each event is duplicated in-stream (explode×2), then
+    // dropDuplicates on the key removes the copies with per-key state —
+    // the streaming form of exact dedup (watermark bounds the state at
+    // scale; here the single AvailableNow batch keeps it exact).
+    "q_stream_dedup" -> GraftQuery(
+      run = (s, d) => {
+        val deduped = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("copy", explode(array(lit(1), lit(2))))
+          .withWatermark("event_time", "10 minutes")
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"),
+            round(sum(col("value")), 4).as("sum_value"))
+        runToMemory(s, deduped, "graft_stream_dedup", OutputMode.Update())
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_unique,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute
     // event-time gap opens a new session.
