@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run output goes straight to stdout (no [info] prefix) so the
+// bench/verify JSON lines stay machine-parseable.
+run / outputStrategy := Some(sbt.StdoutOutput)

@@ -134,6 +134,8 @@ object NNParafac {
     var converged = false
 
     while (iteration < nIterMax && !converged) {
+      // unclipped mode-2 numerator U2·KR(A,B) — reused for the error
+      var num2: DenseMatrix[Double] = null
       var mode = 0
       while (mode < 3) {
         val others = Seq(0, 1, 2).filterNot(_ == mode)
@@ -144,6 +146,7 @@ object NNParafac {
         // KR over other modes in ascending order (matches unfold layout)
         val kr = khatriRao(factors(others.head), factors(others.last))
         val numerator = unfolds(mode) * kr
+        if (mode == 2) num2 = numerator.copy
         clipInPlace(numerator, Epsilon)
         val denominator = factors(mode) * v
         clipInPlace(denominator, Epsilon)
@@ -151,9 +154,19 @@ object NNParafac {
         mode += 1
       }
 
-      // rec error on the mode-0 unfolding: ‖U0 − A·KR(B,C)ᵀ‖ / ‖X‖
-      val approx = factors(0) * khatriRao(factors(1), factors(2)).t
-      recError = frobenius(unfolds(0) - approx) / normX
+      // rec error ‖X − X̂‖/‖X‖ without materializing X̂ (same quantity the
+      // reference computes explicitly):
+      //   ‖X̂‖²   = Σ (AᵀA ∘ BᵀB ∘ CᵀC)
+      //   ⟨X,X̂⟩ = Σ (U2·KR(A,B) ∘ C)   — num2 doesn't involve C, so it
+      //            is exact for the post-update C; this removes the
+      //            dominant S×(T·M)×F gemm + subtraction per iteration
+      val ata = factors(0).t * factors(0)
+      val btb = factors(1).t * factors(1)
+      val ctc = factors(2).t * factors(2)
+      val normApproxSq = sum(ata *:* btb *:* ctc)
+      val inner = sum(num2 *:* factors(2))
+      val errSq = normX * normX - 2.0 * inner + normApproxSq
+      recError = math.sqrt(math.max(errSq, 0.0)) / normX
 
       if (iteration > 1 && math.abs(prevErr - recError) < tol) converged = true
       prevErr = recError
