@@ -30,6 +30,26 @@ object Aggregates extends QueryPack {
 
   val queries: Map[String, GraftQuery] = Map(
     // TPC-H Q1-shaped rollup: group on two low-cardinality flags.
+    // Round-key rollup: round-mz+sum / round-rt+mean (msproc.py:634-657) —
+    // grouping on rounded continuous values collapses near-identical
+    // readings before the shuffle.
+    "q_agg_round_rollup" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(
+            round(col("l_extendedprice"), -2).as("price_bucket"),
+            round(col("l_discount"), 1).as("disc_bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("price_bucket", "disc_bucket"),
+      oracle = Some("""
+        SELECT round(l_extendedprice, -2) AS price_bucket,
+               round(l_discount, 1) AS disc_bucket,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY round(l_extendedprice, -2), round(l_discount, 1)
+        ORDER BY price_bucket, disc_bucket""")),
+
     "q_agg_pricing_summary" -> GraftQuery(
       run = (s, d) =>
         Tables.lineitem(s, d)
