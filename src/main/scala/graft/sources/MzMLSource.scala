@@ -74,11 +74,14 @@ object MzMLSource {
       inf.setInput(bytes)
       val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
       val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
+      var truncated = false
+      while (!inf.finished() && !truncated) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) inf.end()
         out.write(buf, 0, n)
+        // truncated/corrupt payload: stop instead of spinning
+        if (n == 0 && inf.needsInput()) truncated = true
       }
+      inf.end()
       bytes = out.toByteArray
     }
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

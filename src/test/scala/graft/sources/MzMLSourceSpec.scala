@@ -81,6 +81,60 @@ class MzMLSourceSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     all.unpersist(); filtered.unpersist()
   }
 
+  test("parses zlib-compressed binary arrays") {
+    // synthesize a minimal mzML with a zlib 64-bit m/z array and an
+    // uncompressed 32-bit intensity array
+    def b64z(doubles: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(doubles.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      doubles.foreach(bb.putDouble)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(bb.array()); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    def b64f(floats: Array[Float]): String = {
+      val bb = java.nio.ByteBuffer.allocate(floats.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      floats.foreach(bb.putFloat)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val xml =
+      s"""<?xml version="1.0" encoding="ISO-8859-1"?>
+         |<mzML xmlns="http://psi.hupo.org/ms/mzml">
+         |<run><spectrumList count="1">
+         |<spectrum index="0" defaultArrayLength="2">
+         |<cvParam accession="MS:1000511" name="ms level" value="1"/>
+         |<scanList count="1"><scan>
+         |<cvParam accession="MS:1000016" name="scan start time" value="2.0" unitName="minute"/>
+         |</scan></scanList>
+         |<binaryDataArrayList count="2">
+         |<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>
+         |<cvParam accession="MS:1000523" name="64-bit float"/>
+         |<cvParam accession="MS:1000574" name="zlib compression"/>
+         |<binary>${b64z(Array(450.25, 451.5))}</binary></binaryDataArray>
+         |<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>
+         |<cvParam accession="MS:1000521" name="32-bit float"/>
+         |<binary>${b64f(Array(10.0f, 20.0f))}</binary></binaryDataArray>
+         |</binaryDataArrayList></spectrum></spectrumList></run></mzML>
+         |""".stripMargin
+    val tmp = java.nio.file.Files.createTempFile("graft", ".mzML")
+    java.nio.file.Files.write(tmp, xml.getBytes("ISO-8859-1"))
+    val peaks = MzMLSource
+      .parseFile(tmp.toString, Array((400.0, 500.0)), 0.0).toSeq
+    peaks should have length 2
+    peaks.map(_.mz) shouldBe Seq(450.25, 451.5)
+    peaks.map(_.intensity) shouldBe Seq(10.0, 20.0)
+    // minute unit → seconds
+    peaks.head.rt shouldBe 120.0
+    // MS1: prec_mz == mz, tagged into the supplied window
+    peaks.head.prec_mz shouldBe 450.25
+    peaks.head.prec_isolation_window_start shouldBe 400.0
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("round-half-even matches numpy semantics") {
     MzMLSource.roundHalfEven(0.5, 0) shouldBe 0.0
     MzMLSource.roundHalfEven(1.5, 0) shouldBe 2.0
