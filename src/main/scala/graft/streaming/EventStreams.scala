@@ -130,6 +130,38 @@ object EventStreams extends QueryPack {
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // --------------------------- stream-stream join (time-range condition)
+    // clicks ⋈ errors per user within a 10-minute event-time range;
+    // inner joins emit eagerly on match, watermarks bound both sides'
+    // state — the canonical correlated-streams shape.
+    "q_stream_join" -> GraftQuery(
+      run = (s, d) => {
+        def side(tpe: String, alias: String) =
+          s.readStream.schema(eventSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .filter(col("event_type") === tpe)
+            .withColumn(s"${alias}_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark(s"${alias}_time", "10 minutes")
+            .select(col("user_id").as(s"${alias}_user"),
+              col("event_id").as(s"${alias}_id"), col(s"${alias}_time"))
+        val joined = side("click", "c").join(side("error", "e"),
+          col("c_user") === col("e_user") &&
+            col("e_time") >= col("c_time") &&
+            col("e_time") <= col("c_time") + expr("INTERVAL 10 MINUTES"))
+          .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+            col("e_id").as("error_id"))
+        runToMemory(s, joined, "graft_stream_join", OutputMode.Append())
+          .orderBy("user_id", "click_id", "error_id")
+      },
+      oracle = Some("""
+        SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        ORDER BY c.user_id, click_id, error_id""")),
+
     // ------------------------------------ streaming dedup (keyed state)
     // Each event is duplicated in-stream (explode×2), then
     // dropDuplicates on the key removes the copies with per-key state —
