@@ -287,6 +287,76 @@ object Dedup extends QueryPack {
         SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
         ORDER BY d1, d2""")),
 
+    // ------------------------------------------------ near-dup clustering
+    // Connected components over the shingle-Jaccard pair graph by
+    // iterative min-label propagation; canonical doc = component min.
+    // Each iteration is one broadcast join over the (tiny) edge set; the
+    // loop runs to fixpoint, bounded by component diameter — the
+    // standard large-graph CC shape (at 100 TB the edge join shuffles
+    // by label instead of broadcasting, same loop).
+    "q_dedup_cluster" -> GraftQuery(
+      run = (s, d) => {
+        val sh = shingles(s, d)
+        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        import s.implicits._
+        val pairs = sh.as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroups { (_, it) =>
+            val ids = it.map(_._1).toArray.sorted
+            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+              yield (ids(i), ids(j))
+          }
+          .toDF("d1", "d2")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+          .join(ns.as("na"), col("na.doc_id") === col("d1"))
+          .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+          .filter(col("c").cast("double") /
+            (col("na.nsh") + col("nb.nsh") - col("c")) >= 0.5)
+          .select(col("d1"), col("d2"))
+          .persist()
+        val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+          .persist()
+        var labels = edgeDf.select(col("src").as("doc_id")).distinct()
+          .withColumn("canonical_id", col("doc_id"))
+        var changed = true
+        while (changed) {
+          val next = labels
+            .join(edgeDf, col("doc_id") === col("src"))
+            .select(col("dst").as("doc_id"), col("canonical_id"))
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(min(col("canonical_id")).as("canonical_id"))
+          next.persist()
+          changed = next.as("n")
+            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+            .filter(col("n.canonical_id") =!= col("o.canonical_id"))
+            .limit(1).count() > 0
+          labels = next
+        }
+        labels.orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $shinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shingles a JOIN shingles b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM common
+          JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+          WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        walk(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst)
+        SELECT src AS doc_id, min(dst) AS canonical_id
+        FROM walk GROUP BY src ORDER BY doc_id""")),
+
     // ---------------------------------------------- embedding-cosine near-dup
     // Exact all-pairs cosine via the block-matrix similarity join: vectors
     // pack into ~1024-row blocks, the (tiny) block Dataset self-joins on
