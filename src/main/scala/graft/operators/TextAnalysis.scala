@@ -153,6 +153,60 @@ object TextAnalysis extends QueryPack {
                          ELSE 'fr' END = lang AS INT) AS is_match
         FROM h ORDER BY doc_id""")),
 
+    // -------------------------------------- bigram LM quality (perplexity)
+    // Two-pass corpus-trained scorer, the KenLM-filter pattern: pass 1
+    // counts word bigrams over the whole corpus (the canonical
+    // LM-training shuffle — partial-aggregated bigram keys); pass 2
+    // scores each doc by its mean add-1-smoothed log-likelihood. Low
+    // scores = surprising/garbled docs.
+    "q_text_lm_score" -> GraftQuery(
+      run = (s, d) => {
+        val bg = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .withColumn("bgs",
+            when(size(col("ws")) >= 2,
+              expr("transform(sequence(0, size(ws)-2), " +
+                "i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+              .otherwise(expr(
+                "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .select(col("doc_id"), explode(col("bgs")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val cnt1 = cnt2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+        val vocab = bg.select(col("w1").as("w"))
+          .unionByName(bg.select(col("w2").as("w")))
+          .agg(countDistinct(col("w")).as("v"))
+        bg.join(cnt2, Seq("w1", "w2"))
+          .join(cnt1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            log((col("c2") + 1.0) / (col("c1") + col("v"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("lp")), 4).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i FROM t))
+          WHERE w2 IS NOT NULL),
+        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY w1),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM (
+          SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS avg_logprob
+        FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------ document fingerprinting
     // Rolling polynomial hash over word-hash 3-grams (winnowing-style).
     "q_text_fingerprint" -> GraftQuery(
