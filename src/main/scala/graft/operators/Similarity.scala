@@ -158,16 +158,33 @@ object Similarity extends QueryPack {
     // → 8-bit bucket; rank bucket-mates of each query by exact cosine.
     "q_sim_lsh_bucket" -> GraftQuery(
       run = (s, d) => {
-        // plane j, dim i: +1 if lowest bit of md5h("j_i") set else -1
-        val planeSign = (j: Int) =>
-          s"""transform(sequence(0, 63), i ->
-              CASE WHEN CAST(conv(substr(md5(concat('$j', '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
-                   THEN 1D ELSE -1D END)"""
-        val sigBits = (0 until 8).map { j =>
-          expr(s"CASE WHEN aggregate(zip_with(v, ${planeSign(j)}, (x, p) -> x*p), 0D, (a, x) -> a + x) > 0 THEN ${1 << j} ELSE 0 END")
+        import s.implicits._
+        // plane j, dim i: +1 if lowest bit of md5("j_i")'s leading word
+        // is 0 else -1 — precomputed ONCE here (the expression form
+        // re-derived 8×64 md5s per row, interpreted)
+        val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, i) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val dg = md.digest(s"${j}_$i".getBytes("UTF-8"))
+          val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+            ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+          if (h % 2 == 0) 1.0 else -1.0
         }
-        val bucketed = vecs(s, d)
-          .withColumn("bucket", sigBits.reduce(_ + _))
+        val bucketed = vecs(s, d).as[(Long, Int, Array[Double], Double)]
+          .mapPartitions(_.map { case (id, label, v, nrm) =>
+            var bucket = 0
+            var j = 0
+            while (j < 8) {
+              var dot = 0.0
+              var i = 0
+              val p = planes(j)
+              val n = math.min(v.length, 64)
+              while (i < n) { dot += v(i) * p(i); i += 1 }
+              if (dot > 0) bucket |= 1 << j
+              j += 1
+            }
+            (id, label, v, nrm, bucket)
+          })
+          .toDF("vec_id", "label", "v", "nrm", "bucket")
         val q = broadcast(bucketed.filter(col("vec_id") < 10))
         q.as("q").join(bucketed.as("c"),
             col("q.bucket") === col("c.bucket") &&

@@ -161,20 +161,23 @@ object TextAnalysis extends QueryPack {
     // scores = surprising/garbled docs.
     "q_text_lm_score" -> GraftQuery(
       run = (s, d) => {
+        import s.implicits._
+        // bigram extraction as a typed kernel (JIT'd flatMap) — the
+        // struct-building higher-order expression runs interpreted and
+        // dominated this query's profile
         val bg = Tables.documents(s, d)
-          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
-          .withColumn("bgs",
-            when(size(col("ws")) >= 2,
-              expr("transform(sequence(0, size(ws)-2), " +
-                "i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
-              .otherwise(expr(
-                "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
-          .select(col("doc_id"), explode(col("bgs")).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val ws = text.split(" ").filter(_.nonEmpty)
+            (0 until ws.length - 1).iterator.map(i => (id, ws(i), ws(i + 1)))
+          })
+          .toDF("doc_id", "w1", "w2")
+          .persist() // feeds the counts pass AND the scoring join
+        val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).persist()
         val cnt1 = cnt2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-        val vocab = bg.select(col("w1").as("w"))
-          .unionByName(bg.select(col("w2").as("w")))
+        // vocab from the (small) count table — same distinct set as bg
+        val vocab = cnt2.select(col("w1").as("w"))
+          .unionByName(cnt2.select(col("w2").as("w")))
           .agg(countDistinct(col("w")).as("v"))
         bg.join(cnt2, Seq("w1", "w2"))
           .join(cnt1, Seq("w1"))
