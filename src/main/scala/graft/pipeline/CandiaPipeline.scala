@@ -60,13 +60,38 @@ object CandiaPipeline {
       .as[AdjustedPeak]
   }
 
-  /** Stages 1–8: mzML files → models + best-model selection. */
+  /** Persist the sliced peak table to its partitioned layout and read it
+    * back — the durable stage-3/4 boundary (the reference's slice
+    * directories): downstream stages resume from disk and partition
+    * pruning serves per-slice reads. */
+  def checkpointSlices(
+      spark: SparkSession,
+      peaks: Dataset[AdjustedPeak],
+      path: String): Dataset[AdjustedPeak] = {
+    import spark.implicits._
+    WindowOps.writeSlices(WindowOps.withSwathKey(peaks.toDF()), path)
+    WindowOps.readSlices(spark, path)
+      .select(col("file"), col("spectrum_index"), col("level"),
+        col("rt"), col("mz"), col("intensity"), col("prec_mz"),
+        col("swath_lower_adjusted"), col("swath_upper_adjusted"),
+        col("rt_window"))
+      .as[AdjustedPeak]
+  }
+
+  /** Stages 1–8: mzML files → models + best-model selection. Passing
+    * `slicesPath` routes the peak table through the partitioned on-disk
+    * slice layout between stages 3 and 4. */
   def run(
       spark: SparkSession,
       mzmlFiles: Seq[String],
-      config: CandiaConfig = CandiaConfig()): CandiaResult = {
+      config: CandiaConfig = CandiaConfig(),
+      slicesPath: Option[String] = None): CandiaResult = {
     import spark.implicits._
-    val peaks = ingest(spark, mzmlFiles, config)
+    val ingested = ingest(spark, mzmlFiles, config)
+    val peaks = slicesPath match {
+      case Some(p) => checkpointSlices(spark, ingested, p)
+      case None => ingested
+    }
     val tensors = TensorizeOp.tensorize(spark, peaks, config.massTolPpm)
       .persist()
     val models = Decomposer.run(spark, tensors,

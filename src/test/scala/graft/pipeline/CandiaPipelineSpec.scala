@@ -25,6 +25,23 @@ class CandiaPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAl
 
   override def afterAll(): Unit = spark.stop()
 
+  test("slice checkpoint round-trips the peak table losslessly") {
+    assume(haveToyData)
+    import spark.implicits._
+    val config = CandiaConfig(parafacMinComp = 2, parafacMaxComp = 2)
+    val direct = CandiaPipeline.ingest(spark, files, config).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val viaDisk = CandiaPipeline.checkpointSlices(spark, direct, dir)
+    viaDisk.count() shouldBe direct.count()
+    // identical multisets of rows (sorted comparison over a projection)
+    val key = (p: graft.ms.AdjustedPeak) =>
+      (p.file, p.spectrum_index, p.mz, p.intensity, p.rt_window)
+    viaDisk.collect().map(key).sorted shouldBe
+      direct.collect().map(key).sorted
+    direct.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("toy experiment runs end-to-end through selection and export") {
     assume(haveToyData)
     import spark.implicits._
