@@ -227,6 +227,112 @@ object Similarity extends QueryPack {
           FROM dots JOIN nrm na ON na.vec_id = q_id
                     JOIN nrm nb ON nb.vec_id = n_id)
         SELECT q_id, bucket, rank, n_id, round(cosine, 4) AS cosine
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ----------------------------------------------- measured ANN recall
+    // Recall@3 of the IVF and LSH tiers against the brute-force ground
+    // truth — ANN quality is measured, not assumed. Composes the three
+    // sibling pipelines (resolved lazily from the registry at run time).
+    // On this synthetic corpus the numbers are intentionally honest and
+    // low: the vectors are near-orthogonal random draws (max pairwise
+    // cosine ≈ 0.5), so "nearest neighbors" are noise and single-probe
+    // partitions can't recover them. On clustered real embeddings the
+    // same pipelines recover structure; the tuning knobs are nprobe > 1
+    // (IVF) and more/multi-probed hyperplanes (LSH).
+    "q_sim_recall" -> GraftQuery(
+      run = (s, d) => {
+        val b = queries("q_sim_knn_brute").run(s, d)
+          .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+        val l = queries("q_sim_lsh_bucket").run(s, d)
+          .select(col("q_id"), col("n_id"))
+        val i = queries("q_sim_ivf_topk").run(s, d)
+          .select(col("q_id"), col("n_id"))
+        val base = b.groupBy("q_id").agg(count(lit(1)).as("brute_k"))
+        val lh = b.join(l, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("lsh_hits"))
+        val ih = b.join(i, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("ivf_hits"))
+        base.join(lh, Seq("q_id"), "left").join(ih, Seq("q_id"), "left")
+          .select(col("q_id"), col("brute_k"),
+            coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+            coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        bdots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        btop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM bdots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        cent AS (SELECT label AS c_label, i, avg(x) AS cx
+                 FROM u GROUP BY label, i),
+        centnrm AS (SELECT c_label, sqrt(sum(cx*cx)) AS c_nrm
+                    FROM cent GROUP BY c_label),
+        assign AS (
+          SELECT q_id, c_label AS probe_label FROM (
+            SELECT a.vec_id AS q_id, cent.c_label,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY sum(a.x*cent.cx)/(min(na.nrm)*min(cn.c_nrm)) DESC,
+                              cent.c_label) AS crank
+            FROM u a JOIN cent ON a.i = cent.i
+                     JOIN nrm na ON na.vec_id = a.vec_id
+                     JOIN centnrm cn ON cn.c_label = cent.c_label
+            WHERE a.vec_id < 10
+            GROUP BY a.vec_id, cent.c_label)
+          WHERE crank = 1),
+        idots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                  FROM u a JOIN assign ON assign.q_id = a.vec_id
+                           JOIN u b ON b.i = a.i AND b.label = assign.probe_label
+                                       AND b.vec_id <> a.vec_id
+                  GROUP BY 1, 2),
+        itop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM idots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        planes AS (SELECT j, i,
+                          CASE WHEN ('0x'||substr(md5(j::VARCHAR || '_' || i::VARCHAR),1,8))::BIGINT % 2 = 0
+                               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS p
+                   FROM generate_series(0,7) tj(j), generate_series(0,63) ti(i)),
+        sig AS (SELECT vec_id,
+                       sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS bucket
+                FROM (SELECT u.vec_id AS vec_id, planes.j AS j,
+                             sum(u.x * planes.p) AS s
+                      FROM u JOIN planes ON planes.i = u.i - 1
+                      GROUP BY u.vec_id, planes.j)
+                GROUP BY vec_id),
+        ldots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                  FROM u a JOIN sig sa ON sa.vec_id = a.vec_id
+                           JOIN sig sb ON sb.bucket = sa.bucket
+                           JOIN u b ON b.vec_id = sb.vec_id AND b.i = a.i
+                                       AND b.vec_id <> a.vec_id
+                  WHERE a.vec_id < 10
+                  GROUP BY 1, 2),
+        ltop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM ldots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        base AS (SELECT q_id, count(*) AS brute_k FROM btop GROUP BY q_id),
+        lh AS (SELECT b.q_id AS q_id, count(*) AS lsh_hits FROM btop b
+               JOIN ltop l ON l.q_id = b.q_id AND l.n_id = b.n_id GROUP BY 1),
+        ih AS (SELECT b.q_id AS q_id, count(*) AS ivf_hits FROM btop b
+               JOIN itop i ON i.q_id = b.q_id AND i.n_id = b.n_id GROUP BY 1)
+        SELECT base.q_id, brute_k,
+               coalesce(lsh_hits, 0) AS lsh_hits,
+               coalesce(ivf_hits, 0) AS ivf_hits
+        FROM base LEFT JOIN lh ON lh.q_id = base.q_id
+                  LEFT JOIN ih ON ih.q_id = base.q_id
+        ORDER BY base.q_id"""))
   )
 }
