@@ -110,80 +110,106 @@ object MzMLSource {
     var intArr: Array[Double] = null
   }
 
-  /** Pull-parse one mzML file, invoking `sink` per complete spectrum. */
-  private def parseSpectra(path: String)(sink: Spectrum => Unit): Unit = {
+  /** Incremental pull cursor: advances the StAX reader only far enough to
+    * produce the next complete `<spectrum>` — memory stays O(one
+    * spectrum). The reader closes when the document is exhausted. */
+  private def pullSpectra(path: String): Iterator[Spectrum] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
     val r: XMLStreamReader = f.createXMLStreamReader(in)
-    try {
-      var sp: Spectrum = null
-      var curArr: BinaryArray = null
-      var inBinary = false
-      var inIsolationWindow = false
-      while (r.hasNext) {
-        r.next() match {
-          case XMLStreamConstants.START_ELEMENT =>
-            r.getLocalName match {
-              case "spectrum" =>
-                sp = new Spectrum
-                sp.index = r.getAttributeValue(null, "index").toInt
-              case "isolationWindow" => inIsolationWindow = true
-              case "binaryDataArray" =>
-                curArr = BinaryArray(isMz = false, is64 = false, zlib = false,
-                  new StringBuilder)
-              case "binary" => inBinary = curArr != null
-              case "cvParam" if sp != null =>
-                val acc = r.getAttributeValue(null, "accession")
-                val value = r.getAttributeValue(null, "value")
-                acc match {
-                  case "MS:1000511" => sp.level = value.toInt
-                  case "MS:1000016" =>
-                    sp.rt = value.toDouble
-                    sp.rtUnitMinute =
-                      r.getAttributeValue(null, "unitName") == "minute"
-                  case "MS:1000827" if inIsolationWindow =>
-                    sp.target = value.toDouble
-                  case "MS:1000828" if inIsolationWindow =>
-                    sp.lowerOff = value.toDouble
-                  case "MS:1000829" if inIsolationWindow =>
-                    sp.upperOff = value.toDouble
-                  case "MS:1000514" if curArr != null =>
-                    curArr = curArr.copy(isMz = true)
-                  case "MS:1000523" if curArr != null =>
-                    curArr = curArr.copy(is64 = true)
-                  case "MS:1000574" if curArr != null =>
-                    curArr = curArr.copy(zlib = true)
-                  case _ =>
-                }
-              case _ =>
-            }
-          case XMLStreamConstants.CHARACTERS if inBinary =>
-            curArr.b64.append(r.getText)
-          case XMLStreamConstants.END_ELEMENT =>
-            r.getLocalName match {
-              case "isolationWindow" => inIsolationWindow = false
-              case "binary" => inBinary = false
-              case "binaryDataArray" =>
-                if (curArr != null && sp != null) {
-                  val arr = decode(curArr)
-                  if (curArr.isMz) sp.mzArr = arr else sp.intArr = arr
-                }
-                curArr = null
-              case "spectrum" =>
-                if (sp != null) sink(sp)
-                sp = null
-              case _ =>
-            }
-          case _ =>
+
+    new Iterator[Spectrum] {
+      private var nextSp: Spectrum = null
+      private var done = false
+      private var sp: Spectrum = null
+      private var curArr: BinaryArray = null
+      private var inBinary = false
+      private var inIsolationWindow = false
+
+      private def close(): Unit =
+        if (!done) { done = true; r.close(); in.close() }
+
+      /** Run the cursor until one spectrum completes or EOF. */
+      private def advance(): Unit = {
+        while (nextSp == null && !done && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "spectrum" =>
+                  sp = new Spectrum
+                  sp.index = r.getAttributeValue(null, "index").toInt
+                case "isolationWindow" => inIsolationWindow = true
+                case "binaryDataArray" =>
+                  curArr = BinaryArray(isMz = false, is64 = false,
+                    zlib = false, new StringBuilder)
+                case "binary" => inBinary = curArr != null
+                case "cvParam" if sp != null =>
+                  val acc = r.getAttributeValue(null, "accession")
+                  val value = r.getAttributeValue(null, "value")
+                  acc match {
+                    case "MS:1000511" => sp.level = value.toInt
+                    case "MS:1000016" =>
+                      sp.rt = value.toDouble
+                      sp.rtUnitMinute =
+                        r.getAttributeValue(null, "unitName") == "minute"
+                    case "MS:1000827" if inIsolationWindow =>
+                      sp.target = value.toDouble
+                    case "MS:1000828" if inIsolationWindow =>
+                      sp.lowerOff = value.toDouble
+                    case "MS:1000829" if inIsolationWindow =>
+                      sp.upperOff = value.toDouble
+                    case "MS:1000514" if curArr != null =>
+                      curArr = curArr.copy(isMz = true)
+                    case "MS:1000523" if curArr != null =>
+                      curArr = curArr.copy(is64 = true)
+                    case "MS:1000574" if curArr != null =>
+                      curArr = curArr.copy(zlib = true)
+                    case _ =>
+                  }
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS if inBinary =>
+              curArr.b64.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "isolationWindow" => inIsolationWindow = false
+                case "binary" => inBinary = false
+                case "binaryDataArray" =>
+                  if (curArr != null && sp != null) {
+                    val arr = decode(curArr)
+                    if (curArr.isMz) sp.mzArr = arr else sp.intArr = arr
+                  }
+                  curArr = null
+                case "spectrum" =>
+                  nextSp = sp
+                  sp = null
+                case _ =>
+              }
+            case _ =>
+          }
         }
+        if (nextSp == null) close()
       }
-    } finally {
-      r.close()
-      in.close()
+
+      override def hasNext: Boolean = {
+        if (nextSp == null && !done) advance()
+        nextSp != null
+      }
+
+      override def next(): Spectrum = {
+        if (!hasNext) throw new NoSuchElementException(path)
+        val out = nextSp
+        nextSp = null
+        out
+      }
     }
   }
+
+  /** Pull-parse one mzML file, invoking `sink` per complete spectrum. */
+  private def parseSpectra(path: String)(sink: Spectrum => Unit): Unit =
+    pullSpectra(path).foreach(sink)
 
   /** Sample name from a path (file stem, as the reference uses). */
   private def stem(path: String): String = {
@@ -192,49 +218,70 @@ object MzMLSource {
     if (dot > 0) base.substring(0, dot) else base
   }
 
-  /** Parse one file into peak rows, tagging each row with its containing
-    * isolation window (sorted-first match) and applying the reference's
-    * parse-time filters. `windows` must be sorted by lower bound. */
+  /** Expand one parsed spectrum into peak rows (reference parse-time
+    * semantics: filters, rounding, window tagging by sorted-first match). */
+  private def spectrumPeaks(
+      sample: String,
+      sp: Spectrum,
+      windows: Array[(Double, Double)],
+      minIntensity: Double): Seq[RawPeak] = {
+    val skip = sp.rt.isNaN ||
+      (sp.level == 2 && sp.target.isNaN) ||
+      sp.mzArr == null || sp.intArr == null
+    if (skip) return Nil
+    val out = ArrayBuffer.empty[RawPeak]
+    val rtSec = roundHalfEven(if (sp.rtUnitMinute) sp.rt * 60 else sp.rt,
+      RtDigits)
+    val precMzMs2 =
+      if (sp.level == 2) roundHalfEven(sp.target, MzDigits) else Double.NaN
+    var i = 0
+    val n = math.min(sp.mzArr.length, sp.intArr.length)
+    while (i < n) {
+      val rawInt = sp.intArr(i)
+      if (!(sp.level == 2 && rawInt < minIntensity)) {
+        val mz = roundHalfEven(sp.mzArr(i), MzDigits)
+        val intensity = roundHalfEven(rawInt, IDigits)
+        val precMz = if (sp.level == 1) mz else precMzMs2
+        // first (lowest-start) window containing prec_mz
+        var w = 0
+        var hit = -1
+        while (hit < 0 && w < windows.length) {
+          if (precMz >= windows(w)._1 && precMz < windows(w)._2) hit = w
+          w += 1
+        }
+        if (hit >= 0) {
+          out += RawPeak(sample, sp.index, sp.level, rtSec, mz, intensity,
+            precMz, windows(hit)._1, windows(hit)._2)
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Parse one file into peak rows LAZILY — one spectrum is expanded at a
+    * time as the task iterator pulls, so peak memory is one spectrum's
+    * arrays, not the whole file (mzML files can be tens of GB). */
   def parseFile(
       path: String,
       windows: Array[(Double, Double)],
       minIntensity: Double): Iterator[RawPeak] = {
-    val out = ArrayBuffer.empty[RawPeak]
     val sample = stem(path)
-    parseSpectra(path) { sp =>
-      val skip = sp.rt.isNaN ||
-        (sp.level == 2 && sp.target.isNaN) ||
-        sp.mzArr == null || sp.intArr == null
-      if (!skip) {
-        val rtSec = roundHalfEven(if (sp.rtUnitMinute) sp.rt * 60 else sp.rt,
-          RtDigits)
-        val precMzMs2 =
-          if (sp.level == 2) roundHalfEven(sp.target, MzDigits) else Double.NaN
-        var i = 0
-        val n = math.min(sp.mzArr.length, sp.intArr.length)
-        while (i < n) {
-          val rawInt = sp.intArr(i)
-          if (!(sp.level == 2 && rawInt < minIntensity)) {
-            val mz = roundHalfEven(sp.mzArr(i), MzDigits)
-            val intensity = roundHalfEven(rawInt, IDigits)
-            val precMz = if (sp.level == 1) mz else precMzMs2
-            // first (lowest-start) window containing prec_mz
-            var w = 0
-            var hit = -1
-            while (hit < 0 && w < windows.length) {
-              if (precMz >= windows(w)._1 && precMz < windows(w)._2) hit = w
-              w += 1
-            }
-            if (hit >= 0) {
-              out += RawPeak(sample, sp.index, sp.level, rtSec, mz, intensity,
-                precMz, windows(hit)._1, windows(hit)._2)
-            }
-          }
-          i += 1
+    new Iterator[RawPeak] {
+      // producer runs on demand: parseSpectra is callback-driven, so run
+      // it inside a bounded hand-off executed lazily spectrum-by-spectrum
+      // via the pull parser's own incremental cursor
+      private val spectra = pullSpectra(path)
+      private var buf: Iterator[RawPeak] = Iterator.empty
+      private def advance(): Unit = {
+        while (!buf.hasNext && spectra.hasNext) {
+          buf = spectrumPeaks(sample, spectra.next(), windows,
+            minIntensity).iterator
         }
       }
+      override def hasNext: Boolean = { advance(); buf.hasNext }
+      override def next(): RawPeak = { advance(); buf.next() }
     }
-    out.iterator
   }
 
   /** Derive the isolation-window set from MS2 headers:
