@@ -47,6 +47,45 @@ object Similarity extends QueryPack {
                  generate_subscripts(embedding,1) AS i FROM embeddings),
     nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM u GROUP BY vec_id)"""
 
+
+  /** IVF search: assign each query to its `nprobe` nearest per-label
+    * centroids, scan only those inverted lists. */
+  private def ivfRun(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val all = vecs(s, d)
+    val comp = all.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("i", "x")))
+    val cent = comp.groupBy(col("label").as("c_label"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    val centNrm = cent.groupBy("c_label")
+      .agg(expr("sqrt(sum(cx*cx))").as("c_nrm"))
+    val qComp = comp.filter(col("vec_id") < 10)
+    val assign = qComp.join(cent, "i")
+      .groupBy(col("vec_id").as("q_id"), col("c_label"))
+      .agg(sum(col("x") * col("cx")).as("dot"),
+        first(col("nrm")).as("q_nrm"))
+      .join(centNrm, "c_label")
+      .withColumn("ccos", col("dot") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("ccos").desc, col("c_label"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("c_label").as("probe_label"))
+    val q = broadcast(all.filter(col("vec_id") < 10).as("q")
+      .join(assign, col("q.vec_id") === col("q_id")))
+    q.join(all.as("c"),
+        col("c.label") === col("probe_label") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"), cosExpr.as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------ brute-force cosine kNN
@@ -227,6 +266,45 @@ object Similarity extends QueryPack {
           FROM dots JOIN nrm na ON na.vec_id = q_id
                     JOIN nrm nb ON nb.vec_id = n_id)
         SELECT q_id, bucket, rank, n_id, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // -------------------------------------------- IVF multi-probe (nprobe=2)
+    // The recall knob demonstrated: probing the 2 nearest centroids'
+    // lists roughly doubles the scanned fraction and recovers strictly
+    // more of the ground truth than single-probe.
+    "q_sim_ivf_probe2" -> GraftQuery(
+      run = (s, d) => ivfRun(s, d, nprobe = 2),
+      oracle = Some(s"""
+        WITH $unnestCte,
+        cent AS (SELECT label AS c_label, i, avg(x) AS cx
+                 FROM u GROUP BY label, i),
+        centnrm AS (SELECT c_label, sqrt(sum(cx*cx)) AS c_nrm
+                    FROM cent GROUP BY c_label),
+        assign AS (
+          SELECT q_id, c_label AS probe_label FROM (
+            SELECT a.vec_id AS q_id, cent.c_label,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY sum(a.x*cent.cx)/(min(na.nrm)*min(cn.c_nrm)) DESC,
+                              cent.c_label) AS crank
+            FROM u a JOIN cent ON a.i = cent.i
+                     JOIN nrm na ON na.vec_id = a.vec_id
+                     JOIN centnrm cn ON cn.c_label = cent.c_label
+            WHERE a.vec_id < 10
+            GROUP BY a.vec_id, cent.c_label)
+          WHERE crank <= 2),
+        dots AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id,
+                        sum(a.x*b.x) AS dot
+                 FROM u a JOIN assign ON assign.q_id = a.vec_id
+                          JOIN u b ON b.i = a.i AND b.label = assign.probe_label
+                                      AND b.vec_id <> a.vec_id
+                 GROUP BY a.vec_id, b.vec_id),
+        ranked AS (
+          SELECT q_id, n_id, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ----------------------------------------------- measured ANN recall
