@@ -58,6 +58,25 @@ object WindowOps {
     peaks.withColumn("rt_window",
       floor(col("rt") / lit(windowSizeSec)).cast("int"))
 
+  /** Persist the adjusted-window table as the reference's sorted 2-column
+    * CSV (save_isolation_windows_to_csv, msproc.py:568-574) — a tiny
+    * driver-side artifact shared across stages. */
+  def writeWindowsCsv(windows: DataFrame, path: String): Unit = {
+    val rows = windows
+      .select(col("swath_lower_adjusted"), col("swath_upper_adjusted"))
+      .distinct().orderBy("swath_lower_adjusted")
+      .collect()
+      .map(r => s"${r.get(0)},${r.get(1)}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (rows.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  /** Load a windows CSV back into (lower, upper) rows. */
+  def readWindowsCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("swath_lower_adjusted DOUBLE, swath_upper_adjusted DOUBLE")
+      .csv(path)
+
   /** The slice partition key the reference encodes in directory names:
     * "%.2f" of the adjusted lower bound (split_csv_maps_to_slices.py:81-84). */
   def withSwathKey(peaks: DataFrame): DataFrame =

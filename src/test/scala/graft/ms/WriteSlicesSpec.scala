@@ -53,4 +53,19 @@ class WriteSlicesSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("windows CSV round-trips sorted distinct bounds") {
+    import spark.implicits._
+    val w = Seq((623.0, 640.0), (639.0, 656.0), (623.0, 640.0))
+      .toDF("swath_lower_adjusted", "swath_upper_adjusted")
+    val f = Files.createTempFile("graft-windows", ".csv").toString
+    WindowOps.writeWindowsCsv(w, f)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)))
+    text shouldBe "623.0,640.0\n639.0,656.0\n"
+    val back = WindowOps.readWindowsCsv(spark, f).orderBy("swath_lower_adjusted")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    back shouldBe Array((623.0, 640.0), (639.0, 656.0))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(f))
+  }
 }
