@@ -69,7 +69,8 @@ object Reconstructor {
       (0 until m).map { im =>
         val (lvl, mzv) = labels(im)
         ReconstructedPoint(model.swath_key, model.rt_window, model.ncomp,
-          cyc, f"$mzv%.4f", lvl, (map(cyc * m + im) * scale).toFloat)
+          cyc, String.format(java.util.Locale.ROOT, "%.4f", Double.box(mzv)),
+          lvl, (map(cyc * m + im) * scale).toFloat)
       }
     }
   }

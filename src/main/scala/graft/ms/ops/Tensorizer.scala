@@ -87,7 +87,8 @@ object Tensorizer {
   }
 
   def label(partitionStart: Double, level: Int): String =
-    f"$partitionStart%.4f" + "_ms" + level
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(partitionStart)) +
+      "_ms" + level
 
   /** Parse "350.1284_ms2" → (level, mz) for column ordering. */
   def parseLabel(lbl: String): (Int, Double) = {
@@ -105,11 +106,13 @@ object Tensorizer {
     val samples = rows.iterator.map(_.file).toSet.toSeq.sorted
     val sampleNo = samples.zipWithIndex.toMap
 
-    // 2. per-sample cycle binning
+    // 2. per-sample cycle binning (one grouping pass, not a per-sample
+    // rescan of the whole slice)
+    val rowsBySample = rows.groupBy(_.file)
     val binned = mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Double)]
     // (sampleNo, cycle, level, mz, intensity)
     for (sample <- samples) {
-      val sRows = rows.filter(_.file == sample)
+      val sRows = rowsBySample(sample)
       val ms1 = sRows.iterator
         .filter(_.level == 1).map(_.rt.toDouble).toSet.toIndexedSeq.sorted
       if (ms1.isEmpty) return Left(NoMs1Times)

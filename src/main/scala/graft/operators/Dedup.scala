@@ -78,6 +78,29 @@ object Dedup extends QueryPack {
                 JOIN shingles b ON b.doc_id = cand.d2 AND b.s = a.s
       GROUP BY 1, 2)"""
 
+  /** All (d1 < d2) pairs with shingle-set Jaccard ≥ `threshold`, via
+    * inverted-list pair generation (one pass over the shingle stream). */
+  private def jaccardPairs(
+      s: SparkSession, sh: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
+    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    sh.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray.sorted
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+          yield (ids(i), ids(j))
+      }
+      .toDF("d1", "d2")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(ns.as("na"), col("na.doc_id") === col("d1"))
+      .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Exact Jaccard over the shingle sets of candidate pairs (d1, d2).
     * The candidate set is small by construction (LSH output) — broadcast
     * it so the shingle stream is filtered map-side, never shuffled. */
@@ -116,28 +139,10 @@ object Dedup extends QueryPack {
     // doc pairs from each posting list, count shared shingles per pair —
     // one pass over the shingle stream instead of a 4-scan self-join.
     "q_dedup_ngram_jaccard" -> GraftQuery(
-      run = (s, d) => {
-        import s.implicits._
-        val sh = shingles(s, d)
-        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-        val common = sh.as[(Long, String)]
-          .groupByKey(_._2)
-          .flatMapGroups { (_, it) =>
-            val ids = it.map(_._1).toArray.sorted
-            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-              yield (ids(i), ids(j))
-          }
-          .toDF("d1", "d2")
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        common
-          .join(ns.as("na"), col("na.doc_id") === col("d1"))
-          .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
-          .filter(col("jaccard") >= 0.5)
+      run = (s, d) =>
+        jaccardPairs(s, shingles(s, d), 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("d1", "d2")
-      },
+          .orderBy("d1", "d2"),
       oracle = Some(s"""
         WITH $shinglesCte,
         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -296,22 +301,7 @@ object Dedup extends QueryPack {
     // by label instead of broadcasting, same loop).
     "q_dedup_cluster" -> GraftQuery(
       run = (s, d) => {
-        val sh = shingles(s, d)
-        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-        import s.implicits._
-        val pairs = sh.as[(Long, String)]
-          .groupByKey(_._2)
-          .flatMapGroups { (_, it) =>
-            val ids = it.map(_._1).toArray.sorted
-            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-              yield (ids(i), ids(j))
-          }
-          .toDF("d1", "d2")
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-          .join(ns.as("na"), col("na.doc_id") === col("d1"))
-          .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
-          .filter(col("c").cast("double") /
-            (col("na.nsh") + col("nb.nsh") - col("c")) >= 0.5)
+        val pairs = jaccardPairs(s, shingles(s, d), 0.5)
           .select(col("d1"), col("d2"))
           .persist()
         val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -332,8 +322,11 @@ object Dedup extends QueryPack {
             .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
             .filter(col("n.canonical_id") =!= col("o.canonical_id"))
             .limit(1).count() > 0
+          labels.unpersist() // superseded generation
           labels = next
         }
+        pairs.unpersist()
+        edgeDf.unpersist()
         labels.orderBy("doc_id")
       },
       oracle = Some(s"""

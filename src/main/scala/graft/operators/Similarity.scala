@@ -50,7 +50,9 @@ object Similarity extends QueryPack {
 
   /** IVF search: assign each query to its `nprobe` nearest per-label
     * centroids, scan only those inverted lists. */
-  private def ivfRun(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private def ivfRun(
+      s: SparkSession, d: String, nprobe: Int,
+      includeProbeLabel: Boolean = false): DataFrame = {
     val all = vecs(s, d)
     val comp = all.select(col("vec_id"), col("label"), col("nrm"),
       posexplode(col("v")).as(Seq("i", "x")))
@@ -72,18 +74,26 @@ object Similarity extends QueryPack {
       .select(col("q_id"), col("c_label").as("probe_label"))
     val q = broadcast(all.filter(col("vec_id") < 10).as("q")
       .join(assign, col("q.vec_id") === col("q_id")))
-    q.join(all.as("c"),
+    val scored = q.join(all.as("c"),
         col("c.label") === col("probe_label") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q_id"), col("c.vec_id").as("n_id"), cosExpr.as("cosine"))
-      .distinct()
+      .select(col("q_id"), col("probe_label"), col("c.vec_id").as("n_id"),
+        cosExpr.as("cosine"))
+    val deduped = // with one probe every candidate is unique already
+      if (nprobe > 1) scored.drop("probe_label").distinct() else scored
+    val ranked = deduped
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id")
           .orderBy(col("cosine").desc, col("n_id"))))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cosine"), 4).as("cosine"))
-      .orderBy("q_id", "rank")
+    val out =
+      if (includeProbeLabel)
+        ranked.select(col("q_id"), col("probe_label"), col("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cosine"))
+      else
+        ranked.select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cosine"), 4).as("cosine"))
+    out.orderBy("q_id", "rank")
   }
 
   val queries: Map[String, GraftQuery] = Map(
@@ -122,43 +132,7 @@ object Similarity extends QueryPack {
     // Coarse quantizer = per-label positional-mean centroids; each query
     // probes its nearest centroid's list only.
     "q_sim_ivf_topk" -> GraftQuery(
-      run = (s, d) => {
-        val all = vecs(s, d)
-        val comp = all.select(col("vec_id"), col("label"), col("nrm"),
-          posexplode(col("v")).as(Seq("i", "x")))
-        val cent = comp.groupBy(col("label").as("c_label"), col("i"))
-          .agg(avg(col("x")).as("cx"))
-        val centNrm = cent.groupBy("c_label")
-          .agg(expr("sqrt(sum(cx*cx))").as("c_nrm"))
-        val qComp = comp.filter(col("vec_id") < 10)
-        // query → nearest centroid by cosine
-        val assign = qComp.join(cent, "i")
-          .groupBy(col("vec_id").as("q_id"), col("c_label"))
-          .agg(sum(col("x") * col("cx")).as("dot"),
-            first(col("nrm")).as("q_nrm"))
-          .join(centNrm, "c_label")
-          .withColumn("ccos", col("dot") / (col("q_nrm") * col("c_nrm")))
-          .withColumn("crank", row_number().over(
-            Window.partitionBy("q_id")
-              .orderBy(col("ccos").desc, col("c_label"))))
-          .filter(col("crank") === 1)
-          .select(col("q_id"), col("c_label").as("probe_label"))
-        // scan only the probed inverted list
-        val q = broadcast(all.filter(col("vec_id") < 10).as("q")
-          .join(assign, col("q.vec_id") === col("q_id")))
-        q.join(all.as("c"),
-            col("c.label") === col("probe_label") &&
-              col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q_id"), col("probe_label"), col("c.vec_id").as("n_id"),
-            cosExpr.as("cosine"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("q_id")
-              .orderBy(col("cosine").desc, col("n_id"))))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("probe_label"), col("rank"), col("n_id"),
-            round(col("cosine"), 4).as("cosine"))
-          .orderBy("q_id", "rank")
-      },
+      run = (s, d) => ivfRun(s, d, nprobe = 1, includeProbeLabel = true),
       oracle = Some(s"""
         WITH $unnestCte,
         cent AS (SELECT label AS c_label, i, avg(x) AS cx

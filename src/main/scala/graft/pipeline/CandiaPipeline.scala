@@ -132,6 +132,9 @@ object CandiaPipeline {
       .groupBy(c => (c.swath_key, c.rt_window, c.ncomp))
       .map { case (k, cs) => k -> cs.map(_.comp_num).toSet }
 
+    // globally unique scan ids: ordinal over the total order
+    // (swath, rt_window, ncomp, component) — the spectrum index's
+    // ordering contract (models.py:81-117)
     val comps = result.models
       .filter((m: ParafacModelRow) =>
         bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
@@ -144,13 +147,15 @@ object CandiaPipeline {
         val center = m.swath_key.toDouble
         (0 until m.ncomp).filter(keep).map { k =>
           MzXMLWriter.Component(
-            scanId = m.rt_window.toLong * 1000 + m.ncomp * 100 + k,
+            scanId = 0L, // assigned below, once the full set is ordered
             points = labels.zipWithIndex.map { case ((lvl, mzv), i) =>
               (mzv, lvl, m.mass_mode(i * m.ncomp + k).toDouble)
             },
             isolationWindowCenter = center)
         }
       }
+      .zipWithIndex
+      .map { case (c, ord) => c.copy(scanId = ord.toLong) }
     MzXMLWriter.write(path, comps.toSeq)
     comps.length
   }

@@ -110,17 +110,22 @@ object MzMLSource {
     var intArr: Array[Double] = null
   }
 
+  private trait SpectrumIterator extends Iterator[Spectrum] with AutoCloseable
+
   /** Incremental pull cursor: advances the StAX reader only far enough to
     * produce the next complete `<spectrum>` — memory stays O(one
-    * spectrum). The reader closes when the document is exhausted. */
-  private def pullSpectra(path: String): Iterator[Spectrum] = {
+    * spectrum). The reader closes at document end, or via `close()` when
+    * a consumer stops early. With `parseBinary=false` the peak arrays are
+    * neither accumulated nor decoded (header-only scans). */
+  private def pullSpectra(
+      path: String, parseBinary: Boolean = true): SpectrumIterator = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
     val r: XMLStreamReader = f.createXMLStreamReader(in)
 
-    new Iterator[Spectrum] {
+    new SpectrumIterator {
       private var nextSp: Spectrum = null
       private var done = false
       private var sp: Spectrum = null
@@ -128,7 +133,7 @@ object MzMLSource {
       private var inBinary = false
       private var inIsolationWindow = false
 
-      private def close(): Unit =
+      override def close(): Unit =
         if (!done) { done = true; r.close(); in.close() }
 
       /** Run the cursor until one spectrum completes or EOF. */
@@ -171,13 +176,13 @@ object MzMLSource {
                 case _ =>
               }
             case XMLStreamConstants.CHARACTERS if inBinary =>
-              curArr.b64.append(r.getText)
+              if (parseBinary) curArr.b64.append(r.getText)
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
                 case "isolationWindow" => inIsolationWindow = false
                 case "binary" => inBinary = false
                 case "binaryDataArray" =>
-                  if (curArr != null && sp != null) {
+                  if (parseBinary && curArr != null && sp != null) {
                     val arr = decode(curArr)
                     if (curArr.isMz) sp.mzArr = arr else sp.intArr = arr
                   }
@@ -265,9 +270,9 @@ object MzMLSource {
   def parseFile(
       path: String,
       windows: Array[(Double, Double)],
-      minIntensity: Double): Iterator[RawPeak] = {
+      minIntensity: Double): Iterator[RawPeak] with AutoCloseable = {
     val sample = stem(path)
-    new Iterator[RawPeak] {
+    new Iterator[RawPeak] with AutoCloseable {
       // producer runs on demand: parseSpectra is callback-driven, so run
       // it inside a bounded hand-off executed lazily spectrum-by-spectrum
       // via the pull parser's own incremental cursor
@@ -281,6 +286,7 @@ object MzMLSource {
       }
       override def hasNext: Boolean = { advance(); buf.hasNext }
       override def next(): RawPeak = { advance(); buf.next() }
+      override def close(): Unit = spectra.close()
     }
   }
 
@@ -288,10 +294,12 @@ object MzMLSource {
     * [target − lowerOffset, target + upperOffset) (msproc.py:524-556). */
   def deriveWindowsLocal(path: String): Seq[(Double, Double)] = {
     val set = scala.collection.mutable.SortedSet.empty[(Double, Double)]
-    parseSpectra(path) { sp =>
+    // header-only scan: binary payloads are skipped, not decoded
+    val it = pullSpectra(path, parseBinary = false)
+    try it.foreach { sp =>
       if (sp.level == 2 && !sp.target.isNaN && !sp.lowerOff.isNaN)
         set += ((sp.target - sp.lowerOff, sp.target + sp.upperOff))
-    }
+    } finally it.close()
     set.toSeq
   }
 
@@ -308,6 +316,13 @@ object MzMLSource {
       .sortBy(_._1).toArray
     val bc = spark.sparkContext.broadcast(ws)
     spark.createDataset(paths).repartition(paths.length)
-      .flatMap(p => parseFile(p, bc.value, minIntensity))
+      .flatMap { p =>
+        val it = parseFile(p, bc.value, minIntensity)
+        // release the file handle even when the task stops early
+        // (limit/take/abort) — EOF-close alone would leak it
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
+      }
   }
 }

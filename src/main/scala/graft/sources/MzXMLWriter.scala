@@ -113,8 +113,8 @@ object MzXMLWriter {
     val offsets = ArrayBuffer.empty[(Long, Long)]
     val pat = "<scan num=\"(\\d+)\"".r
     pat.findAllMatchIn(woEnd).foreach { m =>
-      offsets += ((m.group(1).toLong,
-        woEnd.substring(0, m.start).getBytes(StandardCharsets.ISO_8859_1).length.toLong))
+      // ISO-8859-1 is one byte per char, so the char index IS the byte offset
+      offsets += ((m.group(1).toLong, m.start.toLong))
     }
     val idx = new StringBuilder
     idx ++= "<index name = \"scan\">\n"

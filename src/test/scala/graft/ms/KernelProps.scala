@@ -77,15 +77,8 @@ object KernelProps extends Properties("ms.kernels") {
       val frags = SeqIO.trypticDigest(s)
       val inner = frags.dropRight(1)
       Prop(inner.forall(f => f.nonEmpty && (f.last == 'K' || f.last == 'R')) &&
-        frags.sliding(2).forall {
-          case Seq(_, b) => !b.startsWith("P") || true
-          case _ => true
-        } && {
-        // no internal cleavage site was missed: rebuilt boundaries match
-        frags.zip(frags.drop(1)).forall { case (_, next) =>
-          next.isEmpty || next.head != 'P'
-        }
-      })
+        // no cleavage before proline: a fragment never starts with P
+        frags.drop(1).forall(f => f.isEmpty || f.head != 'P'))
     }
 
   property("decoy mutations preserve residue multiset") =
