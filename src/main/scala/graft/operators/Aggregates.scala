@@ -30,6 +30,23 @@ object Aggregates extends QueryPack {
 
   val queries: Map[String, GraftQuery] = Map(
     // TPC-H Q1-shaped rollup: group on two low-cardinality flags.
+    // Hierarchical ROLLUP (grouping sets): absent in the reference
+    // (SURVEY §2.4) but free from Catalyst — subtotals and grand total
+    // in one pass with partial aggregation per grouping set.
+    "q_agg_rollup_sets" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus""")),
+
     // Round-key rollup: round-mz+sum / round-rt+mean (msproc.py:634-657) —
     // grouping on rounded continuous values collapses near-identical
     // readings before the shuffle.
