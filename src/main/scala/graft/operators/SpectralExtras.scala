@@ -153,6 +153,54 @@ object SpectralExtras extends QueryPack {
         WHERE value >= mm.lo + (mm.hi - mm.lo) * 5.0 / 100.0
         GROUP BY event_type ORDER BY event_type""")),
 
+    // -------------------------------------------------- ranking analytics
+    // rank / dense_rank / ntile in one window pass (beyond the
+    // reference's surface — SURVEY §2.5 notes it has none).
+    "q_window_ranks" -> GraftQuery(
+      run = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("n_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .filter(col("rnk") <= 5)
+          .orderBy("n_name", "rnk", "c_custkey")
+      },
+      oracle = Some("""
+        SELECT n_name, c_custkey, rnk, drnk, quartile FROM (
+          SELECT n_name, c_custkey,
+                 rank() OVER w AS rnk,
+                 dense_rank() OVER w AS drnk,
+                 ntile(4) OVER w AS quartile
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WINDOW w AS (PARTITION BY n_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey))
+        WHERE rnk <= 5 ORDER BY n_name, rnk, c_custkey""")),
+
+    // ----------------------------------------------------- JSON extraction
+    // Typed access into the events.props JSON column (semi-structured
+    // payloads are first-class at corpus scale).
+    "q_scalar_json" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            round(avg(col("k")), 4).as("avg_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+               round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ------------------------------------------------ b/y fragment masses
     "q_scalar_fragment_masses" -> GraftQuery(
       run = (s, d) =>
