@@ -27,8 +27,8 @@ object TensorizeOp {
       mzTolPpm: Double): Dataset[SliceTensor] = {
     import spark.implicits._
     peaks
-      .groupByKey(p => (String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(p.swath_lower_adjusted.toDouble)), p.rt_window))
+      .groupByKey(p =>
+        (Tensorizer.swathKey(p.swath_lower_adjusted.toDouble), p.rt_window))
       .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
         Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm))
       .flatMap(_.toOption)
@@ -41,8 +41,8 @@ object TensorizeOp {
       mzTolPpm: Double): Dataset[(String, Int, String)] = {
     import spark.implicits._
     peaks
-      .groupByKey(p => (String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(p.swath_lower_adjusted.toDouble)), p.rt_window))
+      .groupByKey(p =>
+        (Tensorizer.swathKey(p.swath_lower_adjusted.toDouble), p.rt_window))
       .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
         Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm) match {
           case Left(err) => Some((key._1, key._2, err.message))

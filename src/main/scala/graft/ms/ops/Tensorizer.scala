@@ -42,6 +42,12 @@ object Tensorizer {
 
   def ppmTol(mz: Double, ppm: Double): Double = mz * ppm / 1e6
 
+  /** The slice partition key: locale-independent "%.2f" of the adjusted
+    * lower bound — must stay consistent with WindowOps.withSwathKey's
+    * format_string key. */
+  def swathKey(lower: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(lower))
+
   /** Greedy partition starts over a sorted distinct m/z list: open a new
     * partition when the distance from the current start exceeds the ppm
     * tolerance OF THE START (generate_slice_tensor.py:213-229). */

@@ -318,6 +318,7 @@ object Dedup extends QueryPack {
             .groupBy("doc_id")
             .agg(min(col("canonical_id")).as("canonical_id"))
           next.persist()
+          next.count() // materialize the cache before dropping the old one
           changed = next.as("n")
             .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
             .filter(col("n.canonical_id") =!= col("o.canonical_id"))

@@ -53,6 +53,8 @@ object Similarity extends QueryPack {
   private def ivfRun(
       s: SparkSession, d: String, nprobe: Int,
       includeProbeLabel: Boolean = false): DataFrame = {
+    require(!(includeProbeLabel && nprobe > 1),
+      "probe_label is ambiguous when a candidate is reachable via several probes")
     val all = vecs(s, d)
     val comp = all.select(col("vec_id"), col("label"), col("nrm"),
       posexplode(col("v")).as(Seq("i", "x")))

@@ -158,28 +158,36 @@ object SpectralExtras extends QueryPack {
     // reference's surface — SURVEY §2.5 notes it has none).
     "q_window_ranks" -> GraftQuery(
       run = (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
+        // rank/dense_rank over a COARSE key (hundreds bucket) so ties
+        // exist and the two actually differ; ntile over a unique total
+        // order so its assignment is engine-independent
+        val wTies = org.apache.spark.sql.expressions.Window
+          .partitionBy("n_nationkey")
+          .orderBy(round(col("c_acctbal"), -2).desc)
+        val wUnique = org.apache.spark.sql.expressions.Window
           .partitionBy("n_nationkey")
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
         Tables.customer(s, d)
           .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name"), col("c_custkey"),
-            rank().over(w).as("rnk"),
-            dense_rank().over(w).as("drnk"),
-            ntile(4).over(w).as("quartile"))
+            rank().over(wTies).as("rnk"),
+            dense_rank().over(wTies).as("drnk"),
+            ntile(4).over(wUnique).as("quartile"))
           .filter(col("rnk") <= 5)
           .orderBy("n_name", "rnk", "c_custkey")
       },
       oracle = Some("""
         SELECT n_name, c_custkey, rnk, drnk, quartile FROM (
           SELECT n_name, c_custkey,
-                 rank() OVER w AS rnk,
-                 dense_rank() OVER w AS drnk,
-                 ntile(4) OVER w AS quartile
+                 rank() OVER wt AS rnk,
+                 dense_rank() OVER wt AS drnk,
+                 ntile(4) OVER wu AS quartile
           FROM customer JOIN nation ON c_nationkey = n_nationkey
-          WINDOW w AS (PARTITION BY n_nationkey
-                       ORDER BY c_acctbal DESC, c_custkey))
+          WINDOW wt AS (PARTITION BY n_nationkey
+                        ORDER BY round(c_acctbal, -2) DESC),
+                 wu AS (PARTITION BY n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey))
         WHERE rnk <= 5 ORDER BY n_name, rnk, c_custkey""")),
 
     // ----------------------------------------------------- JSON extraction

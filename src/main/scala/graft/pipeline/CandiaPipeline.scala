@@ -139,7 +139,7 @@ object CandiaPipeline {
       .filter((m: ParafacModelRow) =>
         bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
       .collect()
-      .sortBy(m => (m.swath_key, m.rt_window, m.ncomp))
+      .sortBy(m => (m.swath_key.toDouble, m.rt_window, m.ncomp))
       .flatMap { m =>
         val keep = unimodal.getOrElse((m.swath_key, m.rt_window, m.ncomp),
           Set.empty[Int])

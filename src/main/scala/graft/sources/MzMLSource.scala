@@ -212,10 +212,6 @@ object MzMLSource {
     }
   }
 
-  /** Pull-parse one mzML file, invoking `sink` per complete spectrum. */
-  private def parseSpectra(path: String)(sink: Spectrum => Unit): Unit =
-    pullSpectra(path).foreach(sink)
-
   /** Sample name from a path (file stem, as the reference uses). */
   private def stem(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
@@ -273,9 +269,7 @@ object MzMLSource {
       minIntensity: Double): Iterator[RawPeak] with AutoCloseable = {
     val sample = stem(path)
     new Iterator[RawPeak] with AutoCloseable {
-      // producer runs on demand: parseSpectra is callback-driven, so run
-      // it inside a bounded hand-off executed lazily spectrum-by-spectrum
-      // via the pull parser's own incremental cursor
+      // the pull cursor advances the XML reader one spectrum at a time
       private val spectra = pullSpectra(path)
       private var buf: Iterator[RawPeak] = Iterator.empty
       private def advance(): Unit = {

@@ -109,7 +109,6 @@ object MzXMLWriter {
       "<msRun scanCount=\"N/A\">", s"""<msRun scanCount="$nScans">""")
     // offset index (index_mzxml_file): byte offset of each <scan
     val woEnd = content.stripSuffix("</mzXML>\n")
-    val bytes = woEnd.getBytes(StandardCharsets.ISO_8859_1)
     val offsets = ArrayBuffer.empty[(Long, Long)]
     val pat = "<scan num=\"(\\d+)\"".r
     pat.findAllMatchIn(woEnd).foreach { m =>
@@ -122,7 +121,7 @@ object MzXMLWriter {
       idx ++= s"""<offset id = "$id">$off</offset>\n"""
     }
     idx ++= "</index>\n"
-    val indexOffset = bytes.length
+    val indexOffset = woEnd.length // ISO-8859-1: char count == byte count
     val out = woEnd + idx.toString +
       s"<indexOffset>$indexOffset</indexOffset>\n</mzXML>\n"
     Files.write(Paths.get(path), out.getBytes(StandardCharsets.ISO_8859_1))
