@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Guards on the driver contract itself: the registry must stay
+  * internally consistent and the flagship entry must produce rows. */
+class SparkEntrySpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("entry-spec")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every oracle key names a registered query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    orphans shouldBe empty
+  }
+
+  test("registry names follow the q_ convention and are non-empty") {
+    SparkEntry.queries.keys.foreach(_ should startWith("q_"))
+    SparkEntry.queries.size should be >= 70
+    SparkEntry.oracleSql.size should be >= 64
+  }
+
+  test("flagship entry returns rows on the smoke scale factor") {
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists)
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
