@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * (models.py:61-117, golden test models.py:206-225): the model grid is
   * the cross product swath-major → rt_window → ncomp with model_id = row
   * ordinal; the spectrum index explodes 0..ncomp-1 per model with a
-  * global ordered `scan` ordinal. Ordinals come from row_number over an
-  * explicit total order — deterministic at any parallelism.
+  * global ordered `scan` ordinal. Because the grid is a complete cross
+  * product, both ordinals are pure functions of the grid coordinates —
+  * computed arithmetically, with no global window (no single-partition
+  * exchange at any grid size).
   *
   * Scale notes: index tables are tiny (|swaths|·|windows|·|F|) and always
   * broadcast-joined against model/result data; peak counting is a
@@ -37,25 +39,42 @@ object Indexing {
       fMin: Int,
       fMax: Int): DataFrame = {
     import spark.implicits._
-    val swaths = windows
+    // The swath dimension is instrument configuration (tens of windows,
+    // never data-scale): rank it on the driver, then model_id is pure
+    // arithmetic over (swath_rank, rt_window, ncomp) — no row_number,
+    // no single-partition exchange at any grid size.
+    val swathKeys = windows
       .select(centsKey(col("swath_lower_adjusted")).as("swath_start"))
-      .distinct()
+      .distinct().as[Long].collect().sorted
+    val nF = fMax - fMin + 1
+    val swaths = swathKeys.zipWithIndex.toSeq.toDF("swath_start", "swath_rank")
     val rts = (0 until nRtWindows).toDF("rt_window")
     val fs = (fMin to fMax).toDF("ncomp")
-    val w = Window.orderBy("swath_start", "rt_window", "ncomp")
     swaths.crossJoin(rts).crossJoin(fs)
-      .withColumn("model_id", (row_number().over(w) - 1).cast("long"))
+      .withColumn("model_id", expr(
+        s"CAST((swath_rank * $nRtWindows + rt_window) * $nF + (ncomp - $fMin) AS BIGINT)"))
       .select("swath_start", "rt_window", "ncomp", "model_id")
   }
 
   /** Spectrum index: one row per (model, component), with a global
-    * ordered `scan` ordinal (models.py:81-117). */
+    * ordered `scan` ordinal (models.py:81-117). Since model_id
+    * enumerates ncomp fastest over a complete F range, scan is pure
+    * arithmetic: preceding full F-blocks contribute sum(fMin..fMax)
+    * each, preceding components within the block fIdx·fMin +
+    * fIdx(fIdx−1)/2. */
   def spectrumIndex(modelIndex: DataFrame): DataFrame = {
-    val w = Window.orderBy("model_id", "spectrum_num")
+    val stats = modelIndex.agg(min("ncomp"), max("ncomp")).head()
+    // empty grid: bounds are unused (explode of nothing stays empty)
+    val fMin = if (stats.isNullAt(0)) 1 else stats.getInt(0)
+    val fMax = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    val nF = fMax - fMin + 1
+    val sumF = (fMin + fMax) * nF / 2
     modelIndex
       .withColumn("spectrum_num",
         explode(sequence(lit(0L), col("ncomp").cast("long") - 1)))
-      .withColumn("scan", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fidx", col("ncomp") - fMin)
+      .withColumn("scan", expr(
+        s"CAST((model_id div $nF) * $sumF + fidx * $fMin + (fidx * (fidx - 1)) div 2 + spectrum_num AS BIGINT)"))
       .select("swath_start", "rt_window", "ncomp", "model_id",
         "spectrum_num", "scan")
   }

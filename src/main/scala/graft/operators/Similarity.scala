@@ -184,16 +184,24 @@ object Similarity extends QueryPack {
             ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
           if (h % 2 == 0) 1.0 else -1.0
         }
+        // Projection accumulated over a 1e-6 integer grid (Long adds are
+        // order-independent) so the sign test is bit-identical to the
+        // oracle no matter the summation order — a double accumulation
+        // near 0 flipped bucket bits between engines (r1 hash fail).
         val bucketed = vecs(s, d).as[(Long, Int, Array[Double], Double)]
           .mapPartitions(_.map { case (id, label, v, nrm) =>
             var bucket = 0
             var j = 0
             while (j < 8) {
-              var dot = 0.0
+              var dot = 0L
               var i = 0
               val p = planes(j)
               val n = math.min(v.length, 64)
-              while (i < n) { dot += v(i) * p(i); i += 1 }
+              while (i < n) {
+                val q = math.floor(v(i) * 1e6 + 0.5).toLong
+                dot += (if (p(i) > 0) q else -q)
+                i += 1
+              }
               if (dot > 0) bucket |= 1 << j
               j += 1
             }
@@ -223,7 +231,8 @@ object Similarity extends QueryPack {
         sig AS (SELECT vec_id,
                        sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS bucket
                 FROM (SELECT u.vec_id AS vec_id, planes.j AS j,
-                             sum(u.x * planes.p) AS s
+                             sum(floor(u.x * 1000000.0 + 0.5)::BIGINT *
+                                 CASE WHEN planes.p > 0 THEN 1 ELSE -1 END) AS s
                       FROM u JOIN planes ON planes.i = u.i - 1
                       GROUP BY u.vec_id, planes.j)
                 GROUP BY vec_id),
@@ -359,7 +368,8 @@ object Similarity extends QueryPack {
         sig AS (SELECT vec_id,
                        sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS bucket
                 FROM (SELECT u.vec_id AS vec_id, planes.j AS j,
-                             sum(u.x * planes.p) AS s
+                             sum(floor(u.x * 1000000.0 + 0.5)::BIGINT *
+                                 CASE WHEN planes.p > 0 THEN 1 ELSE -1 END) AS s
                       FROM u JOIN planes ON planes.i = u.i - 1
                       GROUP BY u.vec_id, planes.j)
                 GROUP BY vec_id),

@@ -17,6 +17,7 @@ final case class CandiaConfig(
     parafacMaxIter: Int = 5000, //     candia.yaml: parafac_max_iter
     parafacTol: Double = 1e-7, //      candia.yaml: parafac_min_error_diff
     avgPeakFwhmSec: Double = 5.0, //   candia.yaml: avg_peak_fwhm_sec
+    intensityCutoffBin: Int = 1, //    candia.yaml: intensity_lower_percentage_cutoff
     seed: Long = 123L)
 
 /** Stage outputs of one end-to-end run (the in-engine replacements of
@@ -26,7 +27,8 @@ final case class CandiaResult(
     tensors: Dataset[SliceTensor],
     models: Dataset[ParafacModelRow],
     peakCounts: Dataset[ComponentPeaks],
-    bestModels: DataFrame)
+    bestModels: DataFrame,
+    spectrumIndex: DataFrame)
 
 /** The whole CANDIA dataflow (reference driver script `candia:1-69`,
   * SURVEY §3.1) as ONE Spark program: the reference's 9 process-per-file
@@ -109,17 +111,23 @@ object CandiaPipeline {
     val best = Indexing.bestModels(
       Indexing.peakCountsWithModelId(counts, index), index)
 
-    CandiaResult(peaks, tensors, models, counts, best)
+    CandiaResult(peaks, tensors, models, counts, best,
+      Indexing.spectrumIndex(index))
   }
 
   /** Stage 9 prep: export each best model's unimodal mass-mode components
     * as mzXML scans (id_models_concat.py:58-119): component spectrum =
-    * the mass-mode column over the slice's m/z labels; scan ids follow
-    * the spectrum index's global ordinal contract. */
+    * the mass-mode column over the slice's m/z labels; each scan is
+    * stamped with the GLOBAL spectrum-index ordinal (models.py:81-117) —
+    * the same `scan` spectraWithSampleAbundance keys abundances by, so
+    * search-engine PSMs (which carry mzXML scan numbers) join back to
+    * the right components. Returns the number of scans written (some
+    * components drop out of the export via the MS2 intensity cutoff). */
   def exportBestSpectra(
       spark: SparkSession,
       result: CandiaResult,
-      path: String): Int = {
+      path: String,
+      intensityCutoffBin: Int = 1): Int = {
     import spark.implicits._
     val bestKeys = result.bestModels
       .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
@@ -132,31 +140,38 @@ object CandiaPipeline {
       .groupBy(c => (c.swath_key, c.rt_window, c.ncomp))
       .map { case (k, cs) => k -> cs.map(_.comp_num).toSet }
 
-    // globally unique scan ids: ordinal over the total order
-    // (swath, rt_window, ncomp, component) — the spectrum index's
-    // ordering contract (models.py:81-117)
+    // global scan ids for the best models' components only (filter the
+    // index on the cluster; the collected map stays |best|·F-sized)
+    val scanOf: Map[(Long, Int, Int, Long), Long] = result.spectrumIndex
+      .join(broadcast(result.bestModels
+          .select("swath_start", "rt_window", "ncomp").distinct()),
+        Seq("swath_start", "rt_window", "ncomp"))
+      .select("swath_start", "rt_window", "ncomp", "spectrum_num", "scan")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)),
+        r.getLong(4)))
+      .toMap
+
     val comps = result.models
       .filter((m: ParafacModelRow) =>
         bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
       .collect()
-      .sortBy(m => (m.swath_key.toDouble, m.rt_window, m.ncomp))
       .flatMap { m =>
         val keep = unimodal.getOrElse((m.swath_key, m.rt_window, m.ncomp),
           Set.empty[Int])
         val labels = m.mz_indices.map(graft.ms.ops.Tensorizer.parseLabel)
         val center = m.swath_key.toDouble
+        val cents = math.round(center * 100)
         (0 until m.ncomp).filter(keep).map { k =>
           MzXMLWriter.Component(
-            scanId = 0L, // assigned below, once the full set is ordered
+            scanId = scanOf((cents, m.rt_window, m.ncomp, k.toLong)),
             points = labels.zipWithIndex.map { case ((lvl, mzv), i) =>
               (mzv, lvl, m.mass_mode(i * m.ncomp + k).toDouble)
             },
             isolationWindowCenter = center)
         }
       }
-      .zipWithIndex
-      .map { case (c, ord) => c.copy(scanId = ord.toLong) }
-    MzXMLWriter.write(path, comps.toSeq)
-    comps.length
+      .sortBy(_.scanId)
+    MzXMLWriter.write(path, comps.toSeq, intensityCutoffBin)
   }
 }

@@ -80,28 +80,47 @@ object MzXMLWriter {
       points: Seq[(Double, Int, Double)],
       isolationWindowCenter: Double)
 
-  /** Render one component as an MS2 scan: MS1 points provide the
-    * pseudo-precursor (idxmax; deterministic fallback at the window
-    * center), MS2 points (sorted by m/z) form the spectrum
+  /** Render one component as an MS2 scan: MS2 points below the lower
+    * intensity-histogram cutoff are discarded first
+    * (filter_out_MS2_entries_with_intensity_in_lower_percent,
+    * msproc.py:660-685: cutoff = np.histogram edge[cutoffBin] over the
+    * UNfiltered MS2 intensities, strict `>`; an emptied spectrum drops
+    * the scan). MS1 points provide the pseudo-precursor (idxmax;
+    * deterministic fallback at the window center), surviving MS2 points
+    * (sorted by m/z) form the spectrum
     * (convert_mass_mode_component_to_mzxml, msproc.py:288-329). */
-  def componentXml(c: Component): Option[String] = {
+  def componentXml(
+      c: Component, intensityCutoffBin: Int = 0,
+      bins: Int = 100): Option[String] = {
     val ms1 = c.points.filter(_._2 == 1)
-    val ms2 = c.points.filter(_._2 == 2).sortBy(_._1)
-    if (ms2.isEmpty) None
+    val ms2All = c.points.filter(_._2 == 2)
+    if (ms2All.isEmpty) None
     else {
-      val (precMz, precInt) =
-        if (ms1.nonEmpty) { val p = ms1.maxBy(_._3); (p._1, p._3) }
-        else (c.isolationWindowCenter + 0.05, 300.5)
-      Some(scanXml(ms2.map(_._1).toArray, ms2.map(_._3).toArray,
-        level = 2, scanNo = c.scanId, precMz = precMz, precIntensity = precInt))
+      val ints = ms2All.map(_._3)
+      var lo = ints.min
+      var hi = ints.max
+      if (lo == hi) { lo -= 0.5; hi += 0.5 } // np.histogram zero-range rule
+      val cutoff = lo + (hi - lo) * intensityCutoffBin / bins
+      val ms2 = ms2All.filter(_._3 > cutoff).sortBy(_._1)
+      if (ms2.isEmpty) None
+      else {
+        val (precMz, precInt) =
+          if (ms1.nonEmpty) { val p = ms1.maxBy(_._3); (p._1, p._3) }
+          else (c.isolationWindowCenter + 0.05, 300.5)
+        Some(scanXml(ms2.map(_._1).toArray, ms2.map(_._3).toArray,
+          level = 2, scanNo = c.scanId, precMz = precMz, precIntensity = precInt))
+      }
     }
   }
 
   /** Write components to `path`, then finalize: rewrite scanCount, append
-    * the byte-offset scan index and `<indexOffset>`. */
-  def write(path: String, components: Seq[Component]): Unit = {
+    * the byte-offset scan index and `<indexOffset>`. Returns the number
+    * of scans written (components emptied by the MS2 cutoff are skipped). */
+  def write(
+      path: String, components: Seq[Component],
+      intensityCutoffBin: Int = 0): Int = {
     val sb = new StringBuilder(Header)
-    components.flatMap(componentXml).foreach(sb ++= _)
+    components.flatMap(componentXml(_, intensityCutoffBin)).foreach(sb ++= _)
     sb ++= "</msRun>\n</mzXML>\n"
     // scanCount rewrite (record_scan_count)
     val nScans = "<scan".r.findAllMatchIn(sb).length
@@ -125,6 +144,7 @@ object MzXMLWriter {
     val out = woEnd + idx.toString +
       s"<indexOffset>$indexOffset</indexOffset>\n</mzXML>\n"
     Files.write(Paths.get(path), out.getBytes(StandardCharsets.ISO_8859_1))
+    nScans
   }
 }
 

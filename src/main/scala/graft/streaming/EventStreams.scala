@@ -58,17 +58,22 @@ object EventStreams extends QueryPack {
     s.table(name)
   }
 
-  private val gapNs = 30L * 60 * 1000000000L
+  // Gap compared in MICROSECONDS on both sides: DuckDB reads the
+  // TIMESTAMP(NANOS) parquet column at µs precision, so a nanosecond
+  // comparison here classified gaps within 1 µs of exactly 30:00
+  // differently from the oracle (r1 hash fail). `ts div 1000` is the
+  // same truncation q_stream_tumbling already applies.
+  private val gapUs = 30L * 60 * 1000000L
 
   private val emptySessions = UserSessions(0, 0, Long.MinValue, 0, 0)
 
-  /** Fold a sorted batch of event times into the running session state
-    * (a >30-minute event-time gap opens a new session). */
+  /** Fold a sorted batch of event times (µs) into the running session
+    * state (a >30-minute event-time gap opens a new session). */
   private def advance(st: UserSessions, tsSorted: Seq[Long]): UserSessions = {
     var n = st.n_sessions; var e = st.n_events; var last = st.last_ts
     var cur = st.cur_len; var lon = st.longest_session
     tsSorted.foreach { t =>
-      if (n == 0 || t - last > gapNs) { n += 1; cur = 0 }
+      if (n == 0 || t - last > gapUs) { n += 1; cur = 0 }
       cur += 1
       if (cur > lon) lon = cur
       last = t
@@ -96,7 +101,7 @@ object EventStreams extends QueryPack {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, events: Iterator[Event], state: GroupState[UserSessions]) =>
           val st = advance(state.getOption.getOrElse(emptySessions),
-            events.map(_.ts).toSeq.sorted)
+            events.map(_.ts / 1000).toSeq.sorted)
           state.update(st)
           (user, st.n_sessions, st.n_events, st.longest_session)
       }

@@ -18,7 +18,9 @@ class MzXMLWriterSpec extends AnyFunSuite with Matchers {
       scanId = 7,
       points = Seq(
         (450.1, 1, 5.0), (451.2, 1, 50.0), // MS1: max at 451.2
-        (200.0, 2, 1.0), (100.0, 2, 2.0)), // MS2, unsorted
+        // MS2, unsorted; the min-intensity point (150.0, 1.0) falls on
+        // the bin-0 histogram edge and is dropped (strict >, msproc.py:681)
+        (200.0, 2, 3.0), (100.0, 2, 2.0), (150.0, 2, 1.0)),
       isolationWindowCenter = 630.0)
     val xml = MzXMLWriter.componentXml(c).get
     xml should include("""<scan num="7"""")
@@ -36,6 +38,21 @@ class MzXMLWriterSpec extends AnyFunSuite with Matchers {
     val xml = MzXMLWriter.componentXml(MzXMLWriter.Component(2,
       Seq((100.0, 2, 3.0)), 630.0)).get
     xml should include(">630.05</precursorMz>")
+  }
+
+  test("MS2 lower-percent cutoff drops low bins; emptied spectrum drops the scan") {
+    val pts = Seq((100.0, 2, 1.0), (110.0, 2, 5.0), (120.0, 2, 100.0))
+    // bin 0: cutoff = histogram edge[0] = min → strict > drops the min point
+    val x0 = MzXMLWriter.componentXml(MzXMLWriter.Component(1, pts, 630.0)).get
+    x0 should include("peaksCount=\"2\"")
+    // bin 10: cutoff = 1 + 99·10/100 = 10.9 → only the 100.0 point survives
+    val x10 = MzXMLWriter.componentXml(
+      MzXMLWriter.Component(1, pts, 630.0), intensityCutoffBin = 10).get
+    x10 should include("peaksCount=\"1\"")
+    x10 should include("lowMz=\"120.0\"")
+    // bin = bins: cutoff = max → spectrum empties, scan dropped
+    MzXMLWriter.componentXml(
+      MzXMLWriter.Component(1, pts, 630.0), intensityCutoffBin = 100) shouldBe None
   }
 
   test("finalized file carries scanCount, offset index, indexOffset") {
