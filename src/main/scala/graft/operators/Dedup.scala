@@ -78,25 +78,36 @@ object Dedup extends QueryPack {
                 JOIN shingles b ON b.doc_id = cand.d2 AND b.s = a.s
       GROUP BY 1, 2)"""
 
-  /** All (d1 < d2) pairs with shingle-set Jaccard ≥ `threshold`, via
-    * inverted-list pair generation (one pass over the shingle stream). */
-  private def jaccardPairs(
-      s: SparkSession, sh: DataFrame, threshold: Double): DataFrame = {
+  /** Posting-list document-frequency ceiling for candidate generation:
+    * a shingle present in more docs than this emits no pairs. One hot
+    * shingle at corpus scale otherwise yields O(df²) pairs — the
+    * quadratic blow-up that kills inverted-index dedup at 100 TB. A pair
+    * sharing ONLY ultra-common shingles is not a near-dup, so the
+    * threshold-passing set is unchanged (and scores stay exact: the cap
+    * gates candidates, not scoring). */
+  private[operators] val MaxShingleDf = 1000
+
+  /** All (d1 < d2) pairs with shingle-set Jaccard ≥ `threshold`.
+    * Candidates come from inverted posting lists capped at `maxDf` docs
+    * per shingle (bounded pair emission per posting list); surviving
+    * candidates are then scored EXACTLY over the full shingle sets. */
+  private[operators] def jaccardPairs(
+      s: SparkSession, sh: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     import s.implicits._
-    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    sh.as[(Long, String)]
+    val cand = sh.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray.sorted
-        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-          yield (ids(i), ids(j))
+        val ids = it.map(_._1).toArray
+        if (ids.length > maxDf) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids)
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+        }
       }
-      .toDF("d1", "d2")
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(ns.as("na"), col("na.doc_id") === col("d1"))
-      .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
+      .toDF("d1", "d2").distinct()
+    jaccardVerify(sh, cand)
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -136,8 +147,9 @@ object Dedup extends QueryPack {
 
     // ------------------------------------------------- exact n-gram Jaccard
     // Inverted-index pair generation: group by shingle, emit co-occurring
-    // doc pairs from each posting list, count shared shingles per pair —
-    // one pass over the shingle stream instead of a 4-scan self-join.
+    // doc pairs from posting lists capped at MaxShingleDf docs (hot
+    // shingles emit nothing — no quadratic blow-up), then score the
+    // candidates exactly over the full shingle sets.
     "q_dedup_ngram_jaccard" -> GraftQuery(
       run = (s, d) =>
         jaccardPairs(s, shingles(s, d), 0.5)
@@ -145,8 +157,11 @@ object Dedup extends QueryPack {
           .orderBy("d1", "d2"),
       oracle = Some(s"""
         WITH $shinglesCte,
+        cap AS (SELECT s FROM shingles GROUP BY s
+                HAVING count(*) <= $MaxShingleDf),
         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                 FROM shingles a JOIN shingles b
+                 FROM shingles a JOIN cap ON cap.s = a.s
+                      JOIN shingles b
                    ON a.s = b.s AND a.doc_id < b.doc_id),
         $jaccardVerifySql
         SELECT d1, d2,
@@ -332,12 +347,13 @@ object Dedup extends QueryPack {
       },
       oracle = Some(s"""
         WITH RECURSIVE $shinglesCte,
-        ns AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
-        common AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-          FROM shingles a JOIN shingles b
-            ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+        cap AS (SELECT s FROM shingles GROUP BY s
+                HAVING count(*) <= $MaxShingleDf),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM shingles a JOIN cap ON cap.s = a.s
+                      JOIN shingles b
+                   ON a.s = b.s AND a.doc_id < b.doc_id),
+        $jaccardVerifySql,
         pairs AS (
           SELECT d1, d2 FROM common
           JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2

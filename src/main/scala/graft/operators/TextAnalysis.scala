@@ -179,8 +179,17 @@ object TextAnalysis extends QueryPack {
         val vocab = cnt2.select(col("w1").as("w"))
           .unionByName(cnt2.select(col("w2").as("w")))
           .agg(countDistinct(col("w")).as("v"))
-        bg.join(cnt2, Seq("w1", "w2"))
-          .join(cnt1, Seq("w1"))
+        // Scoring join is SALTED (ScaleOps pattern): bigram frequency is
+        // Zipf-skewed, so joining the instance stream on bare (w1, w2)
+        // funnels every occurrence of a hot bigram through one reducer.
+        // The counts collapse to one rate row per distinct bigram,
+        // replicated across `salts` sub-keys; instances carry a
+        // deterministic doc_id salt. Same rows out — plan-shape only.
+        val salts = 16
+        val rates = cnt2.join(cnt1, Seq("w1"))
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        bg.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+          .join(rates, Seq("w1", "w2", "salt"))
           .crossJoin(broadcast(vocab))
           .withColumn("lp",
             log((col("c2") + 1.0) / (col("c1") + col("v"))))
