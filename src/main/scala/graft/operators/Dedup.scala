@@ -78,39 +78,56 @@ object Dedup extends QueryPack {
                 JOIN shingles b ON b.doc_id = cand.d2 AND b.s = a.s
       GROUP BY 1, 2)"""
 
-  /** Posting-list document-frequency ceiling for candidate generation:
-    * a shingle present in more docs than this emits no pairs. One hot
-    * shingle at corpus scale otherwise yields O(df²) pairs — the
-    * quadratic blow-up that kills inverted-index dedup at 100 TB. A pair
-    * sharing ONLY ultra-common shingles is not a near-dup, so the
-    * threshold-passing set is unchanged (and scores stay exact: the cap
-    * gates candidates, not scoring). */
+  /** Shingle document-frequency ceiling (stop-shingle removal): a
+    * shingle present in more docs than this is dropped from the Jaccard
+    * space entirely — it carries no near-dup signal (like stop-words)
+    * and its posting list would otherwise emit O(df²) pairs, the
+    * quadratic blow-up that kills inverted-index dedup at 100 TB. */
   private[operators] val MaxShingleDf = 1000
 
-  /** All (d1 < d2) pairs with shingle-set Jaccard ≥ `threshold`.
-    * Candidates come from inverted posting lists capped at `maxDf` docs
-    * per shingle (bounded pair emission per posting list); surviving
-    * candidates are then scored EXACTLY over the full shingle sets. */
+  /** All (d1 < d2) pairs with Jaccard ≥ `threshold` over the df-capped
+    * shingle space, via inverted-list pair generation (one pass over the
+    * capped shingle stream). The hot set (df > maxDf) is tiny by
+    * definition, so removing it is a broadcast anti-join — the shingle
+    * stream itself never shuffles for the filter; pair emission per
+    * posting list is then provably ≤ maxDf² and in practice Zipf-small. */
   private[operators] def jaccardPairs(
       s: SparkSession, sh: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
     import s.implicits._
-    val cand = sh.as[(Long, String)]
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("doc_id"), col("s")) // anti-join puts the key first
+    val ns = capped.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    capped.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._1).toArray
-        if (ids.length > maxDf) Iterator.empty
+        if (ids.length > maxDf) Iterator.empty // hard bound; hot set is gone
         else {
           java.util.Arrays.sort(ids)
           for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
             yield (ids(i), ids(j))
         }
       }
-      .toDF("d1", "d2").distinct()
-    jaccardVerify(sh, cand)
+      .toDF("d1", "d2")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(ns.as("na"), col("na.doc_id") === col("d1"))
+      .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
+
+  /** DuckDB mirror of the stop-shingle removal: the capped shingle
+    * stream `shc` feeds ns/common in the capped-Jaccard oracles. */
+  private val cappedShinglesCte = s"""
+    hot AS (SELECT s FROM shingles GROUP BY s
+            HAVING count(*) > $MaxShingleDf),
+    shc AS (SELECT doc_id, s FROM shingles
+            WHERE s NOT IN (SELECT s FROM hot))"""
 
   /** Exact Jaccard over the shingle sets of candidate pairs (d1, d2).
     * The candidate set is small by construction (LSH output) — broadcast
@@ -146,10 +163,10 @@ object Dedup extends QueryPack {
         FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
     // ------------------------------------------------- exact n-gram Jaccard
-    // Inverted-index pair generation: group by shingle, emit co-occurring
-    // doc pairs from posting lists capped at MaxShingleDf docs (hot
-    // shingles emit nothing — no quadratic blow-up), then score the
-    // candidates exactly over the full shingle sets.
+    // Inverted-index pair generation over the stop-shingle-removed
+    // stream: group by shingle, emit co-occurring doc pairs from each
+    // (df-capped) posting list, count shared shingles per pair — one
+    // pass, no quadratic blow-up on hot shingles.
     "q_dedup_ngram_jaccard" -> GraftQuery(
       run = (s, d) =>
         jaccardPairs(s, shingles(s, d), 0.5)
@@ -157,13 +174,12 @@ object Dedup extends QueryPack {
           .orderBy("d1", "d2"),
       oracle = Some(s"""
         WITH $shinglesCte,
-        cap AS (SELECT s FROM shingles GROUP BY s
-                HAVING count(*) <= $MaxShingleDf),
-        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                 FROM shingles a JOIN cap ON cap.s = a.s
-                      JOIN shingles b
-                   ON a.s = b.s AND a.doc_id < b.doc_id),
-        $jaccardVerifySql
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT d1, d2,
                round(CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c), 6) AS jaccard
         FROM common JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
@@ -347,13 +363,12 @@ object Dedup extends QueryPack {
       },
       oracle = Some(s"""
         WITH RECURSIVE $shinglesCte,
-        cap AS (SELECT s FROM shingles GROUP BY s
-                HAVING count(*) <= $MaxShingleDf),
-        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                 FROM shingles a JOIN cap ON cap.s = a.s
-                      JOIN shingles b
-                   ON a.s = b.s AND a.doc_id < b.doc_id),
-        $jaccardVerifySql,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
         pairs AS (
           SELECT d1, d2 FROM common
           JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2

@@ -6,10 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import org.scalatest.BeforeAndAfterAll
 
-/** Unit coverage for the Jaccard posting-list document-frequency cap:
-  * hot shingles must emit no candidate pairs (the 100 TB quadratic
-  * guard), while pairs that also share sub-cap shingles keep their
-  * EXACT full-set Jaccard score. */
+/** Unit coverage for the Jaccard stop-shingle removal (df cap): hot
+  * shingles must vanish from the Jaccard space entirely (the 100 TB
+  * quadratic guard), while pairs sharing sub-cap shingles score over
+  * the capped sets. */
 class DedupSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -35,11 +35,9 @@ class DedupSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     pairs shouldBe empty
   }
 
-  test("a sub-cap shingle keeps the pair, scored over the FULL sets") {
-    // docs 10/11 share "rare" (df=2, under cap) AND "hot" (df=4, capped):
-    // candidate comes from "rare" alone, but jaccard counts both shared
-    // shingles: |∩|=2, |∪|=2+3+3-2... sets: d10={hot,rare,x}, d11={hot,rare,y}
-    // jaccard = 2/4 = 0.5 exactly — the cap must not change the score.
+  test("a sub-cap shingle keeps the pair, scored over the capped sets") {
+    // docs 10/11 share "rare" (df=2, kept) and "hot" (df=4, removed):
+    // capped sets d10={rare,x}, d11={rare,y} → jaccard = 1/3.
     val sh = shingleDf(
       (10L, "hot"), (11L, "hot"), (12L, "hot"), (13L, "hot"),
       (10L, "rare"), (11L, "rare"),
@@ -48,7 +46,7 @@ class DedupSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("j"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    pairs should contain theSameElementsAs Seq((10L, 11L, 0.5))
+    pairs should contain theSameElementsAs Seq((10L, 11L, 0.333333))
   }
 
   test("uncapped behavior is the default cap's behavior below the ceiling") {
