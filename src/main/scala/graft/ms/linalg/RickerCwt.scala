@@ -113,15 +113,26 @@ object RickerCwt {
     var row = startRow - 1
     while (row >= 0) {
       ridge.foreach(_.gap += 1)
+      // scipy snapshots the line list AND each line's last column before
+      // iterating this row's maxima (_identify_ridge_lines builds
+      // prev_ridge_cols once per row): lines created or extended earlier
+      // in the same row are matched by their pre-row state, never their
+      // freshly appended columns.
+      val snapshot = ridge.toArray
+      val prevCols = snapshot.map(_.cols.last)
       maximaPerRow(row).foreach { colIdx =>
-        // connect to the closest previous ridge column within range
-        var best: Line = null
+        // connect to the closest pre-row ridge column within range
+        // (first index wins ties, like np.argmin)
+        var bestIdx = -1
         var bestDiff = Double.MaxValue
-        ridge.foreach { line =>
-          val diff = math.abs(colIdx - line.cols.last)
-          if (diff < bestDiff) { bestDiff = diff; best = line }
+        var i = 0
+        while (i < prevCols.length) {
+          val diff = math.abs(colIdx - prevCols(i)).toDouble
+          if (diff < bestDiff) { bestDiff = diff; bestIdx = i }
+          i += 1
         }
-        if (best != null && bestDiff <= maxDistances(row)) {
+        if (bestIdx >= 0 && bestDiff <= maxDistances(row)) {
+          val best = snapshot(bestIdx)
           best.cols += colIdx
           best.rows += row
           best.gap = 0

@@ -30,7 +30,7 @@ object TensorizeOp {
       .groupByKey(p =>
         (Tensorizer.swathKey(p.swath_lower_adjusted.toDouble), p.rt_window))
       .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
-        Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm))
+        Tensorizer.tensorize(key._1, key._2, rows, mzTolPpm))
       .flatMap(_.toOption)
   }
 
@@ -44,7 +44,7 @@ object TensorizeOp {
       .groupByKey(p =>
         (Tensorizer.swathKey(p.swath_lower_adjusted.toDouble), p.rt_window))
       .mapGroups((key: (String, Int), rows: Iterator[AdjustedPeak]) =>
-        Tensorizer.tensorize(key._1, key._2, rows.toSeq, mzTolPpm) match {
+        Tensorizer.tensorize(key._1, key._2, rows, mzTolPpm) match {
           case Left(err) => Some((key._1, key._2, err.message))
           case Right(_)  => None
         })

@@ -42,11 +42,19 @@ object Tensorizer {
 
   def ppmTol(mz: Double, ppm: Double): Double = mz * ppm / 1e6
 
-  /** The slice partition key: locale-independent "%.2f" of the adjusted
-    * lower bound — must stay consistent with WindowOps.withSwathKey's
-    * format_string key. */
-  def swathKey(lower: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(lower))
+  /** Python-format parity: "{:.Nf}" rounds the EXACT binary value of the
+    * double half-even, while Java's %.Nf rounds HALF_UP — a dyadic tie
+    * like 100.03125 formats "100.0312" in Python but "100.0313" in Java.
+    * new BigDecimal(v) is the exact binary expansion, so setScale(n,
+    * HALF_EVEN) reproduces Python/NumPy behavior exactly. */
+  def pyFormat(v: Double, scale: Int): String =
+    new java.math.BigDecimal(v)
+      .setScale(scale, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** The slice partition key: "{:.2f}" of the adjusted lower bound
+    * (Python tie behavior) — must stay consistent with
+    * WindowOps.withSwathKey's column-level key. */
+  def swathKey(lower: Double): String = pyFormat(lower, 2)
 
   /** Greedy partition starts over a sorted distinct m/z list: open a new
     * partition when the distance from the current start exceeds the ppm
@@ -93,8 +101,7 @@ object Tensorizer {
   }
 
   def label(partitionStart: Double, level: Int): String =
-    String.format(java.util.Locale.ROOT, "%.4f", Double.box(partitionStart)) +
-      "_ms" + level
+    pyFormat(partitionStart, 4) + "_ms" + level
 
   /** Parse "350.1284_ms2" → (level, mz) for column ordering. */
   def parseLabel(lbl: String): (Int, Double) = {
@@ -102,19 +109,20 @@ object Tensorizer {
     (parts(1).toInt, parts(0).toDouble)
   }
 
-  /** Tensorize one slice's rows. Pure, deterministic. */
+  /** Tensorize one slice's rows. Pure, deterministic. Consumes the
+    * iterator in ONE pass into per-sample buffers (no whole-slice Seq +
+    * groupBy double materialization — the slice is stored once). */
   def tensorize(
       swathKey: String,
       rtWindow: Int,
-      rows: Seq[AdjustedPeak],
+      rows: Iterator[AdjustedPeak],
       mzTolPpm: Double): Either[TensorizeError, SliceTensor] = {
 
-    val samples = rows.iterator.map(_.file).toSet.toSeq.sorted
+    val rowsBySample = mutable.HashMap.empty[String, mutable.ArrayBuffer[AdjustedPeak]]
+    rows.foreach(r =>
+      rowsBySample.getOrElseUpdate(r.file, mutable.ArrayBuffer.empty) += r)
+    val samples = rowsBySample.keys.toSeq.sorted
     val sampleNo = samples.zipWithIndex.toMap
-
-    // 2. per-sample cycle binning (one grouping pass, not a per-sample
-    // rescan of the whole slice)
-    val rowsBySample = rows.groupBy(_.file)
     val binned = mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Double)]
     // (sampleNo, cycle, level, mz, intensity)
     for (sample <- samples) {

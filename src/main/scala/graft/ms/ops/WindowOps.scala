@@ -78,9 +78,13 @@ object WindowOps {
       .csv(path)
 
   /** The slice partition key the reference encodes in directory names:
-    * "%.2f" of the adjusted lower bound (split_csv_maps_to_slices.py:81-84). */
+    * "{:.2f}" of the adjusted lower bound (split_csv_maps_to_slices
+    * .py:81-84). bround first so dyadic ties round half-even like
+    * Python's format (Java's %.2f alone rounds HALF_UP); formatting the
+    * already-2dp-rounded double is then tie-free. */
   def withSwathKey(peaks: DataFrame): DataFrame =
-    peaks.withColumn("swath_key", format_string("%.2f", col("swath_lower_adjusted")))
+    peaks.withColumn("swath_key",
+      format_string("%.2f", bround(col("swath_lower_adjusted"), 2)))
 
   /** Partitioned columnar sink for the sliced peak table (replaces the
     * reference's per-slice CSV directories; drops its coalesce(1)). */

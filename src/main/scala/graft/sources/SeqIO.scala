@@ -113,15 +113,26 @@ object SeqIO {
     frags.toSeq
   }
 
+  /** Python slice `s[from:until]` with negative-index translation and
+    * clamping — short fragments must permute exactly like the
+    * reference's clamped slices ('ABCD' → 'BCDA', not unchanged). */
+  private def pySlice(s: String, from: Int, until: Int): String = {
+    val n = s.length
+    def idx(i: Int) = math.max(0, math.min(n, if (i < 0) i + n else i))
+    val a = idx(from)
+    val b = idx(until)
+    if (a >= b) "" else s.substring(a, b)
+  }
+
   /** Decoy by per-fragment tail rotation (the reference's 'rotate'
-    * mutation: frag[:-5] + frag[-3:] + frag[-5:-3], seqproc.py:126-128).
+    * mutation: frag[:-5] + frag[-3:] + frag[-5:-3], seqproc.py:126-128,
+    * including Python's slice clamping for fragments shorter than 5).
     * Deterministic — the seeded-shuffle variants use key-derived seeds
     * instead of the reference's global RNG state. */
   def mutateRotate(sequence: String): String =
     trypticDigest(sequence).map { frag =>
-      if (frag.length < 5) frag
-      else frag.dropRight(5) + frag.takeRight(3) +
-        frag.substring(frag.length - 5, frag.length - 3)
+      pySlice(frag, 0, -5) + pySlice(frag, -3, frag.length) +
+        pySlice(frag, -5, -3)
     }.mkString
 
   /** Decoy by shuffling the last ≤5 residues of each fragment with a

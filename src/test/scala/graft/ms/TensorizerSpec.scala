@@ -91,7 +91,7 @@ class TensorizerSpec extends AnyFunSuite {
     // toy slice, as it would the reference's disabled golden; the pure
     // partition/binning/pivot semantics are asserted via a tensorize run
     // with the filter threshold effectively disabled below.
-    val result = Tensorizer.tensorize("0.00", 0, rows, mzTolPpm = 40.0)
+    val result = Tensorizer.tensorize("0.00", 0, rows.iterator, mzTolPpm = 40.0)
     assert(result == Left(Tensorizer.TooFewPoints))
   }
 
@@ -107,7 +107,7 @@ class TensorizerSpec extends AnyFunSuite {
             (2 * (base + c)).toFloat, 0f, 0f, 0f, 0))
       }
     val rows = mk("a", 100) ++ mk("b", 500)
-    val st = Tensorizer.tensorize("0.00", 0, rows, 40.0)
+    val st = Tensorizer.tensorize("0.00", 0, rows.iterator, 40.0)
       .getOrElse(fail("tensorize failed"))
 
     assert(st.samples == Seq("a", "b"))
@@ -117,6 +117,15 @@ class TensorizerSpec extends AnyFunSuite {
     assert(st(0, 0, 0) == 100f && st(0, 0, 1) == 200f)
     // sample b, cycle 5: MS1 505, MS2 1010
     assert(st(1, 5, 0) == 505f && st(1, 5, 1) == 1010f)
+  }
+
+  test("label formatting matches Python half-even ties") {
+    // 100.03125 is exactly representable: Python "{:.4f}" → 100.0312
+    // (half-even), Java "%.4f" would give 100.0313 (half-up)
+    assert(Tensorizer.pyFormat(100.03125, 4) == "100.0312")
+    assert(Tensorizer.pyFormat(100.09375, 4) == "100.0938") // rounds up to even
+    assert(Tensorizer.label(100.03125, 2) == "100.0312_ms2")
+    assert(Tensorizer.swathKey(440.125) == "440.12")
   }
 
   test("mz index label format and ordering") {
@@ -131,7 +140,7 @@ class TensorizerSpec extends AnyFunSuite {
     val rows = (0 until 6).map { c =>
       AdjustedPeak("a", c, 1, (10.0 + c).toFloat, 100f, 1f, 0f, 0f, 0f, 0)
     }
-    assert(Tensorizer.tensorize("0.00", 0, rows, 40.0) ==
+    assert(Tensorizer.tensorize("0.00", 0, rows.iterator, 40.0) ==
       Left(Tensorizer.EmptyMsLevel(2)))
   }
 }

@@ -46,8 +46,12 @@ class SeqIOSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   test("rotate mutation matches the reference slice arithmetic") {
     // frag[:-5] + frag[-3:] + frag[-5:-3] for 'ABCDEFGH' = 'ABC'+'FGH'+'DE'
     SeqIO.mutateRotate("ABCDEFGH") shouldBe "ABCFGHDE"
-    // short fragments unchanged
+    // short fragments still permute via Python's clamped negative slices:
+    // 'ABCD' → ''+'BCD'+'A'; 'ABCDE' → ''+'CDE'+'AB'; len ≤ 3 unchanged
+    SeqIO.mutateRotate("ABCD") shouldBe "BCDA"
+    SeqIO.mutateRotate("ABCDE") shouldBe "CDEAB"
     SeqIO.mutateRotate("ABK") shouldBe "ABK"
+    SeqIO.mutateRotate("K") shouldBe "K"
   }
 
   test("shuffle-end decoy is deterministic and a permutation") {
