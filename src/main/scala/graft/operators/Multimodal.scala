@@ -52,7 +52,9 @@ object Multimodal extends QueryPack {
     s"('0x'||substr(hx, 2*($pos) - 1, 2))::BIGINT"
 
   /** The batch kernel: replace the body with a real codec for real media.
-    * Runs once per 64-row batch, mirroring an Arrow-batch UDF. */
+    * Runs once per 64-row batch, mirroring an Arrow-batch UDF. Entropy
+    * is -Σ p·ln(p) / ln(2), the exact term shape of the DuckDB oracle
+    * (rounding happens at the DataFrame layer, not in the kernel). */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val bytes = r.content.map(_ & 0xff)
@@ -61,10 +63,9 @@ object Multimodal extends QueryPack {
       bytes.foreach(b => hist(b) += 1)
       val entropy = -hist.iterator.filter(_ > 0).map { c =>
         val p = c.toDouble / n
-        p * math.log(p) / math.log(2.0)
-      }.sum
-      MediaFeatures(r.doc_id, n, bytes.sum.toDouble / n, bytes.max,
-        math.rint(entropy * 10000) / 10000)
+        p * math.log(p)
+      }.sum / math.log(2.0)
+      MediaFeatures(r.doc_id, n, bytes.sum.toDouble / n, bytes.max, entropy)
     }
 
   val queries: Map[String, GraftQuery] = Map(
@@ -147,8 +148,10 @@ object Multimodal extends QueryPack {
 
     // ----------------------------------- batched feature extraction (kernel)
     // The genuine custom-kernel path: typed Dataset → mapPartitions in
-    // 64-row batches. Rows-only check (not SQL-expressible by design —
-    // this is where a real codec would run).
+    // 64-row batches (this is where a real codec would run). The fake
+    // codec's byte statistics ARE SQL-expressible over the hex string,
+    // so the kernel carries a full DuckDB oracle: histogram entropy,
+    // mean/max byte — hash-checked, not rows-only.
     "q_mm_features" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
@@ -158,9 +161,23 @@ object Multimodal extends QueryPack {
           .toDF()
           .select(col("doc_id"), col("n_bytes"),
             round(col("mean_byte"), 4).as("mean_byte"), col("max_byte"),
-            col("entropy"))
+            round(col("entropy"), 4).as("entropy"))
           .orderBy("doc_id")
       },
-      oracle = None)
+      oracle = Some(s"""
+        WITH $synthCte,
+        b AS (SELECT doc_id, ${byteAtDuck("i")} AS v
+              FROM media, generate_series(1, 128) t(i)),
+        hist AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY doc_id, v),
+        tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bytes,
+                       avg(v) AS mean_v, CAST(max(v) AS INT) AS max_v
+                FROM b GROUP BY doc_id)
+        SELECT h.doc_id, t.n_bytes, round(t.mean_v, 4) AS mean_byte,
+               t.max_v AS max_byte,
+               round(-sum((c::DOUBLE / t.n_bytes) * ln(c::DOUBLE / t.n_bytes))
+                     / ln(2.0::DOUBLE), 4) AS entropy
+        FROM hist h JOIN tot t ON t.doc_id = h.doc_id
+        GROUP BY h.doc_id, t.n_bytes, t.mean_v, t.max_v
+        ORDER BY h.doc_id"""))
   )
 }
