@@ -52,6 +52,102 @@ object ToolCommands {
     Seq("java", "-jar", "-Xmx8G", s"$jarDir/DIA_Umpire_SE.jar",
       inputFile, paramFile)
 
+  /** DIA-NN library-free search + spectral-library generation
+    * (diann.Snakefile `diann_library_free`): per-input `--f` pairs, then
+    * outputs, FASTA, learn-lib, and the reference's fixed digest/mz
+    * parameter block. */
+  def diannLibraryFree(
+      inputFiles: Seq[String], report: String, geneStats: String,
+      library: String, fasta: String, trainLib: String,
+      threads: Int): Seq[String] =
+    Seq("diann-linux") ++
+      inputFiles.flatMap(f => Seq("--f", f)) ++
+      Seq("--out", report, "--out-gene", geneStats, "--out-lib", library,
+        "--fasta", fasta, "--learn-lib", trainLib,
+        "--gen-spec-lib", "--lib", "",
+        "--qvalue", "1", "--fasta-search",
+        "--min-fr-mz", "200", "--max-fr-mz", "1800",
+        "--met-excision", "--cut-after", "KR", "--missed-cleavages", "1",
+        "--min-pep-len", "7", "--max-pep-len", "30",
+        "--min-pr-mz", "300", "--max-pr-mz", "1800",
+        "--unimod4", "--no-quant-files",
+        "--threads", threads.toString, "--verbose", "3")
+
+  /** DIA-NN quantification against an existing spectral library
+    * (diann.Snakefile `diann_quant`). */
+  def diannQuant(
+      inputFiles: Seq[String], library: String, fasta: String,
+      report: String, geneStats: String, threads: Int): Seq[String] =
+    Seq("diann-linux") ++
+      inputFiles.flatMap(f => Seq("--f", f)) ++
+      Seq("--lib", library, "--fasta", fasta,
+        "--out", report, "--out-gene", geneStats,
+        "--qvalue", "1", "--met-excision", "--no-quant-files",
+        "--threads", threads.toString, "--verbose", "3")
+
+  /** PeptideProphet significance on mixed target-decoy Comet PSMs
+    * (build_library.Snakefile:27-35). */
+  def peptideProphet(pepXml: String, decoyPrefix: String): Seq[String] =
+    Seq("PeptideProphetParser", pepXml, s"DECOY=$decoyPrefix")
+
+  /** Mayu protein-level FDR (build_library.Snakefile:38-59): -G max PSM
+    * FDR, -H analysis steps, -P filtered-id output, -M file-name base. */
+  def mayu(
+      mayuPath: String, pepXml: String, mixedDatabase: String,
+      decoyPrefix: String, fdr: Double, outBase: String): Seq[String] =
+    Seq("perl", s"-I$mayuPath/lib", s"$mayuPath/Mayu.pl",
+      "-verbose", "-A", pepXml, "-C", mixedDatabase, "-E", decoyPrefix,
+      "-G", fmt(fdr), "-P", s"mFDR=${fmt(fdr)}:t", "-H", "51",
+      "-M", outBase)
+
+  /** SpectraST library build from significant PSMs
+    * (build_library.Snakefile:75-101): CID-QTOF settings, iProphet
+    * probability cutoff from Mayu's mFDR table. */
+  def spectrast(
+      libBasename: String, probabilityCutoff: Double,
+      cometPepXml: String): Seq[String] =
+    Seq("spectrast", s"-cN$libBasename", "-cICID-QTOF",
+      s"-cP${fmt(probabilityCutoff)}", "-c_RDY", "-co", cometPepXml)
+
+  /** SpectraST → OpenSWATH transition TSV (build_library
+    * .Snakefile:104-131): b/y ions, charges 2/3, 4–6 ions per peptide. */
+  def spectrast2openswath(
+      lowerMzFrag: Double, upperMzFrag: Double, maxFragAnnotErr: Double,
+      swathWindowsTsv: String, outFile: String,
+      sptxtLib: String): Seq[String] =
+    Seq("spectrast2tsv.py",
+      "-l", s"${fmt(lowerMzFrag)},${fmt(upperMzFrag)}",
+      "-s", "b,y", "-x", "2,3", "-o", "4", "-n", "6",
+      "-p", fmt(maxFragAnnotErr), "-d",
+      "-w", swathWindowsTsv, "-k", "openswath", "-a", outFile, sptxtLib)
+
+  /** OpenMS FileConverter, the reference's mzXML → MGF step
+    * (sequence_best_models.Snakefile `mzxml2mgf`). */
+  def fileConverter(inputFile: String, outputFile: String): Seq[String] =
+    Seq("FileConverter", "-in", inputFile, "-out", outputFile)
+
+  /** Novor de novo sequencing (sequence_best_models.Snakefile
+    * `sequencer`, novor branch). */
+  def novor(paramFile: String, outputFile: String, inputMgf: String): Seq[String] =
+    Seq("novor.sh", "-f", "-p", paramFile, "-o", outputFile, inputMgf)
+
+  /** DeepNovo beam-search decoding (sequence_best_models.Snakefile
+    * `sequencer`, deepnovo branch; the input MGF travels via
+    * DEEPNOVO_INPUT in the environment, not argv). */
+  def deepnovo(trainDir: String = "train.example",
+      beamSize: Int = 5): Seq[String] =
+    Seq("python", "deepnovo_main.py", "--train_dir", trainDir,
+      "--decode", "--beam_search", "--beam_size", beamSize.toString)
+
+  /** msconvert vendor-file conversion (msconvert_parallel.py:26-40):
+    * 32-bit zlib-compressed peak-picked output. */
+  def msconvert(
+      format: String, outputDir: String, inputPath: String,
+      outputFile: String): Seq[String] =
+    Seq("msconvert.exe", s"--$format", "--32", "--zlib", "--noindex",
+      "--filter", "peakPicking vendor msLevel=1-2",
+      "-o", outputDir, inputPath, "--outfile", outputFile)
+
   private def fmt(d: Double): String =
     if (d == math.rint(d)) d.toLong.toString else d.toString
 }

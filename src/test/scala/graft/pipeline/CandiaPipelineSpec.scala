@@ -84,12 +84,35 @@ class CandiaPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAl
     val best = result.bestModels.collect()
     best.length should be >= 0 // may legitimately be empty on tiny F range
     if (best.nonEmpty) {
-      // stage 9 prep: export writes a well-formed indexed mzXML
+      // stage 9 prep: export writes a well-formed indexed mzXML whose
+      // scan ids are GLOBAL spectrum-index ordinals
       val out = Files.createTempFile("graft-e2e", ".mzXML").toString
       val n = CandiaPipeline.exportBestSpectra(spark, result, out)
       val content = new String(Files.readAllBytes(Paths.get(out)), "ISO-8859-1")
       content should include(s"""<msRun scanCount="$n">""")
       content should include("<indexOffset>")
+      val exportedScans = "<scan num=\"(\\d+)\"".r
+        .findAllMatchIn(content).map(_.group(1).toLong).toSet
+      val indexScans = result.spectrumIndex
+        .select("scan").collect().map(_.getLong(0)).toSet
+      exportedScans.subsetOf(indexScans) shouldBe true
+
+      // stage 9 back-half round-trip: a mock search-engine PSM table over
+      // the exported scans gathers back and joins abundances by scan id
+      if (exportedScans.nonEmpty) {
+        val psmDir = Files.createTempDirectory("graft-psms").toString
+        val tsv = "scan\tcharge\tsequence\n" +
+          exportedScans.toSeq.sorted.map(s => s"$s\t2\tPEPTIDEK").mkString("\n") + "\n"
+        Files.write(Paths.get(s"$psmDir/models_Q1_crux.tsv"), tsv.getBytes("UTF-8"))
+        val psms = graft.sources.PsmGather.readPsmTables(
+          spark, Seq(s"$psmDir/models_Q1_crux.tsv"))
+        val abundances = graft.ms.ops.Indexing.spectraWithSampleAbundance(
+          graft.ms.ops.Indexing.sampleModes(spark, result.models),
+          result.spectrumIndex)
+        val joined = psms.join(abundances, "scan")
+        joined.count() should be > 0L
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(psmDir))
+      }
       Files.delete(Paths.get(out))
     }
     peaks.unpersist()
