@@ -78,4 +78,48 @@ object Decomposer {
       .repartition(nPairs)
       .map { case (t, f) => decomposeSlice(t, f, maxIter, tol, seed) }
   }
+
+  /** The reference's `skip_completed` resume (decompose_parafac
+    * .py:74-76) over a durable model store: models persist as parquet at
+    * `modelStorePath`; a resumed run anti-joins the (slice, F) work list
+    * against the store's existing (swath_key, rt_window, ncomp) keys —
+    * distributed, no driver-side listing — decomposes only the
+    * remainder, and appends. After a partial failure at 100 TB only the
+    * missing decompositions recompute. Returns the full store. */
+  def runResumable(
+      spark: SparkSession,
+      slices: Dataset[SliceTensor],
+      fMin: Int,
+      fMax: Int,
+      modelStorePath: String,
+      maxIter: Int = 5000,
+      tol: Double = 1e-7,
+      seed: Long = 123L): Dataset[ParafacModelRow] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pairs = slices
+      .filter((t: SliceTensor) => !isTrivial(t))
+      .flatMap(t => (fMin to fMax).map(f => (t, f)))
+    val storePath = new org.apache.hadoop.fs.Path(modelStorePath)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val todo =
+      if (!fs.exists(storePath)) pairs
+      else {
+        val done = spark.read.parquet(modelStorePath)
+          .select(col("swath_key"), col("rt_window"), col("ncomp"))
+          .distinct()
+        pairs.toDF().join(done,
+          col("_1.swath_key") === done("swath_key") &&
+            col("_1.rt_window") === done("rt_window") &&
+            col("_2") === done("ncomp"),
+          "left_anti").as[(SliceTensor, Int)]
+      }
+    val nPairs = math.max(spark.sparkContext.defaultParallelism,
+      (slices.rdd.getNumPartitions * (fMax - fMin + 1)))
+    todo
+      .repartition(nPairs)
+      .map { case (t, f) => decomposeSlice(t, f, maxIter, tol, seed) }
+      .write.mode("append").parquet(modelStorePath)
+    spark.read.parquet(modelStorePath).as[ParafacModelRow]
+  }
 }
