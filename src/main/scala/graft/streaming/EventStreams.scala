@@ -44,17 +44,27 @@ object EventStreams extends QueryPack {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result. Streaming micro-batch plans are
+    * sized explicitly (AQE never re-plans them): 8 state-store
+    * partitions instead of the session's batch setting — every stateful
+    * operator initializes one state store PER shuffle partition, which
+    * dominates short-lived streaming queries; results are partition-
+    * count independent. */
   private def runToMemory(
       s: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .queryName(name)
-      .format("memory")
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .queryName(name)
+        .format("memory")
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 
