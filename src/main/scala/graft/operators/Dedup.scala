@@ -162,6 +162,45 @@ object Dedup extends QueryPack {
                count(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // --------------------------------------------- paragraph-level dedup
+    // The CCNet/RefinedWeb boilerplate pass: split each document into
+    // sentences, hash them, and flag sentences that appear in more than
+    // one document. Per-doc output = boilerplate fraction. The shuffle
+    // key is the sentence HASH (32 hex chars), never the sentence text —
+    // at 100 TB the exchange carries fixed-width digests, and the df
+    // count is a plain aggregate (partial map-side combine).
+    "q_dedup_paragraph" -> GraftQuery(
+      run = (s, d) => {
+        val sent = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s0"))
+          .withColumn("s", trim(col("s0")))
+          .filter(col("s") =!= "")
+          .select(col("doc_id"), md5(col("s")).as("h"))
+        val df_ = sent.distinct()
+          .groupBy("h").agg(count(lit(1)).as("docs_with"))
+        sent.join(df_, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sentences"),
+            count(when(col("docs_with") >= 2, 1)).as("n_boilerplate"))
+          .withColumn("boilerplate_frac",
+            round(col("n_boilerplate").cast("double") / col("n_sentences"), 4))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH sent AS (
+          SELECT doc_id, md5(trim(s)) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+                FROM documents)
+          WHERE trim(s) <> ''),
+        df AS (SELECT h, count(*) AS docs_with
+               FROM (SELECT DISTINCT doc_id, h FROM sent) GROUP BY h)
+        SELECT doc_id, count(*) AS n_sentences,
+               count(CASE WHEN docs_with >= 2 THEN 1 END) AS n_boilerplate,
+               round(CAST(count(CASE WHEN docs_with >= 2 THEN 1 END) AS DOUBLE)
+                     / count(*), 4) AS boilerplate_frac
+        FROM sent JOIN df ON df.h = sent.h
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------------- exact n-gram Jaccard
     // Inverted-index pair generation over the stop-shingle-removed
     // stream: group by shingle, emit co-occurring doc pairs from each

@@ -146,6 +146,50 @@ object Multimodal extends QueryPack {
         FROM media, generate_series(0,31) t(i)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ------------------------------------------- perceptual-hash bucketing
+    // Image near-dup detection shape: a 32-bit average-hash over the
+    // payload (bit i = byte_i > mean byte), then bucket by hash — docs
+    // sharing a phash are near-dup candidates. All-integer bit
+    // construction (mean = sum/32 is exact: /2⁵), so buckets are
+    // bit-identical across engines; the hash join key is 8 bytes/doc.
+    "q_mm_phash" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        synth(s, d).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            var sum = 0L
+            var i = 0
+            while (i < 32) { sum += (b(i) & 0xff); i += 1 }
+            val mean = sum.toDouble / 32.0
+            var h = 0L
+            i = 0
+            while (i < 32) {
+              if ((b(i) & 0xff) > mean) h |= 1L << i
+              i += 1
+            }
+            (id, h)
+          }
+          .toDF("doc_id", "phash")
+          .withColumn("n_same_hash",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $synthCte,
+        b AS (SELECT doc_id, i, ${byteAtDuck("i")} AS v
+              FROM media, generate_series(1, 32) t(i)),
+        m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 32.0 AS mean
+              FROM b GROUP BY doc_id),
+        h AS (SELECT b.doc_id AS doc_id,
+                     sum(CASE WHEN v > mean THEN (1::BIGINT << (i - 1))
+                         ELSE 0 END) AS phash
+              FROM b JOIN m ON m.doc_id = b.doc_id
+              GROUP BY b.doc_id)
+        SELECT doc_id, phash,
+               count(*) OVER (PARTITION BY phash) AS n_same_hash
+        FROM h ORDER BY doc_id""")),
+
     // ----------------------------------- batched feature extraction (kernel)
     // The genuine custom-kernel path: typed Dataset → mapPartitions in
     // 64-row batches (this is where a real codec would run). The fake

@@ -253,6 +253,76 @@ object Similarity extends QueryPack {
         SELECT q_id, bucket, rank, n_id, round(cosine, 4) AS cosine
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ---------------------------------------- int8 scalar-quantized top-k
+    // The vector-DB memory trick: each coordinate quantizes to an int in
+    // [-127, 127] with a per-vector scale (4× smaller vectors than f32,
+    // integer dot products, SIMD-friendly). Quantized dots and norms are
+    // exact integer arithmetic, so the ranking is bit-identical across
+    // engines — no FP-margin hash hazard by construction — and the
+    // quantized top-k closely tracks the exact-cosine ranking.
+    "q_sim_quantized_topk" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val quant = vecs(s, d).select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          .map { case (id, v) =>
+            var m = 0.0
+            v.foreach(x => { val a = math.abs(x); if (a > m) m = a })
+            val scale = if (m == 0.0) 0.0 else 127.0 / m
+            val q = v.map(x => math.floor(x * scale + 0.5).toLong)
+            var qn = 0L
+            q.foreach(x => qn += x * x)
+            (id, q, qn)
+          }
+          .toDF("vec_id", "q", "qn")
+        broadcast(quant.filter(col("vec_id") < 10)).as("a")
+          .join(quant.as("c"), col("a.vec_id") =!= col("c.vec_id"))
+          .select(col("a.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            col("a.q").as("qa"), col("c.q").as("qc"),
+            col("a.qn").as("qna"), col("c.qn").as("qnc"))
+          .as[(Long, Long, Array[Long], Array[Long], Long, Long)]
+          .mapPartitions(_.map { case (qid, nid, qa, qc, qna, qnc) =>
+            var dot = 0L
+            var i = 0
+            val n = math.min(qa.length, qc.length)
+            while (i < n) { dot += qa(i) * qc(i); i += 1 }
+            val qcos = dot.toDouble /
+              (math.sqrt(qna.toDouble) * math.sqrt(qnc.toDouble))
+            (qid, nid, qcos)
+          })
+          .toDF("q_id", "n_id", "qcos")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("qcos"), 4).as("qcos"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        ma AS (SELECT vec_id, max(abs(x)) AS m FROM u GROUP BY vec_id),
+        q AS (SELECT u.vec_id AS vec_id, u.i AS i,
+                     floor(u.x * (127.0::DOUBLE / ma.m) + 0.5)::BIGINT AS qx
+              FROM u JOIN ma ON ma.vec_id = u.vec_id),
+        qn AS (SELECT vec_id, sum(qx*qx) AS qn FROM q GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                        sum(a.qx*b.qx) AS qdot
+                 FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+                 WHERE a.vec_id < 10
+                 GROUP BY 1, 2),
+        ranked AS (
+          SELECT q_id, n_id,
+                 qdot::DOUBLE / (sqrt(qna.qn::DOUBLE) * sqrt(qnb.qn::DOUBLE))
+                   AS qcos,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY qdot::DOUBLE
+                            / (sqrt(qna.qn::DOUBLE) * sqrt(qnb.qn::DOUBLE))
+                            DESC, n_id) AS rank
+          FROM dots JOIN qn qna ON qna.vec_id = q_id
+                    JOIN qn qnb ON qnb.vec_id = n_id)
+        SELECT q_id, rank, n_id, round(qcos, 4) AS qcos
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // -------------------------------------------- IVF multi-probe (nprobe=2)
     // The recall knob demonstrated: probing the 2 nearest centroids'
     // lists roughly doubles the scanned fraction and recovers strictly

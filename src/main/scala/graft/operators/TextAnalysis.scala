@@ -153,6 +153,70 @@ object TextAnalysis extends QueryPack {
                          ELSE 'fr' END = lang AS INT) AS is_match
         FROM h ORDER BY doc_id""")),
 
+    // ------------------------------------- Gopher-style document filters
+    // The published corpus-filter family (Gopher, Rae et al. 2021):
+    // word-count bounds, mean word length, fraction of alphabetic words,
+    // and the repetition signal (most frequent word's share). The pass
+    // flag uses INTEGER comparisons (e.g. 5·top_cnt ≤ n_words instead of
+    // top_frac ≤ 0.2) so the boundary is exact in both engines. Stats
+    // are per-row array ops; only the top-word count shuffles, keyed by
+    // (doc, word) — skew-free by construction.
+    "q_text_gopher" -> GraftQuery(
+      run = (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+        val tops = t.select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+        t.select(
+            col("doc_id"),
+            size(col("ws")).as("n_words"),
+            expr("aggregate(ws, 0, (a, x) -> a + length(x))").as("sum_len"),
+            size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"))
+          .join(tops, "doc_id")
+          .select(
+            col("doc_id"), col("n_words"),
+            round(col("sum_len").cast("double") / col("n_words"), 4)
+              .as("mean_word_len"),
+            round(col("n_alpha").cast("double") / col("n_words"), 4)
+              .as("frac_alpha"),
+            round(col("top_cnt").cast("double") / col("n_words"), 4)
+              .as("top_word_frac"),
+            (col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("sum_len") >= col("n_words") * 3 &&
+              col("sum_len") <= col("n_words") * 10 &&
+              col("n_alpha") * 5 >= col("n_words") * 4 &&
+              col("top_cnt") * 5 <= col("n_words")).cast("int").as("passes"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        tops AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM (
+              SELECT doc_id, unnest(ws) AS w FROM t)
+            GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        m AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha
+          FROM t)
+        SELECT m.doc_id, n_words,
+               round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+               round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS frac_alpha,
+               round(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_frac,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                    AND n_alpha * 5 >= n_words * 4
+                    AND top_cnt * 5 <= n_words AS INT) AS passes
+        FROM m JOIN tops ON tops.doc_id = m.doc_id
+        ORDER BY m.doc_id""")),
+
     // -------------------------------------- bigram LM quality (perplexity)
     // Two-pass corpus-trained scorer, the KenLM-filter pattern: pass 1
     // counts word bigrams over the whole corpus (the canonical
