@@ -82,12 +82,16 @@ object CandiaPipeline {
 
   /** Stages 1–8: mzML files → models + best-model selection. Passing
     * `slicesPath` routes the peak table through the partitioned on-disk
-    * slice layout between stages 3 and 4. */
+    * slice layout between stages 3 and 4; passing `modelStorePath`
+    * makes the expensive decomposition stage resumable (the reference's
+    * `skip_completed`): a re-run recomputes only (slice, F) pairs
+    * missing from the store. */
   def run(
       spark: SparkSession,
       mzmlFiles: Seq[String],
       config: CandiaConfig = CandiaConfig(),
-      slicesPath: Option[String] = None): CandiaResult = {
+      slicesPath: Option[String] = None,
+      modelStorePath: Option[String] = None): CandiaResult = {
     import spark.implicits._
     val ingested = ingest(spark, mzmlFiles, config)
     val peaks = slicesPath match {
@@ -96,10 +100,16 @@ object CandiaPipeline {
     }
     val tensors = TensorizeOp.tensorize(spark, peaks, config.massTolPpm)
       .persist()
-    val models = Decomposer.run(spark, tensors,
-      config.parafacMinComp, config.parafacMaxComp,
-      maxIter = config.parafacMaxIter, tol = config.parafacTol,
-      seed = config.seed).persist()
+    val models = (modelStorePath match {
+      case Some(p) => Decomposer.runResumable(spark, tensors,
+        config.parafacMinComp, config.parafacMaxComp, p,
+        maxIter = config.parafacMaxIter, tol = config.parafacTol,
+        seed = config.seed)
+      case None => Decomposer.run(spark, tensors,
+        config.parafacMinComp, config.parafacMaxComp,
+        maxIter = config.parafacMaxIter, tol = config.parafacTol,
+        seed = config.seed)
+    }).persist()
     val counts = Indexing.countTimeModePeaks(spark, models,
       config.avgPeakFwhmSec, config.windowSizeSec).persist()
 
