@@ -202,6 +202,49 @@ object EventStreams extends QueryPack {
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ------------------------------ foreachBatch sink (exactly-once shape)
+    // The production custom-sink pattern: foreachBatch hands each
+    // micro-batch to arbitrary writer code with its batchId; writing
+    // into a batch_id-keyed location makes retries IDEMPOTENT (a
+    // re-executed batch overwrites its own output instead of appending
+    // duplicates) — the standard exactly-once recipe for sinks without
+    // transactional streaming support. The query returns batch 0's sink
+    // contents read back, which under AvailableNow equals the batch
+    // aggregate — hence a full DuckDB oracle.
+    "q_stream_foreachbatch" -> GraftQuery(
+      run = (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-fb").toString + "/sink"
+        val stream = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "8")
+        try {
+          val q = stream.writeStream
+            .outputMode(OutputMode.Update())
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$out/batch_id=$batchId")
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set(key, prev)
+        s.read.parquet(s"$out/batch_id=0").orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute
     // event-time gap opens a new session.
