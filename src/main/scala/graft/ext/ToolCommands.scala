@@ -133,11 +133,16 @@ object ToolCommands {
 
   /** DeepNovo beam-search decoding (sequence_best_models.Snakefile
     * `sequencer`, deepnovo branch; the input MGF travels via
-    * DEEPNOVO_INPUT in the environment, not argv). */
+    * DEEPNOVO_INPUT in the environment, not argv — pass
+    * [[deepnovoEnv]] to the runner alongside this command). */
   def deepnovo(trainDir: String = "train.example",
       beamSize: Int = 5): Seq[String] =
     Seq("python", "deepnovo_main.py", "--train_dir", trainDir,
       "--decode", "--beam_search", "--beam_size", beamSize.toString)
+
+  /** The environment DeepNovo reads its input from. */
+  def deepnovoEnv(inputMgf: String): Map[String, String] =
+    Map("DEEPNOVO_INPUT" -> inputMgf)
 
   /** msconvert vendor-file conversion (msconvert_parallel.py:26-40):
     * 32-bit zlib-compressed peak-picked output. */
@@ -153,12 +158,16 @@ object ToolCommands {
 }
 
 /** Execution seam: production wires a process runner; tests assert on
-  * the command lines only. */
+  * the command lines (and env) only. */
 trait ToolRunner {
-  def run(command: Seq[String]): Int
+  def run(command: Seq[String], env: Map[String, String] = Map.empty): Int
 }
 
 object ProcessToolRunner extends ToolRunner {
-  override def run(command: Seq[String]): Int =
-    new ProcessBuilder(command: _*).inheritIO().start().waitFor()
+  override def run(
+      command: Seq[String], env: Map[String, String] = Map.empty): Int = {
+    val pb = new ProcessBuilder(command: _*).inheritIO()
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.start().waitFor()
+  }
 }

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Indexing {
 
-  /** Cents-integer swath key (models.py:69-70): uint32(round(lower·100)). */
+  /** Cents-integer swath key (models.py:69-70): uint32(round(lower·100)).
+    * np.round is HALF_EVEN, so bround — which also keeps this key in
+    * agreement with the half-even string keys (Tensorizer.pyFormat /
+    * WindowOps.withSwathKey) at exact dyadic ties like 440.125. */
   def centsKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c * 100.0, 0).cast("long")
+    bround(c * 100.0, 0).cast("long")
 
   /** Model index over adjusted windows × RT windows × F range.
     * `windows` must carry swath_lower_adjusted (one row per adjusted

@@ -53,18 +53,24 @@ object Multimodal extends QueryPack {
 
   /** The batch kernel: replace the body with a real codec for real media.
     * Runs once per 64-row batch, mirroring an Arrow-batch UDF. Entropy
-    * is -Σ p·ln(p) / ln(2), the exact term shape of the DuckDB oracle
-    * (rounding happens at the DataFrame layer, not in the kernel). */
+    * terms p·ln(p) are quantized to a 1e-12 integer grid and summed as
+    * Longs — integer addition is order-independent, so the oracle's
+    * hash aggregate (arbitrary summation order) lands on the identical
+    * value instead of differing by an ulp at a rounding boundary. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val bytes = r.content.map(_ & 0xff)
       val n = bytes.length
       val hist = new Array[Int](256)
       bytes.foreach(b => hist(b) += 1)
-      val entropy = -hist.iterator.filter(_ > 0).map { c =>
-        val p = c.toDouble / n
-        p * math.log(p)
-      }.sum / math.log(2.0)
+      var s = 0L
+      hist.foreach { c =>
+        if (c > 0) {
+          val p = c.toDouble / n
+          s += math.floor(p * math.log(p) * 1e12 + 0.5).toLong
+        }
+      }
+      val entropy = -(s.toDouble / 1e12) / math.log(2.0)
       MediaFeatures(r.doc_id, n, bytes.sum.toDouble / n, bytes.max, entropy)
     }
 
@@ -218,7 +224,10 @@ object Multimodal extends QueryPack {
                 FROM b GROUP BY doc_id)
         SELECT h.doc_id, t.n_bytes, round(t.mean_v, 4) AS mean_byte,
                t.max_v AS max_byte,
-               round(-sum((c::DOUBLE / t.n_bytes) * ln(c::DOUBLE / t.n_bytes))
+               round(-(CAST(sum(floor((c::DOUBLE / t.n_bytes)
+                                      * ln(c::DOUBLE / t.n_bytes)
+                                      * 1000000000000.0 + 0.5)::BIGINT)
+                       AS DOUBLE) / 1000000000000.0)
                      / ln(2.0::DOUBLE), 4) AS entropy
         FROM hist h JOIN tot t ON t.doc_id = h.doc_id
         GROUP BY h.doc_id, t.n_bytes, t.mean_v, t.max_v

@@ -137,7 +137,8 @@ object CandiaPipeline {
       spark: SparkSession,
       result: CandiaResult,
       path: String,
-      intensityCutoffBin: Int = 1): Int = {
+      config: CandiaConfig = CandiaConfig()): Int = {
+    val intensityCutoffBin = config.intensityCutoffBin
     import spark.implicits._
     val bestKeys = result.bestModels
       .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
@@ -171,7 +172,7 @@ object CandiaPipeline {
           Set.empty[Int])
         val labels = m.mz_indices.map(graft.ms.ops.Tensorizer.parseLabel)
         val center = m.swath_key.toDouble
-        val cents = math.round(center * 100)
+        val cents = math.rint(center * 100).toLong // half-even, like centsKey
         (0 until m.ncomp).filter(keep).map { k =>
           MzXMLWriter.Component(
             scanId = scanOf((cents, m.rt_window, m.ncomp, k.toLong)),

@@ -59,8 +59,12 @@ object PsmGather {
     val withParams =
       if (addSliceParams)
         base
+          // anchored on the swath partition column name (matches both
+          // `swath_lower_adjusted=` and `swath_key=`) — an unanchored
+          // first `=value/` would capture unrelated key=value segments
+          // earlier in the root path
           .withColumn("swath_start",
-            regexp_extract(f, "=([^/=]*)/", 1).cast("double"))
+            regexp_extract(f, "swath[^/=]*=([^/]*)/", 1).cast("double"))
           .withColumn("rt_window",
             regexp_extract(f, "rt_window=([^/]*)/", 1).cast("double"))
       else base

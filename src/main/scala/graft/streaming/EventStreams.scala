@@ -43,20 +43,24 @@ object EventStreams extends QueryPack {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. Streaming micro-batch plans are
-    * sized explicitly (AQE never re-plans them): 8 state-store
-    * partitions instead of the session's batch setting — every stateful
-    * operator initializes one state store PER shuffle partition, which
-    * dominates short-lived streaming queries; results are partition-
-    * count independent. */
-  private def runToMemory(
-      s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+  /** Streaming micro-batch plans are sized explicitly (AQE never
+    * re-plans them): 8 state-store partitions instead of the session's
+    * batch setting — every stateful operator initializes one state
+    * store PER shuffle partition, which dominates short-lived streaming
+    * queries; results are partition-count independent. */
+  private def withStreamShufflePartitions[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "8")
-    try {
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. */
+  private def runToMemory(
+      s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    withStreamShufflePartitions(s) {
       val q = df.writeStream
         .queryName(name)
         .format("memory")
@@ -64,7 +68,7 @@ object EventStreams extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set(key, prev)
+    }
     s.table(name)
   }
 
@@ -213,8 +217,11 @@ object EventStreams extends QueryPack {
     // aggregate — hence a full DuckDB oracle.
     "q_stream_foreachbatch" -> GraftQuery(
       run = (s, d) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-fb").toString + "/sink"
+        // fixed per-session sink path + overwrite mode: repeated runs
+        // (verify dumps, bench rounds) reuse one directory instead of
+        // leaking a temp dir per invocation
+        val out = s"${sys.props("java.io.tmpdir")}/graft_fb_" +
+          s.sparkContext.applicationId
         val stream = s.readStream.schema(eventSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
@@ -223,10 +230,7 @@ object EventStreams extends QueryPack {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")), 4).as("sum_value"))
-        val key = "spark.sql.shuffle.partitions"
-        val prev = s.conf.get(key)
-        s.conf.set(key, "8")
-        try {
+        withStreamShufflePartitions(s) {
           val q = stream.writeStream
             .outputMode(OutputMode.Update())
             .trigger(Trigger.AvailableNow())
@@ -238,7 +242,7 @@ object EventStreams extends QueryPack {
             }
             .start()
           q.awaitTermination()
-        } finally s.conf.set(key, prev)
+        }
         s.read.parquet(s"$out/batch_id=0").orderBy("event_type")
       },
       oracle = Some("""

@@ -107,6 +107,9 @@ class ToolCommandsSpec extends AnyFunSuite with Matchers {
     ToolCommands.deepnovo() shouldBe Seq("python", "deepnovo_main.py",
       "--train_dir", "train.example", "--decode", "--beam_search",
       "--beam_size", "5")
+    // DeepNovo reads its input from the environment, not argv
+    ToolCommands.deepnovoEnv("best.mgf") shouldBe
+      Map("DEEPNOVO_INPUT" -> "best.mgf")
   }
 
   test("msconvert command carries the vendor peak-picking filter") {

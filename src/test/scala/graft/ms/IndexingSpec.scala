@@ -54,10 +54,13 @@ class IndexingSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     got.toSeq shouldBe expected
   }
 
-  test("cents key matches the reference's uint32(round(lower*100))") {
+  test("cents key matches the reference's uint32(np.round(lower*100))") {
     import spark.implicits._
+    // np.round is HALF-EVEN: 400.005·100 is exactly 40000.5 in binary →
+    // 40000 (verified against numpy; a HALF_UP key would give 40001 and
+    // disagree with the reference AND the half-even string keys)
     val df = Seq(623.0, 639.495, 400.005).toDF("v")
       .select(Indexing.centsKey(org.apache.spark.sql.functions.col("v")).as("k"))
-    df.collect().map(_.getLong(0)).sorted shouldBe Array(40001L, 62300L, 63950L)
+    df.collect().map(_.getLong(0)).sorted shouldBe Array(40000L, 62300L, 63950L)
   }
 }
