@@ -70,6 +70,42 @@ object ScaleOps extends QueryPack {
         WHERE e.value > dim.type_avg
         GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // ------------------------------------------- bucketed co-located join
+    // The shuffle-elimination pattern for repeated big-big joins: both
+    // sides are written bucketed (and sorted) by the join key, so a
+    // sort-merge join reads co-located buckets with NO exchange on
+    // either side — at 100 TB this converts every downstream join on
+    // the key into a scan-local merge. The oracle checks results (which
+    // are plan-independent); `PlanGuardSpec` asserts the exchange-free
+    // plan shape with broadcast disabled.
+    "q_scale_bucketed_join" -> GraftQuery(
+      run = (s, d) => {
+        val wh = s"${sys.props("java.io.tmpdir")}/graft_wh_" +
+          s.sparkContext.applicationId
+        val ev = Tables.events(s, d).select(
+          col("user_id"), col("event_type"), col("value"))
+        ev.write.mode("overwrite")
+          .bucketBy(16, "user_id").sortBy("user_id")
+          .option("path", s"$wh/ev").saveAsTable("graft_ev_bucketed")
+        ev.groupBy("user_id").agg(avg(col("value")).as("user_avg"))
+          .write.mode("overwrite")
+          .bucketBy(16, "user_id").sortBy("user_id")
+          .option("path", s"$wh/users").saveAsTable("graft_users_bucketed")
+        s.table("graft_ev_bucketed")
+          .join(s.table("graft_users_bucketed"), "user_id")
+          .filter(col("value") > col("user_avg"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT user_id, avg(value) AS user_avg
+                     FROM events GROUP BY user_id)
+        SELECT e.event_type, count(*) AS n_above
+        FROM events e JOIN dim ON e.user_id = dim.user_id
+        WHERE e.value > dim.user_avg
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
     // ----------------------------------------------- sketched distinct count
     // HLL++ distinct counting — the constant-memory path for cardinality
     // at 100 TB (exact distinct shuffles every key). The oracle checks

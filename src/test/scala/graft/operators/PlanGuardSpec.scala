@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regression guards: the properties that make these
+  * operators survive a 100 TB cluster are PLAN properties (pruned
+  * scans, no accidental cartesian products, bucket-co-located joins),
+  * so they are asserted here against the compiled physical plans — a
+  * quiet regression (e.g. a lost projection pushdown) fails CI even
+  * though results stay correct. */
+class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sf/lineitem.parquet").exists
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("plan-guard")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no accidental cartesian products in the registry's heavy queries") {
+    assume(haveData)
+    // every query that joins fact-sized inputs; the only intentional
+    // cross products are tiny broadcast grids (model_grid) which plan
+    // as BroadcastNestedLoopJoin over literal-sized sides
+    Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_paragraph",
+      "q_text_lm_score", "q_text_gopher", "q_join_fact_fact",
+      "q_sim_knn_brute", "q_sim_quantized_topk").foreach { q =>
+      withClue(q) { plan(q) should not include "CartesianProduct" }
+    }
+  }
+
+  test("text operators prune the documents scan to (doc_id, text)") {
+    assume(haveData)
+    Seq("q_text_tokens", "q_text_quality", "q_text_gopher",
+      "q_text_fingerprint").foreach { q =>
+      withClue(q) {
+        val scans = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan(q)).map(_.group(1)).toSeq
+        scans should not be empty
+        // no scan reads more than the two needed document columns
+        scans.foreach(s => s.split(",").length should be <= 2)
+      }
+    }
+  }
+
+  test("bucketed join plans with no exchange on either side") {
+    assume(haveData)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // build the bucketed tables, then re-derive the join plan under
+      // the no-broadcast conf: bucket co-location must eliminate both
+      // shuffle exchanges ahead of the sort-merge join
+      SparkEntry.queries("q_scale_bucketed_join")(spark, sf)
+      val p = spark.table("graft_ev_bucketed")
+        .join(spark.table("graft_users_bucketed"), "user_id")
+        .filter(col("value") > col("user_avg"))
+        .queryExecution.executedPlan.toString
+      p should include ("SortMergeJoin")
+      p should not include "Exchange"
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("salted join keeps the fact side shuffle-free") {
+    assume(haveData)
+    val p = plan("q_scale_salted_join")
+    p should include ("BroadcastHashJoin")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
