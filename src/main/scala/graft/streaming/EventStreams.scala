@@ -249,6 +249,54 @@ object EventStreams extends QueryPack {
         SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ----------------------- native session windows (built-in operator)
+    // The same sessionization computed by Spark's native session_window
+    // — merging event-time windows in the streaming aggregation
+    // operator, no user state code. Gap is 30 min + 1 µs because the
+    // native window BREAKS at `t >= last + gap` while the reference
+    // semantics (and the oracle) break at `t > last + 30min`: on the
+    // µs-truncated domain those coincide exactly at gap = 30:00.000001.
+    // Same output contract as q_stream_sessionize → same oracle.
+    "q_stream_session_window" -> GraftQuery(
+      run = (s, d) => {
+        val sessions = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(col("user_id"),
+            session_window(col("event_time"), "30 minutes 1 microsecond"))
+          .agg(count(lit(1)).as("n"))
+        // session merging cannot retract under Update — Complete mode
+        // re-emits the full (small, aggregated) result per batch
+        val perUser = runToMemory(s, sessions,
+          "graft_stream_session_window", OutputMode.Complete())
+        perUser.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+            max(col("n")).as("longest_session"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+               max(n) AS longest_session
+        FROM per_session GROUP BY user_id ORDER BY user_id""")),
+
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute
     // event-time gap opens a new session.
