@@ -81,13 +81,18 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Session registration for the engine's native expressions. */
 object GraftFunctions {
-  /** Idempotently register `graft_cosine(a, b)` with the session
+  /** Idempotently register the native functions with the session
     * (imperative path for sessions built without extensions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (children: Seq[Expression]) => CosineSim(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qcos",
+      (children: Seq[Expression]) => QuantizedCos(children(0), children(1)),
+      "built-in")
+  }
 }
 
 /** The canonical injection point: set
@@ -98,9 +103,14 @@ object GraftFunctions {
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qcos"),
+      new ExpressionInfo(classOf[QuantizedCos].getName, "graft_qcos"),
+      (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
+  }
 }

@@ -269,28 +269,16 @@ object Similarity extends QueryPack {
             var m = 0.0
             v.foreach(x => { val a = math.abs(x); if (a > m) m = a })
             val scale = if (m == 0.0) 0.0 else 127.0 / m
-            val q = v.map(x => math.floor(x * scale + 0.5).toLong)
-            var qn = 0L
-            q.foreach(x => qn += x * x)
-            (id, q, qn)
+            (id, v.map(x => math.floor(x * scale + 0.5).toLong))
           }
-          .toDF("vec_id", "q", "qn")
+          .toDF("vec_id", "q")
+        // scoring via the native graft_qcos expression: fused integer
+        // dot+norms loop inside whole-stage codegen (the typed-kernel
+        // form forced a serialization boundary around the join)
         broadcast(quant.filter(col("vec_id") < 10)).as("a")
           .join(quant.as("c"), col("a.vec_id") =!= col("c.vec_id"))
           .select(col("a.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-            col("a.q").as("qa"), col("c.q").as("qc"),
-            col("a.qn").as("qna"), col("c.qn").as("qnc"))
-          .as[(Long, Long, Array[Long], Array[Long], Long, Long)]
-          .mapPartitions(_.map { case (qid, nid, qa, qc, qna, qnc) =>
-            var dot = 0L
-            var i = 0
-            val n = math.min(qa.length, qc.length)
-            while (i < n) { dot += qa(i) * qc(i); i += 1 }
-            val qcos = dot.toDouble /
-              (math.sqrt(qna.toDouble) * math.sqrt(qnc.toDouble))
-            (qid, nid, qcos)
-          })
-          .toDF("q_id", "n_id", "qcos")
+            expr("graft_qcos(a.q, c.q)").as("qcos"))
           .withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))))
           .filter(col("rank") <= 3)

@@ -32,6 +32,25 @@ class CosineSimSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     df.filter(col("native") =!= col("composed")).count() shouldBe 0L
   }
 
+  test("graft_qcos matches the integer reference fold exactly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(100)((
+      Array.fill(64)((rng.nextInt(255) - 127).toLong),
+      Array.fill(64)((rng.nextInt(255) - 127).toLong)))
+    val expected = rows.map { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val got = rows.toDF("a", "b")
+      .withColumn("c", expr("graft_qcos(a, b)"))
+      .select("c").collect().map(_.getDouble(0))
+    // integer accumulation: equality is exact, not approximate
+    got.toSeq shouldBe expected
+  }
+
   test("known values and self-similarity") {
     GraftFunctions.register(spark)
     import spark.implicits._
