@@ -106,6 +106,31 @@ object ScaleOps extends QueryPack {
         WHERE e.value > dim.user_avg
         GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // --------------------------------------------- partition pruning
+    // The other scan-elimination pattern: data laid out partitioned by a
+    // filter column means a selective query READS only matching
+    // directories — at 100 TB, `WHERE event_type = 'click'` over a
+    // type-partitioned table scans 1/5th of the bytes before a single
+    // row is decoded. `PlanGuardSpec` asserts the pruned scan.
+    "q_scale_partition_pruning" -> GraftQuery(
+      run = (s, d) => {
+        val layout = s"${sys.props("java.io.tmpdir")}/graft_pp_" +
+          s.sparkContext.applicationId
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(layout)
+        s.read.parquet(layout)
+          .filter(col("event_type") === "click")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ----------------------------------------------- sketched distinct count
     // HLL++ distinct counting — the constant-memory path for cardinality
     // at 100 TB (exact distinct shuffles every key). The oracle checks

@@ -249,6 +249,32 @@ object EventStreams extends QueryPack {
         SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ----------------- state-bounded streaming dedup (within watermark)
+    // dropDuplicatesWithinWatermark is the production form of streaming
+    // dedup: per-key state is EVICTED once the watermark passes, so
+    // state stays O(keys-in-window) instead of O(all-keys-ever) — the
+    // difference between a dedup that runs for a day and one that runs
+    // forever. Same single-batch result as exact dedup here.
+    "q_stream_dedup_watermark" -> GraftQuery(
+      run = (s, d) => {
+        val deduped = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("copy", explode(array(lit(1), lit(2))))
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"),
+            round(sum(col("value")), 4).as("sum_value"))
+        runToMemory(s, deduped, "graft_stream_dedup_wm", OutputMode.Update())
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_unique,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ----------------------- native session windows (built-in operator)
     // The same sessionization computed by Spark's native session_window
     // — merging event-time windows in the streaming aggregation

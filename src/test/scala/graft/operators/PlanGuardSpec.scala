@@ -79,5 +79,14 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include ("BroadcastHashJoin")
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    assume(haveData)
+    val p = plan("q_scale_partition_pruning")
+    // the selective filter must reach the scan as a partition filter —
+    // pruned scans list it under PartitionFilters, not as a row filter
+    p should include ("PartitionFilters")
+    p should include regex "PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\]"
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
