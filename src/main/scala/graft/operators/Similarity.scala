@@ -311,6 +311,120 @@ object Similarity extends QueryPack {
         SELECT q_id, rank, n_id, round(qcos, 4) AS qcos
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ------------------------------------- product quantization + ADC
+    // The vector-DB compression tier below int8: vectors factor into 8
+    // subspaces of 8 dims, each encoded as its nearest per-label
+    // centroid (the codebook) — 8 small codes per vector instead of 64
+    // floats. Queries score candidates by Asymmetric Distance
+    // Computation: a per-(query, subspace, centroid) lookup table of
+    // partial dots, so scoring a candidate is 8 table lookups + adds,
+    // never a full dot product. Codebook entries, encodings, and ADC
+    // sums all live on a 1e-6 integer grid (Long arithmetic), so code
+    // assignment and ranking are bit-identical across engines.
+    // Scale shape: the codebook is tiny (labels × 64) and broadcast;
+    // encoding is map-side; scoring joins the (tiny) query tables
+    // against codes — candidates never ship their vectors.
+    "q_sim_pq_adc" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val all = vecs(s, d)
+        val centRows = all
+          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg(col("x")).as("cx"))
+          .select(col("label"), col("i"),
+            expr("CAST(floor(cx * 1000000.0 + 0.5) AS BIGINT)").as("cq"))
+          .collect()
+        val labels = centRows.map(_.getInt(0)).distinct.sorted
+        val centOf: Map[Int, Array[Long]] = centRows.groupBy(_.getInt(0))
+          .map { case (l, rows) =>
+            val arr = new Array[Long](64)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            l -> arr
+          }
+        val quantized = all.select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          .map { case (id, v) =>
+            (id, v.map(x => math.floor(x * 1e6 + 0.5).toLong))
+          }
+        // encode: nearest centroid per subspace by integer L2; labels
+        // iterate ascending with a strict <, so ties pick the smallest
+        val codes = quantized.flatMap { case (id, xq) =>
+          (0 until 8).map { sub =>
+            var bestL = -1
+            var bestD = Long.MaxValue
+            labels.foreach { l =>
+              val c = centOf(l)
+              var d2 = 0L
+              var k = 0
+              while (k < 8) {
+                val diff = xq(sub * 8 + k) - c(sub * 8 + k)
+                d2 += diff * diff
+                k += 1
+              }
+              if (d2 < bestD) { bestD = d2; bestL = l }
+            }
+            (id, sub, bestL)
+          }
+        }.toDF("vec_id", "sub", "code")
+        // ADC lookup tables for the query batch
+        val qtab = quantized.filter(_._1 < 10).flatMap { case (qid, xq) =>
+          for { sub <- 0 until 8; l <- labels } yield {
+            val c = centOf(l)
+            var t = 0L
+            var k = 0
+            while (k < 8) { t += xq(sub * 8 + k) * c(sub * 8 + k); k += 1 }
+            (qid, sub, l, t)
+          }
+        }.toDF("q_id", "qsub", "c_label", "t")
+        codes.join(broadcast(qtab),
+            col("sub") === col("qsub") && col("code") === col("c_label") &&
+              col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(sum(col("t")).as("score"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("score").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("score") / 1e12, 4).as("approx_dot"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+               FROM u),
+        cent AS (SELECT label AS c_label, i,
+                        floor(avg(x) * 1000000.0 + 0.5)::BIGINT AS cq
+                 FROM u GROUP BY label, i),
+        dist AS (SELECT xq.vec_id AS vec_id, (xq.i - 1) // 8 AS sub,
+                        cent.c_label AS c_label,
+                        sum((xq.xq - cent.cq) * (xq.xq - cent.cq)) AS d2
+                 FROM xq JOIN cent ON cent.i = xq.i
+                 GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, c_label AS code FROM (
+                    SELECT vec_id, sub, c_label,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2, c_label) AS rn
+                    FROM dist) WHERE rn = 1),
+        qtab AS (SELECT xq.vec_id AS q_id, (xq.i - 1) // 8 AS sub,
+                        cent.c_label AS c_label, sum(xq.xq * cent.cq) AS t
+                 FROM xq JOIN cent ON cent.i = xq.i
+                 WHERE xq.vec_id < 10
+                 GROUP BY 1, 2, 3),
+        scores AS (SELECT qtab.q_id AS q_id, codes.vec_id AS n_id,
+                          sum(qtab.t) AS score
+                   FROM codes JOIN qtab
+                     ON qtab.sub = codes.sub AND qtab.c_label = codes.code
+                   WHERE codes.vec_id <> qtab.q_id
+                   GROUP BY 1, 2),
+        ranked AS (SELECT q_id, n_id, score,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, n_id) AS rank
+                   FROM scores)
+        SELECT q_id, rank, n_id,
+               round(score / 1000000000000.0, 4) AS approx_dot
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // -------------------------------------------- IVF multi-probe (nprobe=2)
     // The recall knob demonstrated: probing the 2 nearest centroids'
     // lists roughly doubles the scanned fraction and recovers strictly
