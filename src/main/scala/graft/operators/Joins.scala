@@ -61,6 +61,79 @@ object Joins extends QueryPack {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
+    // ----------------------------------- TPC-H Q3 shape (shipping priority)
+    // Selective dim filter → fact-fact join → grouped revenue → top-k.
+    // The classic Catalyst showcase: both filters reach their scans,
+    // the filtered customer side broadcasts, and only the
+    // orders⋈lineitem equi-join shuffles (AQE may broadcast that too).
+    // Revenue rounds to 2dp BEFORE ranking so the top-k cutoff sits on
+    // a stable value, with l_orderkey as the total-order tie-break.
+    "q_join_tpch_q3" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") < lit("1997-06-30").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+              .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      oracle = Some("""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
+          AND l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ------------------------------ TPC-H Q5 shape (local supplier volume)
+    // Six-table join through region→nation→customer→orders→lineitem→
+    // supplier with the "local supplier" same-nation predicate. All
+    // dimension hops broadcast; the two fact joins shuffle on their keys.
+    "q_join_tpch_q5" -> GraftQuery(
+      run = (s, d) =>
+        Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+          .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name")),
+      oracle = Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // Left outer join keeping unmatched dimension rows.
     "q_join_left" -> GraftQuery(
       run = (s, d) =>
