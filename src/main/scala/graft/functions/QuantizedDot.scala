@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: cosine over int8-quantized vectors.
   *
@@ -21,6 +22,22 @@ case class QuantizedCos(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_qcos"
+
+  // an ARRAY<DOUBLE> passed by mistake would otherwise reinterpret raw
+  // double bits as longs and return plausible-looking garbage — reject
+  // anything but ARRAY<BIGINT> at analysis time
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "graft_qcos requires ARRAY<BIGINT> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

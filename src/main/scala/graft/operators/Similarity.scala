@@ -328,11 +328,17 @@ object Similarity extends QueryPack {
       run = (s, d) => {
         import s.implicits._
         val all = vecs(s, d)
+        // codebook = integer mean of pre-quantized coordinates: quantize
+        // each x to the grid FIRST, then sum-div as Longs — a float avg
+        // quantized after the fact would inherit the engine's summation
+        // order at the grid boundary (the ulp hazard the grid exists to
+        // kill). Both engines truncate integer division toward zero.
         val centRows = all
           .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy("label", "i").agg(avg(col("x")).as("cx"))
           .select(col("label"), col("i"),
-            expr("CAST(floor(cx * 1000000.0 + 0.5) AS BIGINT)").as("cq"))
+            expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+          .groupBy("label", "i")
+          .agg(expr("sum(xq) div count(1)").as("cq"))
           .collect()
         val labels = centRows.map(_.getInt(0)).distinct.sorted
         val centOf: Map[Int, Array[Long]] = centRows.groupBy(_.getInt(0))
@@ -394,7 +400,8 @@ object Similarity extends QueryPack {
         xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
                FROM u),
         cent AS (SELECT label AS c_label, i,
-                        floor(avg(x) * 1000000.0 + 0.5)::BIGINT AS cq
+                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
+                          AS cq
                  FROM u GROUP BY label, i),
         dist AS (SELECT xq.vec_id AS vec_id, (xq.i - 1) // 8 AS sub,
                         cent.c_label AS c_label,

@@ -81,6 +81,30 @@ object EventStreams extends QueryPack {
 
   private val emptySessions = UserSessions(0, 0, Long.MinValue, 0, 0)
 
+  /** Shared oracle for BOTH sessionization forms (stateful and native
+    * session_window): per-user session stats with a >30-minute gap rule
+    * — one text so a future gap-semantics fix cannot diverge them. */
+  private val sessionOracleSql = """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+               max(n) AS longest_session
+        FROM per_session GROUP BY user_id ORDER BY user_id"""
+
   /** Fold a sorted batch of event times (µs) into the running session
     * state (a >30-minute event-time gap opens a new session). */
   private def advance(st: UserSessions, tsSorted: Seq[Long]): UserSessions = {
@@ -302,26 +326,7 @@ object EventStreams extends QueryPack {
             max(col("n")).as("longest_session"))
           .orderBy("user_id")
       },
-      oracle = Some("""
-        WITH marked AS (
-          SELECT user_id, ts,
-                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        IS NULL
-                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events),
-        sessions AS (
-          SELECT user_id, ts,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM marked),
-        per_session AS (
-          SELECT user_id, session_id, count(*) AS n
-          FROM sessions GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
-               max(n) AS longest_session
-        FROM per_session GROUP BY user_id ORDER BY user_id""")),
+      oracle = Some(sessionOracleSql)),
 
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute
@@ -332,25 +337,6 @@ object EventStreams extends QueryPack {
         runToMemory(s, sessions, "graft_stream_sessions", OutputMode.Update())
           .orderBy("user_id")
       },
-      oracle = Some("""
-        WITH marked AS (
-          SELECT user_id, ts,
-                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        IS NULL
-                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events),
-        sessions AS (
-          SELECT user_id, ts,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM marked),
-        per_session AS (
-          SELECT user_id, session_id, count(*) AS n
-          FROM sessions GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
-               max(n) AS longest_session
-        FROM per_session GROUP BY user_id ORDER BY user_id"""))
+      oracle = Some(sessionOracleSql))
   )
 }

@@ -35,7 +35,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // as BroadcastNestedLoopJoin over literal-sized sides
     Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_paragraph",
       "q_text_lm_score", "q_text_gopher", "q_join_fact_fact",
-      "q_sim_knn_brute", "q_sim_quantized_topk").foreach { q =>
+      "q_sim_knn_brute", "q_sim_quantized_topk", "q_sim_pq_adc",
+      "q_join_tpch_q3", "q_join_tpch_q5").foreach { q =>
       withClue(q) { plan(q) should not include "CartesianProduct" }
     }
   }
