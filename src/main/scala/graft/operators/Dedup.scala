@@ -162,6 +162,80 @@ object Dedup extends QueryPack {
                count(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // ------------------------------------------- benchmark decontamination
+    // The eval-leakage guard every training pipeline runs: flag corpus
+    // documents sharing ≥ 3 shingles with any "benchmark" document
+    // (here: source = 'src0' stands in for the held-out eval set).
+    // Shape: inverted index on the (small) benchmark side, broadcast
+    // semi-style join against the corpus shingle stream — the corpus
+    // never shuffles; overlap counting aggregates (doc, bench) pairs
+    // that share at least one indexed shingle.
+    "q_dedup_contamination" -> GraftQuery(
+      run = (s, d) => {
+        val sh = shingles(s, d)
+        val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val bench = sh.join(broadcast(
+            docsrc.filter(col("source") === "src0")
+              .select(col("doc_id").as("bench_id"))),
+          col("doc_id") === col("bench_id"))
+          .select(col("bench_id"), col("s"))
+        val corpus = sh.join(broadcast(
+            docsrc.filter(col("source") =!= "src0")
+              .select(col("doc_id").as("cand_id"))),
+          col("doc_id") === col("cand_id"))
+          .select(col("cand_id"), col("s"))
+        corpus.join(bench, "s")
+          .groupBy("cand_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .groupBy(col("cand_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_bench_hits"),
+            max(col("n_shared")).as("max_shared"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        src AS (SELECT doc_id, source FROM documents),
+        bench AS (SELECT sh.doc_id AS bench_id, sh.s
+                  FROM shingles sh JOIN src ON src.doc_id = sh.doc_id
+                  WHERE src.source = 'src0'),
+        corpus AS (SELECT sh.doc_id AS cand_id, sh.s
+                   FROM shingles sh JOIN src ON src.doc_id = sh.doc_id
+                   WHERE src.source <> 'src0'),
+        pairs AS (SELECT cand_id, bench_id, count(*) AS n_shared
+                  FROM corpus JOIN bench ON bench.s = corpus.s
+                  GROUP BY 1, 2)
+        SELECT cand_id AS doc_id, count(*) AS n_bench_hits,
+               max(n_shared) AS max_shared
+        FROM pairs WHERE n_shared >= 3
+        GROUP BY cand_id ORDER BY doc_id""")),
+
+    // ------------------------------------- deterministic corpus splitting
+    // Train/val/test assignment by content-independent hash of the key:
+    // stable across runs and machines, no RNG state to ship. Split
+    // boundaries use integer bucket compares (md5-derived bucket in
+    // 0..99: <80 train, <90 val, else test).
+    "q_dedup_hash_split" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket",
+            expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "split"),
+      oracle = Some("""
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM (SELECT source,
+                     ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS b
+              FROM documents)
+        GROUP BY 1, 2 ORDER BY source, split""")),
+
     // --------------------------------------------- paragraph-level dedup
     // The CCNet/RefinedWeb boilerplate pass: split each document into
     // sentences, hash them, and flag sentences that appear in more than

@@ -283,6 +283,42 @@ object TextAnalysis extends QueryPack {
         FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // -------------------------------------------- vocabulary construction
+    // Corpus-wide top-50 words with document frequency — the tokenizer-
+    // training precursor. One partial-aggregated shuffle keyed by word,
+    // then sort+limit (TakeOrdered — per-partition top-k merged on the
+    // driver, NO single-partition window over the full vocabulary); the
+    // ordinal is stamped after the limit, over 50 rows. Ties rank
+    // lexicographically so the cutoff is total-ordered.
+    "q_text_vocab" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("w"))
+          .limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n_occurrences").desc, col("w"))))
+          .select("rank", "w", "n_occurrences", "n_docs")
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM documents),
+        counts AS (
+          SELECT w, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM w GROUP BY w)
+        SELECT row_number() OVER (ORDER BY n_occurrences DESC, w) AS rank,
+               w, n_occurrences, n_docs
+        FROM counts ORDER BY n_occurrences DESC, w LIMIT 50""")),
+
     // ------------------------------------------------ document fingerprinting
     // Rolling polynomial hash over word-hash 3-grams (winnowing-style).
     "q_text_fingerprint" -> GraftQuery(
