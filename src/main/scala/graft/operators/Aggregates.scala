@@ -172,6 +172,29 @@ object Aggregates extends QueryPack {
         GROUP BY bin ORDER BY bin""")),
 
     // Exact interpolated median (seqproc e-value threshold pattern).
+    // Bivariate statistics: sample stddev, correlation, population
+    // covariance — partial+final hash aggregates (each is a fold over
+    // (Σx, Σy, Σxy, Σx², Σy², n) partials, so shuffle volume is
+    // O(groups), not O(rows)). Rounded to 4dp on both sides: the moment
+    // sums are FP-order-dependent at the ulp, like avg/cv elsewhere.
+    "q_agg_stats" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("qty_price_corr"),
+            round(covar_pop(col("l_discount"), col("l_tax")), 4)
+              .as("disc_tax_covar"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(covar_pop(l_discount, l_tax), 4) AS disc_tax_covar
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_agg_median" -> GraftQuery(
       run = (s, d) =>
         Tables.documents(s, d)

@@ -173,6 +173,38 @@ object EventStreams extends QueryPack {
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ------------------------- sliding event-time windows (overlapping)
+    // window(1 hour, 30 minutes): every event lands in TWO overlapping
+    // windows — the moving-average shape. The oracle enumerates both
+    // containing windows per event via the slide grid.
+    "q_stream_sliding" -> GraftQuery(
+      run = (s, d) => {
+        val stream = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+        runToMemory(s, stream, "graft_stream_sliding", OutputMode.Update())
+          .orderBy("window_start", "event_type")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT event_type, value,
+                 to_timestamp(
+                   (epoch_us(ts) // 1800000000 - k) * 1800) AS window_start
+          FROM events, generate_series(0, 1) t(k))
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // --------------------------- stream-stream join (time-range condition)
     // clicks ⋈ errors per user within a 10-minute event-time range;
     // inner joins emit eagerly on match, watermarks bound both sides'
