@@ -89,6 +89,37 @@ object Scalars extends QueryPack {
                greatest(least(value, 100.0), 1.0) AS clipped
         FROM events WHERE event_id < 1000 ORDER BY event_id""")),
 
+    // Datetime scalar surface: truncation, field extraction, day
+    // difference, formatting — all on the orders timestamps (output
+    // stays string/integer; raw timestamps never cross the hash compare,
+    // see the ns/µs precision trap).
+    "q_scalar_datetime" -> GraftQuery(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") < 500)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            quarter(col("o_orderdate")).as("q"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            datediff(col("o_orderdate"),
+              lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(extract(year FROM o_orderdate) AS INT) AS y,
+               CAST(extract(month FROM o_orderdate) AS INT) AS m,
+               CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dow,
+               CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                 AS month_start,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS INT) AS days_since_epoch_start
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
     // Conditional remap (RT-unit branch + case routing).
     "q_scalar_case_route" -> GraftQuery(
       run = (s, d) =>

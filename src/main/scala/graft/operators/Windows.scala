@@ -73,6 +73,34 @@ object Windows extends QueryPack {
         WHERE cycle >= 0
         ORDER BY user_id, event_id""")),
 
+    // RANGE frame (value-based, not row-based): each order's peer group
+    // is every order within ±1000 of ITS total price — the frame the
+    // ROWS form cannot express (peers join/leave by value distance).
+    // Prices floor to integers on both sides (a double->long CAST
+    // truncates in Spark but rounds in DuckDB) so frame edges are exact.
+    "q_window_range_frame" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.orderBy("price_int")
+          .rangeBetween(-1000L, 1000L)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 50)
+          .withColumn("price_int", floor(col("o_totalprice")).cast("long"))
+          .withColumn("n_near", count(lit(1)).over(w))
+          .withColumn("near_avg",
+            round(avg(col("price_int")).over(w), 4))
+          .select(col("o_orderkey"), col("price_int"), col("n_near"),
+            col("near_avg"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, floor(o_totalprice)::BIGINT AS price_int,
+               count(*) OVER w AS n_near,
+               round(avg(floor(o_totalprice)::BIGINT) OVER w, 4) AS near_avg
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (ORDER BY floor(o_totalprice)::BIGINT
+                     RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+        ORDER BY o_orderkey""")),
+
     // Running sum + ordinal per partition (same frame order both engines
     // ⇒ identical float accumulation order; rounded for safety).
     "q_window_running_sum" -> GraftQuery(
