@@ -106,6 +106,51 @@ object ScaleOps extends QueryPack {
         WHERE e.value > dim.user_avg
         GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    // ------------------------------------------------ CDC upsert (merge)
+    // Latest-wins merge without a table format: base ∪ changes, then one
+    // window keyed by the primary key ordered by version — the upsert
+    // shape for engines without MERGE INTO. At 100 TB both sides shuffle
+    // once on the key (or zero times if both are bucketed on it — see
+    // q_scale_bucketed_join); the dedup is a per-key top-1, not a sort.
+    // "Changes" = the events' later half replayed with value + 1000.
+    "q_scale_upsert" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            lit(0).as("version"))
+        val changes = Tables.events(s, d)
+          .filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(1).as("version"))
+        base.unionByName(changes)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_id")
+              .orderBy(col("version").desc)))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"),
+            sum(col("version")).as("n_updated"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH merged AS (
+          SELECT event_id, event_type, value, version FROM (
+            SELECT event_id, event_type, value, version,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY version DESC) AS rn
+            FROM (SELECT event_id, event_type, value, 0 AS version
+                  FROM events
+                  UNION ALL
+                  SELECT event_id, event_type, value + 1000.0, 1
+                  FROM events WHERE event_id % 2 = 0))
+          WHERE rn = 1)
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               sum(version) AS n_updated
+        FROM merged GROUP BY event_type ORDER BY event_type""")),
+
     // --------------------------------------------- partition pruning
     // The other scan-elimination pattern: data laid out partitioned by a
     // filter column means a selective query READS only matching
