@@ -171,7 +171,6 @@ object Aggregates extends QueryPack {
               FROM lineitem) mm
         GROUP BY bin ORDER BY bin""")),
 
-    // Exact interpolated median (seqproc e-value threshold pattern).
     // Bivariate statistics: sample stddev, correlation, population
     // covariance — partial+final hash aggregates (each is a fold over
     // (Σx, Σy, Σxy, Σx², Σy², n) partials, so shuffle volume is
@@ -183,18 +182,24 @@ object Aggregates extends QueryPack {
           .groupBy(col("l_returnflag"))
           .agg(
             round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-              .as("qty_price_corr"),
-            round(covar_pop(col("l_discount"), col("l_tax")), 4)
-              .as("disc_tax_covar"))
+            // + 0.0 normalizes signed zero: a tiny negative moment rounds
+            // to -0.0 in DuckDB but +0.0 through Spark's BigDecimal round
+            // — bit-different under the driver's exact hash compare
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              + lit(0.0)).as("qty_price_corr"),
+            (round(covar_pop(col("l_discount"), col("l_tax")), 4)
+              + lit(0.0)).as("disc_tax_covar"))
           .orderBy("l_returnflag"),
       oracle = Some("""
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 4) AS sd_qty,
-               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-               round(covar_pop(l_discount, l_tax), 4) AS disc_tax_covar
+               round(corr(l_quantity, l_extendedprice), 4) + 0.0
+                 AS qty_price_corr,
+               round(covar_pop(l_discount, l_tax), 4) + 0.0
+                 AS disc_tax_covar
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Exact interpolated median (seqproc e-value threshold pattern).
     "q_agg_median" -> GraftQuery(
       run = (s, d) =>
         Tables.documents(s, d)

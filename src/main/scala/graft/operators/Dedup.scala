@@ -173,17 +173,18 @@ object Dedup extends QueryPack {
     "q_dedup_contamination" -> GraftQuery(
       run = (s, d) => {
         val sh = shingles(s, d)
-        val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val bench = sh.join(broadcast(
-            docsrc.filter(col("source") === "src0")
-              .select(col("doc_id").as("bench_id"))),
-          col("doc_id") === col("bench_id"))
+        val benchIds = Tables.documents(s, d)
+          .filter(col("source") === "src0")
+          .select(col("doc_id").as("bench_id"))
+        // ONLY the (small) benchmark id list is ever broadcast: semi for
+        // the benchmark shingles, anti for the corpus stream — the
+        // unbounded corpus side never ships anywhere
+        val bench = sh.join(broadcast(benchIds),
+            col("doc_id") === col("bench_id"))
           .select(col("bench_id"), col("s"))
-        val corpus = sh.join(broadcast(
-            docsrc.filter(col("source") =!= "src0")
-              .select(col("doc_id").as("cand_id"))),
-          col("doc_id") === col("cand_id"))
-          .select(col("cand_id"), col("s"))
+        val corpus = sh.join(broadcast(benchIds),
+            col("doc_id") === col("bench_id"), "left_anti")
+          .select(col("doc_id").as("cand_id"), col("s"))
         corpus.join(bench, "s")
           .groupBy("cand_id", "bench_id")
           .agg(count(lit(1)).as("n_shared"))

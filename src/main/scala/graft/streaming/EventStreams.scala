@@ -198,8 +198,8 @@ object EventStreams extends QueryPack {
       oracle = Some("""
         WITH w AS (
           SELECT event_type, value,
-                 to_timestamp(
-                   (epoch_us(ts) // 1800000000 - k) * 1800) AS window_start
+                 make_timestamp(((epoch_us(ts) // 1800000000 - k)
+                                 * 1800000000)::BIGINT) AS window_start
           FROM events, generate_series(0, 1) t(k))
         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
