@@ -37,8 +37,10 @@ object MsPipeline extends QueryPack {
   private val fMax = 3
   private val maxIter = 100
 
-  private def rawPeaks(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+  /** The peak-synthesis projection, applicable to any lineitem-shaped
+    * relation — batch or streaming. */
+  private def synthPeaks(lineitem: DataFrame): DataFrame =
+    lineitem.select(
       concat(lit("s"), col("l_suppkey") % 3).as("file"),
       (col("l_orderkey") % 500).cast("int").as("spectrum_index"),
       (lit(1) + col("l_linenumber") % 2).cast("int").as("level"),
@@ -51,6 +53,9 @@ object MsPipeline extends QueryPack {
         .as("prec_isolation_window_end"))
       .withColumn("prec_mz", col("prec_isolation_window_start") + 20.0)
 
+  private def rawPeaks(s: SparkSession, d: String): DataFrame =
+    synthPeaks(Tables.lineitem(s, d))
+
   private val rawPeaksCte = """
     peaks AS (
       SELECT 's' || (l_suppkey % 3) AS file,
@@ -62,6 +67,32 @@ object MsPipeline extends QueryPack {
              400.0 + (l_partkey % 10) * 40.0 AS w_start,
              441.0 + (l_partkey % 10) * 40.0 AS w_end
       FROM lineitem)"""
+
+  /** Shared oracle for the batch AND streaming slicing forms: the two
+    * queries compute the same per-slice counts, so one text keeps them
+    * verifying against one reference. */
+  private val sliceCountsOracle = s"""
+        WITH $rawPeaksCte,
+        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
+        adj AS (
+          SELECT w_start, w_end,
+                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
+                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
+                   AS upper_adj
+          FROM w WINDOW win AS (ORDER BY w_start)),
+        adj2 AS (
+          SELECT w_start, w_end,
+                 coalesce(lag(upper_adj,1) OVER (ORDER BY w_start), w_start)
+                   AS lower_adj,
+                 upper_adj
+          FROM adj)
+        SELECT format('{:.2f}', lower_adj) AS swath_key,
+               CAST(floor(rt / ${rtWindowSec}) AS INT) AS rt_window,
+               count(*) AS n_peaks,
+               round(sum(intensity), 2) AS sum_intensity
+        FROM peaks JOIN adj2 ON peaks.w_start = adj2.w_start
+                            AND peaks.w_end = adj2.w_end
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Stages 2–3 applied: adjusted-window tagging + RT windowing, typed. */
   private def adjustedPeaks(s: SparkSession, d: String): Dataset[AdjustedPeak] = {
@@ -147,28 +178,44 @@ object MsPipeline extends QueryPack {
             round(sum(col("intensity")), 2).as("sum_intensity"))
           .orderBy("swath_key", "rt_window")
       },
-      oracle = Some(s"""
-        WITH $rawPeaksCte,
-        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
-        adj AS (
-          SELECT w_start, w_end,
-                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
-                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
-                   AS upper_adj
-          FROM w WINDOW win AS (ORDER BY w_start)),
-        adj2 AS (
-          SELECT w_start, w_end,
-                 coalesce(lag(upper_adj,1) OVER (ORDER BY w_start), w_start)
-                   AS lower_adj,
-                 upper_adj
-          FROM adj)
-        SELECT format('{:.2f}', lower_adj) AS swath_key,
-               CAST(floor(rt / ${rtWindowSec}) AS INT) AS rt_window,
-               count(*) AS n_peaks,
-               round(sum(intensity), 2) AS sum_intensity
-        FROM peaks JOIN adj2 ON peaks.w_start = adj2.w_start
-                            AND peaks.w_end = adj2.w_end
-        GROUP BY 1, 2 ORDER BY 1, 2""")),
+      oracle = Some(sliceCountsOracle)),
+
+    // --------------------------- stage 3, continuous: streaming slicing
+    // The reference's own Spark job as a STREAMING pipeline ("process
+    // scan files as they land", SURVEY §2.10's optional future): the
+    // lineitem file source streams, the tiny batch-derived adjusted
+    // window table joins in as a static broadcast, and the per-slice
+    // aggregate maintains running counts in the state store. The schema
+    // lists only the synth columns, so the scan prunes the rest. One
+    // AvailableNow batch over static data equals the batch computation —
+    // the oracle is q_ms_slice_counts's, verbatim.
+    "q_ms_stream_slices" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.types._
+        val neededCols = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_suppkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("l_quantity", DoubleType)))
+        val windows = WindowOps.adjustedWindows(rawPeaks(s, d))
+        val stream = synthPeaks(
+          s.readStream.schema(neededCols)
+            .option("pathGlobFilter", "lineitem.parquet").parquet(d))
+        val sliced = WindowOps.withSwathKey(
+          WindowOps.assignRtWindows(
+            WindowOps.applyAdjustment(stream, windows), rtWindowSec))
+          .groupBy("swath_key", "rt_window")
+          .agg(count(lit(1)).as("n_peaks"),
+            round(sum(col("intensity")), 2).as("sum_intensity"))
+        val q = sliced.writeStream.queryName("graft_ms_stream_slices")
+          .format("memory").outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_ms_stream_slices").orderBy("swath_key", "rt_window")
+      },
+      oracle = Some(sliceCountsOracle)),
 
     // -------------------------------------------- stage 4: tensorization
     // Per-slice dense (sample × cycle × m/z) tensors; output = shape +
