@@ -171,6 +171,26 @@ object Aggregates extends QueryPack {
               FROM lineitem) mm
         GROUP BY bin ORDER BY bin""")),
 
+    // Collection aggregates: per-group sorted value list, serialized to
+    // one string so the hash compare sees a scalar (array-typed parquet
+    // vs DuckDB LIST compares poorly in pandas). collect_list order is
+    // nondeterministic — sort_array makes it canonical; values are
+    // integer-cast so string rendering is identical across engines.
+    "q_agg_collect" -> GraftQuery(
+      run = (s, d) =>
+        Tables.nation(s, d)
+          .groupBy(col("n_regionkey"))
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("n_name"))))
+              .as("nations"),
+            size(collect_set(col("n_name"))).as("n_distinct"))
+          .orderBy("n_regionkey"),
+      oracle = Some("""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(DISTINCT n_name) AS n_distinct
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // Bivariate statistics: sample stddev, correlation, population
     // covariance — partial+final hash aggregates (each is a fold over
     // (Σx, Σy, Σxy, Σx², Σy², n) partials, so shuffle volume is
