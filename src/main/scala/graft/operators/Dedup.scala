@@ -454,6 +454,15 @@ object Dedup extends QueryPack {
           .persist()
         var labels = edgeDf.select(col("src").as("doc_id")).distinct()
           .withColumn("canonical_id", col("doc_id"))
+        // Convergence probe: min-label propagation only ever DECREASES a
+        // label, so Σ canonical_id strictly decreases until the fixpoint
+        // — one aggregate per round (which also materializes the cache)
+        // instead of a join-and-compare pass. Decimal sum: no overflow
+        // at any corpus size.
+        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+          df.agg(coalesce(sum(col("canonical_id")).cast("decimal(38,0)"),
+            lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+        var prevSum = labelSum(labels.persist())
         var changed = true
         while (changed) {
           val next = labels
@@ -463,11 +472,9 @@ object Dedup extends QueryPack {
             .groupBy("doc_id")
             .agg(min(col("canonical_id")).as("canonical_id"))
           next.persist()
-          next.count() // materialize the cache before dropping the old one
-          changed = next.as("n")
-            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-            .filter(col("n.canonical_id") =!= col("o.canonical_id"))
-            .limit(1).count() > 0
+          val nextSum = labelSum(next)
+          changed = nextSum.compareTo(prevSum) != 0
+          prevSum = nextSum
           labels.unpersist() // superseded generation
           labels = next
         }
