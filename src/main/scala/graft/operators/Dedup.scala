@@ -276,6 +276,57 @@ object Dedup extends QueryPack {
         FROM sent JOIN df ON df.h = sent.h
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ------------------------------------- duplicated-span measurement
+    // Corpus-level substring dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data" family, word-granular): every 8-word shingle is
+    // hashed map-side (`sequence` + `slice` + md5, no shuffle), then one
+    // count keyed by digest finds shingles occurring more than once in
+    // the corpus; per-doc output is the duplicated-span fraction — the
+    // removal signal. Scale shape: the exchange carries 32-hex digests
+    // with map-side partial counts, the duplicated subset (tot > 1) is
+    // Zipf-small relative to the corpus, and the stats join keys on the
+    // digest — never all-pairs, never text.
+    "q_dedup_spans" -> GraftQuery(
+      run = (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .filter(size(col("ws")) >= 8)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(ws) - 7), " +
+              "i -> md5(array_join(slice(ws, i, 8), ' ')))")).as("h"))
+        val dup = sh.groupBy("h")
+          .agg(count(lit(1)).as("tot"),
+            countDistinct(col("doc_id")).as("nd"))
+          .filter(col("tot") > 1)
+        sh.join(dup, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("tot").isNotNull, 1).otherwise(0)).as("n_dup"),
+            sum(when(col("nd") > 1, 1).otherwise(0)).as("n_xdoc"))
+          .withColumn("dup_frac",
+            round(col("n_dup").cast("double") / col("n_shingles"), 4))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        s AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i,
+                     unnest(ws) AS w
+              FROM t),
+        g AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+              FROM s WHERE i + 7 <= len(ws)),
+        c AS (SELECT h, count(*) AS tot, count(DISTINCT doc_id) AS nd
+              FROM g GROUP BY h HAVING count(*) > 1)
+        SELECT g.doc_id AS doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN c.tot IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+               sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_xdoc,
+               round(CAST(sum(CASE WHEN c.tot IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS dup_frac
+        FROM g LEFT JOIN c ON c.h = g.h
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
     // ------------------------------------------------- exact n-gram Jaccard
     // Inverted-index pair generation over the stop-shingle-removed
     // stream: group by shingle, emit co-occurring doc pairs from each

@@ -176,6 +176,47 @@ object ScaleOps extends QueryPack {
         FROM events WHERE event_type = 'click'
         GROUP BY event_type ORDER BY event_type""")),
 
+    // ------------------------------------------ data-mixture resampling
+    // Deterministic stratified sampling to target per-language mixture
+    // weights — the corpus-rebalancing step before training (e.g.
+    // upweight high-quality languages, downsample the head). Keep/drop
+    // is a pure function of md5(doc_id) against an INTEGER threshold
+    // (rate × 2³²), so the sample is reproducible across runs, engines,
+    // and cluster sizes, and the filter is map-side — no shuffle except
+    // the tiny per-language audit aggregate. At 100 TB the same
+    // predicate pushes into the scan as a cheap row filter.
+    "q_scale_mixture" -> GraftQuery(
+      run = (s, d) => {
+        val h = expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+            "AS BIGINT)")
+        val thresh = expr("""
+          CASE lang WHEN 'en' THEN 2147483648
+                    WHEN 'de' THEN 3221225472
+                    WHEN 'zh' THEN 1073741824
+                    ELSE 4294967296 END""")
+        Tables.documents(s, d)
+          .withColumn("keep", (h < thresh).cast("int"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_sampled"))
+          .withColumn("sampled_frac",
+            round(col("n_sampled").cast("double") / col("n_total"), 4))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT lang,
+                 CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                      < CASE lang WHEN 'en' THEN 2147483648
+                                  WHEN 'de' THEN 3221225472
+                                  WHEN 'zh' THEN 1073741824
+                                  ELSE 4294967296 END
+                      THEN 1 ELSE 0 END AS keep
+          FROM documents)
+        SELECT lang, count(*) AS n_total, sum(keep) AS n_sampled,
+               round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS sampled_frac
+        FROM k GROUP BY lang ORDER BY lang""")),
+
     // ----------------------------------------------- sketched distinct count
     // HLL++ distinct counting — the constant-memory path for cardinality
     // at 100 TB (exact distinct shuffles every key). The oracle checks

@@ -311,6 +311,84 @@ object Similarity extends QueryPack {
         SELECT q_id, rank, n_id, round(qcos, 4) AS qcos
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ------------------------------------------- two-stage rerank ANN
+    // The production serving shape: a cheap compressed-domain pass
+    // (int8 quantized cosine, exact integer arithmetic → deterministic
+    // candidate set) keeps the top-20 per query, then ONLY those
+    // candidates fetch their full vectors for an exact-cosine rerank to
+    // top-3. At 100 TB stage 1 reads the 4×-compressed codes for the
+    // whole corpus while stage 2 touches 20 full vectors per query —
+    // the full-precision column is never scanned corpus-wide.
+    "q_sim_rerank" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val all = vecs(s, d)
+        val quant = all.select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          .map { case (id, v) =>
+            var m = 0.0
+            v.foreach(x => { val a = math.abs(x); if (a > m) m = a })
+            val scale = if (m == 0.0) 0.0 else 127.0 / m
+            (id, v.map(x => math.floor(x * scale + 0.5).toLong))
+          }
+          .toDF("vec_id", "q")
+        val cand = broadcast(quant.filter(col("vec_id") < 10)).as("a")
+          .join(quant.as("c"), col("a.vec_id") =!= col("c.vec_id"))
+          .select(col("a.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            expr("graft_qcos(a.q, c.q)").as("qcos"))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))))
+          .filter(col("crank") <= 20)
+          .select("q_id", "n_id")
+        cand
+          .join(all.as("c"), col("n_id") === col("c.vec_id"))
+          .join(broadcast(all.filter(col("vec_id") < 10)).as("q"),
+            col("q_id") === col("q.vec_id"))
+          .select(col("q_id"), col("n_id"), cosExpr.as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cosine").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        ma AS (SELECT vec_id, max(abs(x)) AS m FROM u GROUP BY vec_id),
+        q AS (SELECT u.vec_id AS vec_id, u.i AS i,
+                     floor(u.x * (127.0::DOUBLE / ma.m) + 0.5)::BIGINT AS qx
+              FROM u JOIN ma ON ma.vec_id = u.vec_id),
+        qn AS (SELECT vec_id, sum(qx*qx) AS qn FROM q GROUP BY vec_id),
+        qdots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         sum(a.qx*b.qx) AS qdot
+                  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+                  WHERE a.vec_id < 10
+                  GROUP BY 1, 2),
+        cand AS (SELECT q_id, n_id FROM (
+                   SELECT q_id, n_id,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY qdot::DOUBLE
+                                     / (sqrt(qna.qn::DOUBLE)
+                                        * sqrt(qnb.qn::DOUBLE)) DESC,
+                                     n_id) AS crank
+                   FROM qdots JOIN qn qna ON qna.vec_id = q_id
+                              JOIN qn qnb ON qnb.vec_id = n_id)
+                 WHERE crank <= 20),
+        dots AS (SELECT cand.q_id AS q_id, cand.n_id AS n_id,
+                        sum(a.x*b.x) AS dot
+                 FROM cand JOIN u a ON a.vec_id = cand.q_id
+                           JOIN u b ON b.vec_id = cand.n_id AND b.i = a.i
+                 GROUP BY 1, 2),
+        ranked AS (
+          SELECT q_id, n_id, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ------------------------------------- product quantization + ADC
     // The vector-DB compression tier below int8: vectors factor into 8
     // subspaces of 8 dims, each encoded as its nearest per-label

@@ -29,6 +29,12 @@ object TextAnalysis extends QueryPack {
   private def md5h(e: String): String =
     s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
 
+  // PII patterns — the char-class-only subset that means the same thing
+  // to Java regex (Spark) and RE2 (DuckDB).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
   private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in", "on")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "zu", "im", "auf")
   private val stopFr = Seq("le", "la", "les", "et", "est", "de", "dans", "sur")
@@ -318,6 +324,106 @@ object TextAnalysis extends QueryPack {
         SELECT row_number() OVER (ORDER BY n_occurrences DESC, w) AS rank,
                w, n_occurrences, n_docs
         FROM counts ORDER BY n_occurrences DESC, w LIMIT 50""")),
+
+    // --------------------------------------------------- PII redaction
+    // Detect-and-redact for emails / phone numbers / IPv4s — the
+    // scrubbing pass every corpus runs before training. Pure per-row
+    // regex work (count + global replace) inside codegen, no shuffle.
+    // The synthetic corpus contains no PII, so both engines first
+    // append deterministic PII strings to a doc_id-keyed subset — the
+    // detectors then have verified non-zero work on every category
+    // (same precedent as the multimodal pack's synthesized bytes).
+    "q_text_pii" -> GraftQuery(
+      run = (s, d) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com"))).otherwise(""),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(""),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+              (col("doc_id") * 7) % 256)).otherwise(""))
+        val redacted =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(aug, emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(aug, lit(phoneRe), lit(0))).as("n_phones"),
+            size(regexp_extract_all(aug, lit(ipRe), lit(0))).as("n_ips"),
+            md5(redacted).as("redacted_md5"),
+            (length(aug) - length(redacted)).as("chars_removed"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' contact user' || doc_id || '@mail.example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 1
+                         THEN ' call +1-555-'
+                              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 2
+                         THEN ' from 10.0.' || (doc_id % 256) || '.'
+                              || ((doc_id * 7) % 256)
+                         ELSE '' END AS aug
+          FROM documents),
+        r AS (
+          SELECT doc_id, aug,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                   '$emailRe', '<EMAIL>', 'g'),
+                   '$phoneRe', '<PHONE>', 'g'),
+                   '$ipRe', '<IP>', 'g') AS red
+          FROM a)
+        SELECT doc_id,
+               len(regexp_extract_all(aug, '$emailRe')) AS n_emails,
+               len(regexp_extract_all(aug, '$phoneRe')) AS n_phones,
+               len(regexp_extract_all(aug, '$ipRe')) AS n_ips,
+               md5(red) AS redacted_md5,
+               length(aug) - length(red) AS chars_removed
+        FROM r ORDER BY doc_id""")),
+
+    // ------------------------------------------------ document chunking
+    // Fixed-size overlapping word windows (size 32, stride 24) — the
+    // training-sample / RAG-passage prep step. Chunk starts come from a
+    // per-row `sequence` + `slice` (map-side explode, no shuffle); the
+    // emitted chunk is its md5 so the row stays narrow no matter the
+    // chunk size. At 100 TB this runs at scan speed and multiplies rows
+    // by ~len/stride — the narrow output is what makes that safe.
+    "q_text_chunk" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .withColumn("start",
+            explode(sequence(lit(1), size(col("ws")), lit(24))))
+          .withColumn("chunk", expr("slice(ws, start, 32)"))
+          .select(col("doc_id"),
+            expr("(start - 1) div 24").as("chunk_idx"),
+            size(col("chunk")).as("chunk_words"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        s AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i,
+                     unnest(ws) AS w
+              FROM t)
+        SELECT doc_id, (i - 1) // 24 AS chunk_idx,
+               len(ws[i:i+31]) AS chunk_words,
+               md5(array_to_string(ws[i:i+31], ' ')) AS chunk_md5
+        FROM s WHERE (i - 1) % 24 = 0
+        ORDER BY doc_id, chunk_idx""")),
 
     // ------------------------------------------------ document fingerprinting
     // Rolling polynomial hash over word-hash 3-grams (winnowing-style).
