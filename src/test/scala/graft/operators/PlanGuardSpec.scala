@@ -34,8 +34,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // cross products are tiny broadcast grids (model_grid) which plan
     // as BroadcastNestedLoopJoin over literal-sized sides
     Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_paragraph",
-      "q_text_lm_score", "q_text_gopher", "q_join_fact_fact",
-      "q_sim_knn_brute", "q_sim_quantized_topk", "q_sim_pq_adc",
+      "q_dedup_spans", "q_text_lm_score", "q_text_gopher",
+      "q_join_fact_fact", "q_sim_knn_brute", "q_sim_quantized_topk",
+      "q_sim_pq_adc", "q_sim_rerank",
       "q_join_tpch_q3", "q_join_tpch_q5").foreach { q =>
       withClue(q) { plan(q) should not include "CartesianProduct" }
     }
@@ -44,7 +45,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   test("text operators prune the documents scan to (doc_id, text)") {
     assume(haveData)
     Seq("q_text_tokens", "q_text_quality", "q_text_gopher",
-      "q_text_fingerprint").foreach { q =>
+      "q_text_fingerprint", "q_text_pii", "q_text_chunk").foreach { q =>
       withClue(q) {
         val scans = "ReadSchema: struct<([^>]*)>".r
           .findAllMatchIn(plan(q)).map(_.group(1)).toSeq
@@ -53,6 +54,27 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
         scans.foreach(s => s.split(",").length should be <= 2)
       }
     }
+  }
+
+  test("mixture sampling is a map-side filter over a pruned scan") {
+    assume(haveData)
+    val p = plan("q_scale_mixture")
+    // only (doc_id, lang) leave the scan, and nothing joins
+    p should not include "Join"
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    scans should not be empty
+    scans.foreach(s => s.split(",").length should be <= 2)
+  }
+
+  test("rerank ANN broadcasts the query side in both stages") {
+    assume(haveData)
+    val p = plan("q_sim_rerank")
+    // the corpus never shuffles for the candidate join: both the
+    // quantized prefilter and the full-precision rerank join against a
+    // broadcast query batch
+    p should include ("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
   }
 
   test("bucketed join plans with no exchange on either side") {
