@@ -217,6 +217,42 @@ object ScaleOps extends QueryPack {
                round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS sampled_frac
         FROM k GROUP BY lang ORDER BY lang""")),
 
+    // --------------------------------------------- sketched quantiles
+    // The constant-memory quantile path: exact percentiles shuffle and
+    // sort every group member, while the sketch (GK here, t-digest in
+    // DuckDB) keeps O(1/ε) state per group and merges map-side — the
+    // only way to compute percentiles over 100 TB in one pass. Like
+    // q_scale_approx_distinct, each engine checks its OWN sketch
+    // against its exact value inside a generous band (10% of the
+    // p10–p90 spread), so the flag is deterministic without requiring
+    // the two sketches to agree bit-for-bit.
+    "q_scale_approx_quantile" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5D)"), 4).as("exact_p50"),
+            round(expr("percentile(value, 0.1D)"), 4).as("exact_p10"),
+            round(expr("percentile(value, 0.9D)"), 4).as("exact_p90"),
+            expr("percentile_approx(value, 0.5D, 10000)").as("ap"))
+          .select(col("event_type"), col("exact_p50"), col("exact_p10"),
+            col("exact_p90"),
+            (abs(col("ap") - col("exact_p50")) <=
+              (col("exact_p90") - col("exact_p10")) * 0.1).cast("int")
+              .as("approx_within_band"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS exact_p50,
+               round(quantile_cont(value, 0.1), 4) AS exact_p10,
+               round(quantile_cont(value, 0.9), 4) AS exact_p90,
+               CAST(abs(approx_quantile(value, 0.5)
+                        - round(quantile_cont(value, 0.5), 4))
+                    <= (round(quantile_cont(value, 0.9), 4)
+                        - round(quantile_cont(value, 0.1), 4)) * 0.1 AS INT)
+                 AS approx_within_band
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ----------------------------------------------- sketched distinct count
     // HLL++ distinct counting — the constant-memory path for cardinality
     // at 100 TB (exact distinct shuffles every key). The oracle checks

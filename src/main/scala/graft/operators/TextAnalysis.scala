@@ -425,6 +425,47 @@ object TextAnalysis extends QueryPack {
         FROM s WHERE (i - 1) % 24 = 0
         ORDER BY doc_id, chunk_idx""")),
 
+    // ------------------------------------------------ sequence packing
+    // Concat-and-cut packing (the GPT-style training-sample layout):
+    // documents concatenate in doc_id order within each source shard
+    // and the stream cuts at a fixed token budget; each doc reports the
+    // sequence it starts in and its offset there. The cumulative sum
+    // partitions BY SOURCE — shards pack independently and in parallel
+    // (the realistic layout, since packing never crosses a shard), so
+    // there is no global single-partition window at any scale.
+    "q_text_pack" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(filter(split(col("text"), " "), x => x =!= "")))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("cum_before div 256").as("seq_id"),
+            expr("cum_before % 256").as("seq_offset"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM t)
+        SELECT doc_id, source, n_tokens,
+               cum_before // 256 AS seq_id,
+               cum_before % 256 AS seq_offset
+        FROM c ORDER BY doc_id""")),
+
     // ------------------------------------------------ document fingerprinting
     // Rolling polynomial hash over word-hash 3-grams (winnowing-style).
     "q_text_fingerprint" -> GraftQuery(

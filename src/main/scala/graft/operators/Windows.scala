@@ -128,6 +128,61 @@ object Windows extends QueryPack {
         WHERE user_id < 10
         ORDER BY user_id, event_id""")),
 
+    // Ordered conversion funnel: earliest view → first click AFTER that
+    // view → first purchase AFTER that click, per user; output is the
+    // depth histogram. Each step is a conditional min over the previous
+    // step's timestamp — three equi-joins all keyed on user_id, so at
+    // scale one co-partitioning serves every step (zero extra shuffles
+    // once the first exchange lands; bucketing on user_id removes that
+    // too). Timestamps compare at µs on BOTH sides (ns div 1000 here,
+    // DuckDB's native µs read) so step boundaries are engine-exact.
+    "q_window_funnel" -> GraftQuery(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("t_view"))
+          .groupBy("user_id").agg(min(col("us")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("t_click"))
+          .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+        ev.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .withColumn("funnel_depth",
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .when(col("t_view").isNotNull, 1).otherwise(0))
+          .groupBy("funnel_depth")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_depth")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id AS user_id, min(us) AS t_click
+              FROM e JOIN v ON v.user_id = e.user_id
+              WHERE event_type = 'click' AND us > t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id AS user_id, min(us) AS t_purchase
+              FROM e JOIN c ON c.user_id = e.user_id
+              WHERE event_type = 'purchase' AND us > t_click
+              GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
+                    WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+               count(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Deterministic top-k with tie-break (TakeOrderedAndProject — a
     // per-partition top-k then a k-row merge on the driver; no full sort).
     "q_window_topk" -> GraftQuery(
