@@ -39,6 +39,72 @@ object Joins extends QueryPack {
       (3, 10.0, 20.0), (4, 20.0, 1.0e18))"""
 
   val queries: Map[String, GraftQuery] = Map(
+
+    // -------------------------------------------- interval-overlap join
+    // General interval × interval overlap (the genomics / IP-range /
+    // uptime-window join) via BUCKETED EQUI-JOIN: each interval explodes
+    // to the fixed 32-day buckets it spans (≤ 2 here), the join is a
+    // plain hash join on the bucket id, and the exact overlap predicate
+    // filters after the match; a DISTINCT collapses pairs that met in
+    // two buckets. At 100 TB this is the difference between a shuffle
+    // hash join keyed by bucket and the O(n·m) range-predicate
+    // nested-loop the naive form plans — the oracle states the naive
+    // form, results are identical. Lineitem intervals are
+    // [ship, ship + 1 + ⌊qty⌋ % 30 days]; windows are 30 days from each
+    // low-key order's date. Days are integer epoch-days on both sides.
+    "q_join_interval_overlap" -> GraftQuery(
+      run = (s, d) => {
+        // TIMESTAMP_NTZ → epoch-day without any timezone interpretation
+        def days(c: String) =
+          expr(s"CAST(datediff(CAST($c AS DATE), DATE '1970-01-01') AS BIGINT)")
+        val a = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            days("l_shipdate").as("a_start"),
+            expr("CAST(floor(l_quantity) AS BIGINT) % 30").as("dur"))
+          .withColumn("a_end", col("a_start") + lit(1L) + col("dur"))
+        val b = Tables.orders(s, d)
+          .filter(col("o_custkey") < 20)
+          .select(col("o_orderkey").as("b_id"),
+            days("o_orderdate").as("b_start"))
+          .withColumn("b_end", col("b_start") + lit(30L))
+        val aB = a.withColumn("bucket",
+          explode(sequence(expr("a_start div 32"), expr("a_end div 32"))))
+        val bB = b.withColumn("bucket",
+          explode(sequence(expr("b_start div 32"), expr("b_end div 32"))))
+        aB.join(broadcast(bB), Seq("bucket"))
+          .filter(col("a_start") <= col("b_end") &&
+            col("b_start") <= col("a_end") &&
+            // each overlapping pair meets in up to 2 buckets; count it
+            // exactly once, in the bucket of its first shared day (a
+            // DISTINCT would also collapse genuine duplicate fact rows)
+            col("bucket") === expr("greatest(a_start, b_start) div 32"))
+          .select(col("b_id"), col("l_orderkey"), col("l_linenumber"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start")) + 1)
+              .as("overlap_days"))
+          .groupBy("b_id")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(col("overlap_days")).as("sum_overlap_days"))
+          .orderBy("b_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT l_orderkey, l_linenumber,
+                 datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS a_start,
+                 datediff('day', DATE '1970-01-01', l_shipdate::DATE) + 1
+                   + floor(l_quantity)::BIGINT % 30 AS a_end
+          FROM lineitem),
+        b AS (
+          SELECT o_orderkey AS b_id,
+                 datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS b_start,
+                 datediff('day', DATE '1970-01-01', o_orderdate::DATE) + 30 AS b_end
+          FROM orders WHERE o_custkey < 20)
+        SELECT b_id, count(*) AS n_overlaps,
+               sum(least(a_end, b_end) - greatest(a_start, b_start) + 1)
+                 AS sum_overlap_days
+        FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        GROUP BY b_id ORDER BY b_id""")),
+
     // Three-way star join, both dims broadcast (no shuffle on customer).
     "q_join_star" -> GraftQuery(
       run = (s, d) =>

@@ -284,6 +284,43 @@ object MzMLSource {
     }
   }
 
+  /** Continuous ingestion of a landing directory — the streaming form of
+    * [[read]]: Structured Streaming's file source discovers new `*.mzML`
+    * files per micro-batch, and each task runs the same lazy pull parser
+    * over its file. Only the `path` column is selected from the
+    * binaryFile source, so file BYTES never materialize into rows — the
+    * parser streams from storage exactly as the batch path does, and a
+    * 10 GB instrument file costs one spectrum of memory, not 10 GB.
+    * Downstream transforms (slicing, windowed aggregation) are ordinary
+    * streaming operators; see `q_ms_stream_slices` for the slicing stage
+    * run this way. Windows must be supplied up front (they come from the
+    * first sample in the reference, a 1-file batch call). */
+  def readStream(
+      spark: SparkSession,
+      dir: String,
+      windows: Seq[(Double, Double)],
+      minIntensity: Double = 0.0): Dataset[RawPeak] = {
+    import spark.implicits._
+    val ws = windows.sortBy(_._1).toArray
+    val bc = spark.sparkContext.broadcast(ws)
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.mzML")
+      // the binaryFile source's fixed schema, required explicitly by
+      // streaming file sources; only `path` is ever read (pruned scan)
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(dir)
+      .select("path").as[String]
+      .flatMap { uri =>
+        val p =
+          if (uri.startsWith("file:")) new java.net.URI(uri).getPath else uri
+        val it = parseFile(p, bc.value, minIntensity)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
+      }
+  }
+
   /** Derive the isolation-window set from MS2 headers:
     * [target − lowerOffset, target + upperOffset) (msproc.py:524-556). */
   def deriveWindowsLocal(path: String): Seq[(Double, Double)] = {
