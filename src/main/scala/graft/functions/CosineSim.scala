@@ -112,5 +112,6 @@ class GraftExtensions
       FunctionIdentifier("graft_qcos"),
       new ExpressionInfo(classOf[QuantizedCos].getName, "graft_qcos"),
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)
   }
 }

@@ -105,6 +105,34 @@ object Joins extends QueryPack {
         FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
         GROUP BY b_id ORDER BY b_id""")),
 
+    // ------------------------------------------ interval-lookup rewrite
+    // The SAME point-in-interval shape as q_join_range_bands, but run
+    // through graft.plans.IntervalLookupJoinRule: the optimizer rewrites
+    // the range join against the literal band table into a codegen'd
+    // O(log W) binary-search probe — NO join operator, no broadcast
+    // exchange, the scan's whole-stage-codegen loop tags each row
+    // directly (the IntervalTree probe of msproc.py:89-91 as a Catalyst
+    // rule). The oracle states the relational form; results are
+    // bit-identical. IntervalJoinRuleSpec pins the plan shape.
+    "q_join_interval_lookup" -> GraftQuery(
+      run = (s, d) => {
+        graft.plans.IntervalLookupJoinRule.install(s)
+        Tables.events(s, d)
+          .join(bands(s),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("band_id", "event_type")
+      },
+      oracle = Some(s"""
+        WITH $bandsSqlCte
+        SELECT band_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id, event_type ORDER BY band_id, event_type""")),
+
     // Three-way star join, both dims broadcast (no shuffle on customer).
     "q_join_star" -> GraftQuery(
       run = (s, d) =>

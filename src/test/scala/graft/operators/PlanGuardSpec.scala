@@ -96,6 +96,13 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("interval-lookup join rewrites to a join-free probe") {
+    assume(haveData)
+    val p = plan("q_join_interval_lookup")
+    p should not include "NestedLoop"
+    p should include ("graft_interval_index")
+  }
+
   test("salted join keeps the fact side shuffle-free") {
     assume(haveData)
     val p = plan("q_scale_salted_join")
