@@ -16,6 +16,12 @@ object Verify {
       // default; read as long (ns since epoch) — order-preserving.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan (and coalesce tiny shuffles) inside cached
+      // plans too — the iterative label-propagation loop persists each
+      // generation, and without this every tiny iteration keeps the
+      // full shuffle-partition fan-out
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -275,6 +275,76 @@ object ScaleOps extends QueryPack {
                CAST(abs(approx_count_distinct(user_id)
                         - count(DISTINCT user_id))
                     <= count(DISTINCT user_id) * 0.1 AS INT) AS within_10pct
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --------------------------------------------------- Z-order layout
+    // Multi-dimensional data clustering (the lakehouse OPTIMIZE ZORDER
+    // primitive): interleave the bits of two quantized dimensions into a
+    // single sort key so that a range-partitioned write co-locates rows
+    // that are close in EITHER dimension — per-file min/max footers then
+    // skip files for predicates on the non-leading column, which a
+    // single-column sort cannot do. The query materializes the layout
+    // decision as arithmetic (file = z-range bucket ≙ repartitionByRange
+    // boundary at uniform z) and outputs the skipping metric itself:
+    // how many of the 256 files a `value ∈ [10, 20)` scan must read
+    // under z-order vs a user_id-sorted layout. Everything is integer
+    // bit math — exact in both engines.
+    "q_scale_zorder" -> GraftQuery(
+      run = (s, d) => {
+        // 8-bit quantized dims → 16-bit Morton code, bit i of ux at
+        // even position 2i, bit i of vx at odd position 2i+1
+        val zSpark = (0 until 8).flatMap(i => Seq(
+          s"shiftleft(shiftright(ux, $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})"))
+          .mkString(" + ")
+        val base = Tables.events(s, d).select(
+          expr("CAST(user_id % 256 AS INT)").as("ux"),
+          expr("CAST(least(255.0, greatest(0.0, floor(value))) AS INT)")
+            .as("vx"))
+        val zFiles = base.withColumn("z", expr(zSpark))
+          .groupBy(expr("z div 256").as("file_id"))
+          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
+          .withColumn("layout", lit("zorder"))
+        val linFiles = base
+          .groupBy(col("ux").as("file_id"))
+          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
+          .withColumn("layout", lit("linear"))
+        zFiles.union(linFiles)
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(!(col("vmx") < 10 || col("vmn") >= 20), 1)
+              .otherwise(0)).as("files_read"))
+          .withColumn("skip_frac",
+            round(lit(1.0) - col("files_read").cast("double") /
+              col("n_files"), 4))
+          .orderBy("layout")
+      },
+      oracle = Some {
+        val zDuck = (0 until 8).flatMap(i => Seq(
+          s"(((ux >> $i) & 1) << ${2 * i})",
+          s"(((vx >> $i) & 1) << ${2 * i + 1})"))
+          .mkString(" + ")
+        s"""
+        WITH base AS (
+          SELECT CAST(user_id % 256 AS INT) AS ux,
+                 CAST(least(255.0, greatest(0.0, floor(value))) AS INT) AS vx
+          FROM events),
+        zf AS (
+          SELECT 'zorder' AS layout, ($zDuck) // 256 AS file_id,
+                 min(vx) AS vmn, max(vx) AS vmx
+          FROM base GROUP BY 1, 2),
+        lf AS (
+          SELECT 'linear' AS layout, ux AS file_id,
+                 min(vx) AS vmn, max(vx) AS vmx
+          FROM base GROUP BY 1, 2),
+        files AS (SELECT * FROM zf UNION ALL SELECT * FROM lf)
+        SELECT layout, count(*) AS n_files,
+               sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20) THEN 1 ELSE 0 END)
+                 AS files_read,
+               round(1.0 - CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 4) AS skip_frac
+        FROM files GROUP BY layout ORDER BY layout"""
+      })
   )
 }

@@ -183,6 +183,53 @@ object Windows extends QueryPack {
                LEFT JOIN p USING (user_id)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----------------------------------------------- cohort retention
+    // The event-analytics retention triangle: users cohorted by their
+    // first-active week, then for each (cohort, week-offset) the count
+    // and fraction of the cohort still active. One shuffle by user_id
+    // (the cohort week is a window min — no self-join), one aggregate by
+    // (cohort, offset); at 100 TB both keys are low-cardinality so the
+    // second exchange is tiny. Weeks are integer epoch-µs // 7 days on
+    // both engines (the parquet ts is TIMESTAMP(NANOS): Spark reads it
+    // as a ns long, DuckDB at µs — `ts div 1000` lands both on the µs
+    // grid; see q_stream_* for the same convention).
+    "q_window_retention" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("(ts div 1000) div 604800000000").as("wk"))
+        wk.withColumn("cohort",
+            min(col("wk")).over(Window.partitionBy("user_id")))
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .withColumn("cohort_size",
+            max(when(col("offset") === 0, col("active_users")))
+              .over(Window.partitionBy("cohort")))
+          .withColumn("retention",
+            round(col("active_users").cast("double") /
+              col("cohort_size"), 4))
+          .orderBy("cohort", "offset")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        c AS (
+          SELECT user_id, wk,
+                 min(wk) OVER (PARTITION BY user_id) AS cohort
+          FROM w),
+        g AS (
+          SELECT cohort, wk - cohort AS "offset",
+                 count(DISTINCT user_id) AS active_users
+          FROM c GROUP BY 1, 2)
+        SELECT cohort, "offset", active_users,
+               max(CASE WHEN "offset" = 0 THEN active_users END)
+                 OVER (PARTITION BY cohort) AS cohort_size,
+               round(CAST(active_users AS DOUBLE) /
+                 max(CASE WHEN "offset" = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort), 4) AS retention
+        FROM g ORDER BY cohort, "offset" """)),
+
     // Deterministic top-k with tie-break (TakeOrderedAndProject — a
     // per-partition top-k then a k-row merge on the driver; no full sort).
     "q_window_topk" -> GraftQuery(
