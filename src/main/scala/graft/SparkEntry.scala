@@ -24,6 +24,7 @@ object SparkEntry {
     operators.ScaleOps,
     ms.MsPipeline,
     streaming.EventStreams,
+    streaming.DocStreams,
     functions.Scalars,
   )
 

@@ -129,6 +129,70 @@ object Dedup extends QueryPack {
     shc AS (SELECT doc_id, s FROM shingles
             WHERE s NOT IN (SELECT s FROM hot))"""
 
+  /** (doc_id, distinct word-3-shingle set) — stateless map-side prep
+    * shared by the batch LSH query and the streaming near-dup variant
+    * (works on both static and streaming DataFrames). */
+  private[graft] def shingleSets(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .withColumn(
+        "sh",
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws)-3), " +
+            "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
+
+  /** MinHash band rows (doc_id, band, key): one md5 per shingle, then 16
+    * affine permutations of the base hash (the classic a·h+b mod p
+    * family): minhash_i = min((2i+3)·h + 12289i + 1 mod 2^31−1), banded
+    * 4×4. Computed in a typed kernel: higher-order-function expressions
+    * are interpreted per-row, a JIT'd loop over the shingle set is ~10×
+    * faster and stays map-side either way. */
+  private[graft] def minhashBandRows(
+      docs: org.apache.spark.sql.Dataset[(Long, Seq[String])])
+      : org.apache.spark.sql.Dataset[(Long, Int, String)] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, dsh) =>
+        if (dsh.isEmpty) Iterator.empty
+        else {
+          val mins = Array.fill(16)(Long.MaxValue)
+          dsh.foreach { sh =>
+            val dg = md.digest(sh.getBytes("UTF-8"))
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            var i = 0
+            while (i < 16) {
+              val v = ((2L * i + 3L) * h + 12289L * i + 1L) % 2147483647L
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (0 until 4).iterator.map { b =>
+            (id, b,
+              s"${mins(4 * b)},${mins(4 * b + 1)},${mins(4 * b + 2)},${mins(4 * b + 3)}")
+          }
+        }
+      }
+    }
+  }
+
+  /** DuckDB mirror of [[minhashBandRows]] (expects `shingles` in scope —
+    * compose with [[docShinglesCte]]). */
+  private[graft] val minhashBandsCte = """
+    mh AS (SELECT doc_id, seed,
+                  min(((2*seed+3) * ('0x'||substr(md5(s),1,8))::BIGINT
+                       + 12289*seed + 1) % 2147483647) AS h
+           FROM shingles, generate_series(0,15) t(seed)
+           GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed//4 AS band,
+                     string_agg(h::VARCHAR, ',' ORDER BY seed) AS key
+              FROM mh GROUP BY doc_id, seed//4)"""
+
+  /** [[shinglesCte]] exposed for cross-pack oracle composition. */
+  private[graft] def docShinglesCte: String = shinglesCte
+
   /** Exact Jaccard over the shingle sets of candidate pairs (d1, d2).
     * The candidate set is small by construction (LSH output) — broadcast
     * it so the shingle stream is filtered map-side, never shuffled. */
@@ -358,46 +422,8 @@ object Dedup extends QueryPack {
     "q_dedup_minhash_lsh" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
-        // One md5 per shingle, then 16 affine permutations of the base
-        // hash (the classic a·h+b mod p family): minhash_i =
-        // min((2i+3)·h + 12289i + 1 mod 2^31−1). Computed in a typed
-        // kernel: higher-order-function expressions are interpreted
-        // per-row, a JIT'd loop over the shingle set is ~10× faster and
-        // stays map-side either way.
-        val bands = Tables.documents(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn(
-            "sh",
-            when(size(col("ws")) >= 3,
-              expr("transform(sequence(0, size(ws)-3), " +
-                "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
-              .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-          .select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
-          .as[(Long, Seq[String])]
-          .mapPartitions { it =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            it.flatMap { case (id, dsh) =>
-              if (dsh.isEmpty) Iterator.empty
-              else {
-                val mins = Array.fill(16)(Long.MaxValue)
-                dsh.foreach { sh =>
-                  val dg = md.digest(sh.getBytes("UTF-8"))
-                  val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
-                    ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
-                  var i = 0
-                  while (i < 16) {
-                    val v = ((2L * i + 3L) * h + 12289L * i + 1L) % 2147483647L
-                    if (v < mins(i)) mins(i) = v
-                    i += 1
-                  }
-                }
-                (0 until 4).iterator.map { b =>
-                  (id, b,
-                    s"${mins(4 * b)},${mins(4 * b + 1)},${mins(4 * b + 2)},${mins(4 * b + 3)}")
-                }
-              }
-            }
-          }
+        val bands = minhashBandRows(
+          shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
           .toDF("doc_id", "band", "key")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -411,14 +437,7 @@ object Dedup extends QueryPack {
       },
       oracle = Some(s"""
         WITH $shinglesCte,
-        mh AS (SELECT doc_id, seed,
-                      min(((2*seed+3) * ('0x'||substr(md5(s),1,8))::BIGINT
-                           + 12289*seed + 1) % 2147483647) AS h
-               FROM shingles, generate_series(0,15) t(seed)
-               GROUP BY doc_id, seed),
-        bands AS (SELECT doc_id, seed//4 AS band,
-                         string_agg(h::VARCHAR, ',' ORDER BY seed) AS key
-                  FROM mh GROUP BY doc_id, seed//4),
+        $minhashBandsCte,
         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),

@@ -57,7 +57,7 @@ object EventStreams extends QueryPack {
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. */
-  private def runToMemory(
+  private[streaming] def runToMemory(
       s: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     withStreamShufflePartitions(s) {
