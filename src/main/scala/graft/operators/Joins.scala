@@ -228,6 +228,75 @@ object Joins extends QueryPack {
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // --------------------------- correlated scalar subquery (TPC-H Q17)
+    // "Small-quantity orders for a brand": each lineitem row compares
+    // against a PER-PART average — the canonical correlated scalar
+    // subquery. The Spark side states the DECORRELATED plan explicitly
+    // (what Catalyst's RewriteCorrelatedScalarSubquery produces): the
+    // selective part filter is broadcast into BOTH the per-part average
+    // build and the probe, so the avg aggregates only the ~1% of
+    // lineitem that can ever match, and the avg join is itself
+    // broadcast. l_quantity is integer-valued, so avg is an exact
+    // integer ratio in both engines — the `< avg/5` comparison is
+    // FP-deterministic.
+    "q_join_tpch_q17" -> GraftQuery(
+      run = (s, d) => {
+        val parts = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#4").select("p_partkey")
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < col("avg_qty") / 5.0)
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+      },
+      oracle = Some("""
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT avg(l_quantity) / 5.0 FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")),
+
+    // ------------------------ IN-subquery over an aggregate (TPC-H Q18)
+    // "Large-volume customers": orders whose lineitem quantity total
+    // clears a threshold, rejoined to their lineitems — the
+    // HAVING + IN-subquery shape. The Spark form is the decorrelated
+    // one: the qualifying-order set (tiny after HAVING) broadcasts as a
+    // semi-join filter, so the big fact side shuffles once for its own
+    // aggregate and never for the membership test. sum(l_quantity) is
+    // integer-exact in any accumulation order.
+    "q_join_tpch_q18" -> GraftQuery(
+      run = (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("tot_qty"))
+          .filter(col("tot_qty") > 300.0)
+          .select("l_orderkey")
+        Tables.lineitem(s, d)
+          .join(broadcast(big), "l_orderkey")
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               sum(l_quantity) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 300.0)
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
     // Left outer join keeping unmatched dimension rows.
     "q_join_left" -> GraftQuery(
       run = (s, d) =>
