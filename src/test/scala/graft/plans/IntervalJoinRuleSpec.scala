@@ -100,4 +100,33 @@ class IntervalJoinRuleSpec extends AnyFunSuite
     df.queryExecution.optimizedPlan.toString should not include "Join"
     df.count() shouldBe 8
   }
+
+  test("randomized tables: rewritten result equals the relational join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      // random disjoint [lo, hi) set, unsorted row order
+      var edge = rnd.nextDouble() * 10 - 5
+      val rows = (0 until (1 + rnd.nextInt(20))).map { i =>
+        val lo = edge + rnd.nextDouble() * 3
+        val hi = lo + 0.1 + rnd.nextDouble() * 4
+        edge = hi
+        (i, lo, hi)
+      }
+      val dim = rnd.shuffle(rows).toDF("band_id", "lo", "hi")
+      val pts = (0 until 200)
+        .map(i => (i, rnd.nextDouble() * (edge + 10) - 10))
+        .toDF("id", "value")
+      val got = pts.join(dim,
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .select("id", "band_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val pts2 = pts.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val want = (for {
+        (id, v) <- pts2
+        (b, lo, hi) <- rows if lo <= v && v < hi
+      } yield (id, b)).toSet
+      got shouldBe want
+    }
+  }
 }
