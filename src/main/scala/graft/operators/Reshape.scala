@@ -126,6 +126,46 @@ object Reshape extends QueryPack {
           SELECT s_name, s_acctbal, 'supplier' FROM supplier)
         ORDER BY role, name""")),
 
+    // --------------------------------------- set operations (EXCEPT/INTERSECT)
+    // Set difference and intersection as first-class operators: users
+    // who viewed but never purchased (EXCEPT) and users who did both
+    // (INTERSECT). Spark plans both as hash joins over distinct keys
+    // (left-anti / left-semi after de-dup) — one shuffle each on the
+    // key, no sort, which is exactly the 100 TB shape; the oracle
+    // states the declarative set form.
+    "q_reshape_set_ops" -> GraftQuery(
+      run = (s, d) => {
+        // value > 90 sparsifies both sets so BOTH segments are
+        // non-empty at every test SF (the unfiltered sets fully overlap)
+        def users(t: String) = Tables.events(s, d)
+          .filter(col("event_type") === t && col("value") > 90.0)
+          .select("user_id")
+        val viewedOnly = users("view").except(users("purchase"))
+          .withColumn("segment", lit("viewed_only"))
+        val both = users("view").intersect(users("purchase"))
+          .withColumn("segment", lit("viewed_and_purchased"))
+        viewedOnly.unionByName(both)
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("segment")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT user_id FROM events
+                   WHERE event_type = 'view' AND value > 90.0),
+        p AS (SELECT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 90.0),
+        seg AS (
+          SELECT user_id, 'viewed_only' AS segment
+          FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+          UNION ALL
+          SELECT user_id, 'viewed_and_purchased'
+          FROM (SELECT * FROM v INTERSECT SELECT * FROM p))
+        SELECT segment, count(*) AS n_users, min(user_id) AS min_user,
+               max(user_id) AS max_user
+        FROM seg GROUP BY segment ORDER BY segment""")),
+
     // Conditional pivot: one column per event_type, single hash aggregate
     // (no Spark pivot() two-pass; fully codegen'd sum(CASE WHEN ...)).
     "q_reshape_pivot" -> GraftQuery(
