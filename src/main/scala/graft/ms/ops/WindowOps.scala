@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
+  /** R round(x, 2) parity, bit-exact: R's fround scales in long double
+    * and nearbyints (ties-to-even), which rounds by the EXACT binary
+    * value — Spark's bround instead rounds the SHORTEST DECIMAL
+    * representation (bround(2.675, 2) = 2.68, but the binary value sits
+    * below the tie so R gives 2.67). The two disagree exactly on the
+    * "prints like a tie but isn't one" class. The window table is
+    * O(dozens) rows, so the udf costs nothing. */
+  private val rRound2 = udf((v: Double) =>
+    if (v.isNaN || v.isInfinite) v
+    else new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue())
+
   /** Distinct adjusted windows from a raw peak table carrying
     * prec_isolation_window_start/_end columns. */
   def adjustedWindows(peaks: DataFrame): DataFrame = {
@@ -35,10 +47,9 @@ object WindowOps {
       .distinct()
       .withColumn("lead_lower", lead(col("prec_isolation_window_start"), 1).over(w))
       .withColumn("swath_upper_adjusted",
-        bround(
+        rRound2(
           when(col("lead_lower").isNull, col("prec_isolation_window_end"))
-            .otherwise((col("lead_lower") + col("prec_isolation_window_end")) / 2.0),
-          2))
+            .otherwise((col("lead_lower") + col("prec_isolation_window_end")) / 2.0)))
       .withColumn("swath_lower_adjusted",
         coalesce(lag(col("swath_upper_adjusted"), 1).over(w),
           col("prec_isolation_window_start")))

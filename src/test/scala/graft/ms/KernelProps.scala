@@ -64,6 +64,16 @@ object KernelProps extends Properties("ms.kernels") {
       Prop(again == r && math.abs(r - v) <= 0.5 * math.pow(10.0, -d) + 1e-12)
     }
 
+  // np.around golden values (scaled-rint semantics, NOT decimal
+  // half-even: 4.435 scales to 443.49999…, 2.675 to 267.50000…1)
+  property("roundHalfEven matches np.around on the divergent tie class") =
+    Prop(
+      MzMLSource.roundHalfEven(4.125, 2) == 4.12 &&
+      MzMLSource.roundHalfEven(4.405, 2) == 4.40 &&
+      MzMLSource.roundHalfEven(4.435, 2) == 4.43 &&
+      MzMLSource.roundHalfEven(4.445, 2) == 4.44 &&
+      MzMLSource.roundHalfEven(2.675, 2) == 2.68)
+
   private val peptide: Gen[String] =
     Gen.listOf(Gen.oneOf("ACDEFGHIKLMNPQRSTVWY".toSeq)).map(_.mkString)
 
