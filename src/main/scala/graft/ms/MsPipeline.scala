@@ -265,15 +265,31 @@ object MsPipeline extends QueryPack {
       oracle = None),
 
     // ------------------------------------- stage 8: sample-mode abundances
-    // Stacked (sample, component) abundances with population CV.
+    // Stacked (sample, component) abundances with population CV —
+    // restricted to the BEST models, as the reference's stage 8 is
+    // (collect_sample_modes.py:101-113 reads best_models.csv and loads
+    // only those model files; non-best models never contribute
+    // abundances). The best-key set is |slices|-sized, collected once
+    // and closed over by the dataset filter.
     "q_ms_sample_modes" -> GraftQuery(
-      run = (s, d) =>
-        Indexing.sampleModes(s, models(s, d))
+      run = (s, d) => {
+        val raw = rawPeaks(s, d)
+        val windows = WindowOps.adjustedWindows(raw)
+          .select(col("swath_lower_adjusted"))
+        val index = Indexing.modelIndex(s, windows, nRtWindows, fMin, fMax)
+        val counts = Indexing.peakCountsWithModelId(peakCounts(s, d), index)
+        val bestKeys = Indexing.bestModels(counts, index)
+          .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+        Indexing.sampleModes(s, models(s, d).filter((m: ParafacModelRow) =>
+            bestKeys.contains((m.swath_key, m.rt_window, m.ncomp))))
           .select(col("swath_key"), col("rt_window"), col("ncomp"),
             col("sample_num"), col("comp_num"),
             round(col("abundance"), 4).as("abundance"),
             round(col("cv_sample_mode"), 4).as("cv_sample_mode"))
-          .orderBy("swath_key", "rt_window", "ncomp", "sample_num", "comp_num"),
+          .orderBy("swath_key", "rt_window", "ncomp", "sample_num", "comp_num")
+      },
       oracle = None),
 
     // ------------------------------------- stage 9 prep: scan reconstruction

@@ -125,6 +125,26 @@ object CandiaPipeline {
       Indexing.spectrumIndex(index))
   }
 
+  /** Stage 8 (collect_sample_modes.py:40-76): stack the SAMPLE mode of
+    * every BEST model — the reference loads only the model files listed
+    * in best_models.csv — with the per-component population CV, then key
+    * each component by its global spectrum-index `scan` ordinal.
+    * Returns (sample_modes, spectra_with_sample_abundance): the first is
+    * the feather-analog long table, the second the (scan, sample_num,
+    * abundance) table that search-engine PSMs quantify against. */
+  def collectSampleModes(
+      spark: SparkSession,
+      result: CandiaResult): (DataFrame, DataFrame) = {
+    val bestKeys = result.bestModels
+      .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val best = result.models.filter((m: ParafacModelRow) =>
+      bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
+    val sm = Indexing.sampleModes(spark, best)
+    (sm, Indexing.spectraWithSampleAbundance(sm, result.spectrumIndex))
+  }
+
   /** Stage 9 prep: export each best model's unimodal mass-mode components
     * as mzXML scans (id_models_concat.py:58-119): component spectrum =
     * the mass-mode column over the slice's m/z labels; each scan is

@@ -150,9 +150,16 @@ object MzXMLWriter {
 
 /** MGF export with the charge-duplication transform the de novo tools
   * need (convert_mzxml_to_mgf msproc.py:423-440 +
-  * adjust_mgf_files.py:32-66: every spectrum duplicated at charge 2 and
-  * 3 with TITLE/SCANS/CHARGE set; RTINSECONDS + placeholder SEQ for
-  * DeepNovo). */
+  * adjust_mgf_files.py:40-66). The adjustment's exact contract:
+  *  - the file holds TWO passes over the spectra IN ORDER — every
+  *    spectrum at charge 2 first, then every spectrum again at
+  *    charge 3 (two sequential reader loops, not per-spectrum
+  *    interleave);
+  *  - TITLE and SCANS are both the bare scan number (the original
+  *    "scan=N_…" title is cut down to N);
+  *  - DeepNovo mode adds RTINSECONDS = 10 + i where i is the ordinal
+  *    WITHIN the charge pass (both passes restart at 10), and the
+  *    placeholder SEQ=PEPTIDE its reader requires. */
 object MgfWriter {
 
   final case class MgfSpectrum(
@@ -160,16 +167,17 @@ object MgfWriter {
       mzs: Array[Double], ints: Array[Double], rtSeconds: Double = 0.0)
 
   def spectrumBlock(
-      s: MgfSpectrum, charge: Int, forDeepNovo: Boolean): String = {
+      s: MgfSpectrum, charge: Int, ordinalInPass: Int,
+      forDeepNovo: Boolean): String = {
     val sb = new StringBuilder
     sb ++= "BEGIN IONS\n"
-    sb ++= s"TITLE=scan=${s.scan}:${s.precMz}:$charge\n"
+    sb ++= s"TITLE=${s.scan}\n"
     sb ++= s"PEPMASS=${s.precMz} ${s.precIntensity}\n"
     sb ++= s"CHARGE=$charge+\n"
     sb ++= s"SCANS=${s.scan}\n"
     if (forDeepNovo) {
-      sb ++= s"RTINSECONDS=${s.rtSeconds}\n"
-      sb ++= "SEQ=AAA\n" // placeholder required by DeepNovo readers
+      sb ++= s"RTINSECONDS=${10 + ordinalInPass}\n"
+      sb ++= "SEQ=PEPTIDE\n"
     }
     var i = 0
     while (i < s.mzs.length) {
@@ -180,13 +188,16 @@ object MgfWriter {
     sb.toString
   }
 
-  /** Duplicate every spectrum at charges 2 and 3 and write. */
+  /** Write the adjusted MGF: one full charge-2 pass, then one full
+    * charge-3 pass (adjust_mgf_files.py:40-52). */
   def write(
       path: String, spectra: Seq[MgfSpectrum],
       forDeepNovo: Boolean = false): Unit = {
     val sb = new StringBuilder
-    spectra.foreach { s =>
-      Seq(2, 3).foreach(ch => sb ++= spectrumBlock(s, ch, forDeepNovo))
+    Seq(2, 3).foreach { ch =>
+      spectra.zipWithIndex.foreach { case (s, i) =>
+        sb ++= spectrumBlock(s, ch, i, forDeepNovo)
+      }
     }
     Files.write(Paths.get(path),
       sb.toString.getBytes(StandardCharsets.ISO_8859_1))

@@ -106,9 +106,17 @@ class CandiaPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAl
         Files.write(Paths.get(s"$psmDir/models_Q1_crux.tsv"), tsv.getBytes("UTF-8"))
         val psms = graft.sources.PsmGather.readPsmTables(
           spark, Seq(s"$psmDir/models_Q1_crux.tsv"))
-        val abundances = graft.ms.ops.Indexing.spectraWithSampleAbundance(
-          graft.ms.ops.Indexing.sampleModes(spark, result.models),
-          result.spectrumIndex)
+        // stage 8: abundances come from BEST models only
+        // (collect_sample_modes.py reads best_models.csv)
+        val (sampleModes, abundances) =
+          CandiaPipeline.collectSampleModes(spark, result)
+        val bestKeySet = best.map(r => (
+          r.getAs[String]("swath_start_key"), r.getAs[Int]("rt_window"),
+          r.getAs[Int]("ncomp"))).toSet
+        sampleModes.select("swath_key", "rt_window", "ncomp").distinct()
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+          .foreach(k => bestKeySet should contain(k))
         val joined = psms.join(abundances, "scan")
         joined.count() should be > 0L
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(psmDir))

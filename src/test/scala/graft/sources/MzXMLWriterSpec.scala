@@ -79,17 +79,29 @@ class MzXMLWriterSpec extends AnyFunSuite with Matchers {
     Files.delete(Paths.get(tmp))
   }
 
-  test("MGF writer duplicates spectra at charges 2 and 3") {
+  test("MGF writer emits a full charge-2 pass then a full charge-3 pass") {
     val tmp = Files.createTempFile("graft", ".mgf").toString
-    MgfWriter.write(tmp, Seq(MgfWriter.MgfSpectrum(
-      scan = 5, precMz = 630.5, precIntensity = 42.0,
-      mzs = Array(100.0, 200.0), ints = Array(1.0, 2.0))))
+    def sp(scan: Long) = MgfWriter.MgfSpectrum(
+      scan = scan, precMz = 630.5, precIntensity = 42.0,
+      mzs = Array(100.0, 200.0), ints = Array(1.0, 2.0))
+    MgfWriter.write(tmp, Seq(sp(5), sp(7)), forDeepNovo = true)
     val content = new String(Files.readAllBytes(Paths.get(tmp)), "ISO-8859-1")
-    "BEGIN IONS".r.findAllIn(content).size shouldBe 2
-    content should include("CHARGE=2+")
-    content should include("CHARGE=3+")
+    "BEGIN IONS".r.findAllIn(content).size shouldBe 4
+    // two sequential passes (adjust_mgf_files.py:40-52), not interleaved
+    val charges = "CHARGE=(\\d)\\+".r.findAllMatchIn(content)
+      .map(_.group(1).toInt).toSeq
+    charges shouldBe Seq(2, 2, 3, 3)
+    // title/scans are the bare scan number
+    val titles = "TITLE=(\\S+)".r.findAllMatchIn(content)
+      .map(_.group(1)).toSeq
+    titles shouldBe Seq("5", "7", "5", "7")
     content should include("SCANS=5")
     content should include("PEPMASS=630.5 42.0")
+    // DeepNovo stamps: rtinseconds = 10 + ordinal, RESTARTING per pass
+    val rts = "RTINSECONDS=(\\d+)".r.findAllMatchIn(content)
+      .map(_.group(1).toInt).toSeq
+    rts shouldBe Seq(10, 11, 10, 11)
+    content should include("SEQ=PEPTIDE")
     Files.delete(Paths.get(tmp))
   }
 }
