@@ -145,14 +145,16 @@ object CandiaPipeline {
     (sm, Indexing.spectraWithSampleAbundance(sm, result.spectrumIndex))
   }
 
-  /** Stage 9 prep: export each best model's unimodal mass-mode components
-    * as mzXML scans (id_models_concat.py:58-119): component spectrum =
-    * the mass-mode column over the slice's m/z labels; each scan is
-    * stamped with the GLOBAL spectrum-index ordinal (models.py:81-117) —
-    * the same `scan` spectraWithSampleAbundance keys abundances by, so
-    * search-engine PSMs (which carry mzXML scan numbers) join back to
-    * the right components. Returns the number of scans written (some
-    * components drop out of the export via the MS2 intensity cutoff). */
+  /** Stage 9 prep: export EVERY mass-mode component of each best model
+    * as an mzXML scan (id_models_concat.py:58-119 iterates the full
+    * mass-mode matrix — unimodality picks the best MODELS upstream, it
+    * does not filter components): component spectrum = the mass-mode
+    * column over the slice's m/z labels; each scan is stamped with the
+    * GLOBAL spectrum-index ordinal (models.py:81-117) — the same `scan`
+    * spectraWithSampleAbundance keys abundances by, so search-engine
+    * PSMs (which carry mzXML scan numbers) join back to the right
+    * components. Returns the number of scans written (some components
+    * drop out of the export via the MS2 intensity cutoff). */
   def exportBestSpectra(
       spark: SparkSession,
       result: CandiaResult,
@@ -165,11 +167,17 @@ object CandiaPipeline {
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
       .toSet
-    val unimodal = result.peakCounts
-      .filter((c: ComponentPeaks) => c.npeaks == 1)
-      .collect()
-      .groupBy(c => (c.swath_key, c.rt_window, c.ncomp))
-      .map { case (k, cs) => k -> cs.map(_.comp_num).toSet }
+    // adjusted-window midpoints: the MS1-absent pseudo-precursor sits at
+    // (lower + upper) / 2 (id_models_concat.py:85-89), NOT at the lower
+    // bound
+    val centerOf: Map[String, Double] = result.peaks.toDF()
+      .select(col("swath_lower_adjusted"), col("swath_upper_adjusted"))
+      .distinct().collect()
+      .map { r =>
+        val lo = r.getFloat(0).toDouble
+        (graft.ms.ops.Tensorizer.swathKey(lo),
+          (lo + r.getFloat(1).toDouble) / 2.0)
+      }.toMap
 
     // global scan ids for the best models' components only (filter the
     // index on the cluster; the collected map stays |best|·F-sized)
@@ -188,12 +196,11 @@ object CandiaPipeline {
         bestKeys.contains((m.swath_key, m.rt_window, m.ncomp)))
       .collect()
       .flatMap { m =>
-        val keep = unimodal.getOrElse((m.swath_key, m.rt_window, m.ncomp),
-          Set.empty[Int])
         val labels = m.mz_indices.map(graft.ms.ops.Tensorizer.parseLabel)
-        val center = m.swath_key.toDouble
-        val cents = math.rint(center * 100).toLong // half-even, like centsKey
-        (0 until m.ncomp).filter(keep).map { k =>
+        val lower = m.swath_key.toDouble
+        val cents = math.rint(lower * 100).toLong // half-even, like centsKey
+        val center = centerOf.getOrElse(m.swath_key, lower)
+        (0 until m.ncomp).map { k =>
           MzXMLWriter.Component(
             scanId = scanOf((cents, m.rt_window, m.ncomp, k.toLong)),
             points = labels.zipWithIndex.map { case ((lvl, mzv), i) =>

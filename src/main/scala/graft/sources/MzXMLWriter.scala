@@ -166,6 +166,18 @@ object MgfWriter {
       scan: Long, precMz: Double, precIntensity: Double,
       mzs: Array[Double], ints: Array[Double], rtSeconds: Double = 0.0)
 
+  /** C "%.Ng" VALUE parity: the reference's intermediate MGF formats
+    * fragments '%.10g %.8g' (msproc.py:438) and the adjustment pass
+    * re-parses those strings — the significant-digit rounding is
+    * carried in the final values. %g rounds the exact binary value
+    * to-nearest-even, which is BigDecimal's exact-binary constructor +
+    * HALF_EVEN MathContext. */
+  private def sigRound(v: Double, n: Int): Double =
+    if (v == 0.0 || v.isNaN || v.isInfinite) v
+    else new java.math.BigDecimal(v)
+      .round(new java.math.MathContext(n, java.math.RoundingMode.HALF_EVEN))
+      .doubleValue()
+
   def spectrumBlock(
       s: MgfSpectrum, charge: Int, ordinalInPass: Int,
       forDeepNovo: Boolean): String = {
@@ -181,7 +193,7 @@ object MgfWriter {
     }
     var i = 0
     while (i < s.mzs.length) {
-      sb ++= s"${s.mzs(i)} ${s.ints(i)}\n"
+      sb ++= s"${sigRound(s.mzs(i), 10)} ${sigRound(s.ints(i), 8)}\n"
       i += 1
     }
     sb ++= "END IONS\n"

@@ -104,4 +104,15 @@ class MzXMLWriterSpec extends AnyFunSuite with Matchers {
     content should include("SEQ=PEPTIDE")
     Files.delete(Paths.get(tmp))
   }
+
+  test("MGF fragment values carry the %.10g/%.8g rounding") {
+    val tmp = Files.createTempFile("graft", ".mgf").toString
+    MgfWriter.write(tmp, Seq(MgfWriter.MgfSpectrum(
+      scan = 1, precMz = 630.5, precIntensity = 42.0,
+      mzs = Array(123.45678901234567), ints = Array(9876.543219876))))
+    val content = new String(Files.readAllBytes(Paths.get(tmp)), "ISO-8859-1")
+    // 10 significant digits for m/z, 8 for intensity (msproc.py:438)
+    content should include("123.456789 9876.5432")
+    Files.delete(Paths.get(tmp))
+  }
 }
