@@ -292,6 +292,35 @@ object MsPipeline extends QueryPack {
       },
       oracle = None),
 
+    // -------------------------- stage 8 output: spectrum ⋈ abundance table
+    // The (scan, sample_num, abundance) table search-engine PSMs
+    // quantify against (collect_sample_modes.py:55-76): best models'
+    // stacked sample modes keyed by the GLOBAL spectrum-index scan
+    // ordinal. Rows-only (abundances come from the sequential ALS), but
+    // the join contract — scan ids resolve through the arithmetic
+    // spectrum index — is what the oracle-checked join pack verifies
+    // relationally (q_join_fact_fact).
+    "q_ms_spectra_abundance" -> GraftQuery(
+      run = (s, d) => {
+        val raw = rawPeaks(s, d)
+        val windows = WindowOps.adjustedWindows(raw)
+          .select(col("swath_lower_adjusted"))
+        val index = Indexing.modelIndex(s, windows, nRtWindows, fMin, fMax)
+        val counts = Indexing.peakCountsWithModelId(peakCounts(s, d), index)
+        val bestKeys = Indexing.bestModels(counts, index)
+          .select(col("swath_start_key"), col("rt_window"), col("ncomp"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+        val sm = Indexing.sampleModes(s,
+          models(s, d).filter((m: ParafacModelRow) =>
+            bestKeys.contains((m.swath_key, m.rt_window, m.ncomp))))
+        Indexing.spectraWithSampleAbundance(sm, Indexing.spectrumIndex(index))
+          .select(col("scan"), col("sample_num"),
+            round(col("abundance"), 4).as("abundance"))
+          .orderBy("scan", "sample_num")
+      },
+      oracle = None),
+
     // ------------------------------------- stage 9 prep: scan reconstruction
     // Kruskal reconstruction of scan 0 from unimodal components; output
     // aggregated per model (count + order-independent max).
