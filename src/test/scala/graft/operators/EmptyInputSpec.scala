@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Degenerate-input robustness: every operator must run (and return an
+  * empty or well-defined result) against ZERO-ROW tables — at 100 TB a
+  * selective filter, a new tenant, or an empty partition produces
+  * exactly this shape, and a driver-side `.head()` on an empty
+  * aggregate is the classic way such jobs die at 3am. */
+class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val src = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$src/lineitem.parquet").exists
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("empty-input-spec")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // one or two queries per pack — the shapes most likely to hide a
+  // driver-side head()/max() or a divide-by-zero on empty input
+  private val representative = Seq(
+    "q_agg_pricing_summary", "q_agg_histogram", "q_agg_median",
+    "q_join_star", "q_join_interval_lookup", "q_join_interval_overlap",
+    "q_join_tpch_q17", "q_join_asof",
+    "q_window_retention", "q_window_funnel", "q_window_cycle_binning",
+    "q_reshape_set_ops", "q_reshape_pivot",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_cluster",
+    "q_dedup_embedding",
+    "q_sim_knn_brute", "q_sim_ivf_topk", "q_sim_lsh_bucket",
+    "q_text_quality", "q_text_lm_score", "q_text_vocab",
+    "q_mm_features", "q_scale_zorder", "q_scale_salted_join",
+    "q_scale_mixture", "q_scalar_fragment_masses")
+
+  test("representative queries run to completion on zero-row tables") {
+    assume(haveData)
+    representative.foreach { q =>
+      withClue(q) {
+        noException should be thrownBy
+          SparkEntry.queries(q)(spark, emptyDir).count()
+      }
+    }
+  }
+}
