@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Parallelism invariance: the same query must return IDENTICAL rows at
+  * different shuffle-partition counts. This is the local stand-in for
+  * "same answer on a 10-executor and a 1000-executor cluster" — the
+  * failure mode it hunts is partition-order dependence (an unsorted
+  * collect_list, a row_number over an under-specified order, an
+  * FP accumulation the output rounding doesn't absorb). */
+class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sf/lineitem.parquet").exists
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("determinism-spec")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // every output shape class: rounded FP aggregates, md5-integer ops,
+  // window ordinals, top-k with tie-breaks, collected arrays
+  private val subset = Seq(
+    "q_agg_pricing_summary", "q_agg_collect", "q_agg_argmax",
+    "q_window_topk", "q_window_running_sum", "q_window_retention",
+    "q_join_interval_overlap", "q_join_tpch_q18",
+    "q_dedup_minhash_lsh", "q_dedup_cluster", "q_sim_ivf_topk",
+    "q_sim_lsh_bucket", "q_text_fingerprint", "q_scale_zorder",
+    "q_reshape_set_ops", "q_scalar_format_keys")
+
+  test("results are identical across shuffle-partition counts") {
+    assume(haveData)
+    val key = "spark.sql.shuffle.partitions"
+    def runAll(n: Int): Map[String, Seq[String]] = {
+      spark.conf.set(key, n)
+      subset.map { q =>
+        q -> SparkEntry.queries(q)(spark, sf).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      }.toMap
+    }
+    try {
+      val at3 = runAll(3)
+      val at13 = runAll(13)
+      subset.foreach { q =>
+        withClue(q) { at13(q) shouldBe at3(q) }
+      }
+    } finally spark.conf.set(key, 4)
+  }
+}
