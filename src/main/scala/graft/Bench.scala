@@ -17,10 +17,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer cache, shuffle infra) so
-    // the first measured query isn't charged the JVM startup
+    // the first measured query isn't charged the JVM startup — and touch
+    // EVERY fact table, or the alphabetically-first query per table pays
+    // the first-scan cost and per-query numbers misattribute it
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
     // fixed name order: per-query timings attribute stage-cache builds
     // (the ms chain's tensors/models) to the same query every round, so
     // BENCH_rN deltas reflect real changes, not Map iteration order

@@ -69,7 +69,9 @@ object Reconstructor {
       (0 until m).map { im =>
         val (lvl, mzv) = labels(im)
         ReconstructedPoint(model.swath_key, model.rt_window, model.ncomp,
-          cyc, String.format(java.util.Locale.ROOT, "%.4f", Double.box(mzv)),
+          // pyFormat for convention; values are parsed 4-dp labels, so
+          // re-formatting is an exact round-trip under either tie rule
+          cyc, Tensorizer.pyFormat(mzv, 4),
           lvl, (map(cyc * m + im) * scale).toFloat)
       }
     }
