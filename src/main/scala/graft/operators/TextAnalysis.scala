@@ -41,6 +41,32 @@ object TextAnalysis extends QueryPack {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Per-document Gopher metrics frame (doc_id, text, n_words, sum_len,
+    * n_alpha, top_cnt) — one scan + one (doc, word) aggregate; shared by
+    * the standalone filter query and the curation funnel. */
+  private def gopherMetrics(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documents(s, d)
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+    val tops = t.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+    t.select(col("doc_id"), col("text"),
+        size(col("ws")).as("n_words"),
+        expr("aggregate(ws, 0, (a, x) -> a + length(x))").as("sum_len"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"))
+      .join(tops, "doc_id")
+  }
+
+  /** The Gopher acceptance rule over [[gopherMetrics]] columns. */
+  private def gopherPasses: org.apache.spark.sql.Column =
+    col("n_words") >= 50 && col("n_words") <= 100000 &&
+      col("sum_len") >= col("n_words") * 3 &&
+      col("sum_len") <= col("n_words") * 10 &&
+      col("n_alpha") * 5 >= col("n_words") * 4 &&
+      col("top_cnt") * 5 <= col("n_words")
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------- token counting
@@ -168,18 +194,8 @@ object TextAnalysis extends QueryPack {
     // are per-row array ops; only the top-word count shuffles, keyed by
     // (doc, word) — skew-free by construction.
     "q_text_gopher" -> GraftQuery(
-      run = (s, d) => {
-        val t = Tables.documents(s, d)
-          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
-        val tops = t.select(col("doc_id"), explode(col("ws")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
-        t.select(
-            col("doc_id"),
-            size(col("ws")).as("n_words"),
-            expr("aggregate(ws, 0, (a, x) -> a + length(x))").as("sum_len"),
-            size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).as("n_alpha"))
-          .join(tops, "doc_id")
+      run = (s, d) =>
+        gopherMetrics(s, d)
           .select(
             col("doc_id"), col("n_words"),
             round(col("sum_len").cast("double") / col("n_words"), 4)
@@ -188,13 +204,8 @@ object TextAnalysis extends QueryPack {
               .as("frac_alpha"),
             round(col("top_cnt").cast("double") / col("n_words"), 4)
               .as("top_word_frac"),
-            (col("n_words") >= 50 && col("n_words") <= 100000 &&
-              col("sum_len") >= col("n_words") * 3 &&
-              col("sum_len") <= col("n_words") * 10 &&
-              col("n_alpha") * 5 >= col("n_words") * 4 &&
-              col("top_cnt") * 5 <= col("n_words")).cast("int").as("passes"))
-          .orderBy("doc_id")
-      },
+            gopherPasses.cast("int").as("passes"))
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH t AS (
           SELECT doc_id,
@@ -497,6 +508,108 @@ object TextAnalysis extends QueryPack {
         SELECT doc_id, min(rh) AS fingerprint,
                count(rh) AS n_windows,
                count(DISTINCT rh) AS n_distinct
-        FROM r GROUP BY doc_id ORDER BY doc_id"""))
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------- corpus curation funnel
+    // The production curation pipeline as ONE declarative plan: MinHash
+    // near-dup removal (first doc per LSH band key wins — the corpus has
+    // no EXACT dups, so the near-dup pass is the one that bites) →
+    // Gopher quality gate → deterministic train/val/test split,
+    // reporting docs and tokens retained at every stage. Each stage
+    // composes already-oracled operators (band kernel shared with
+    // q_dedup_minhash_lsh, gopherMetrics, md5-bucket split), so the
+    // funnel is itself hash-checkable. Scale shape: signatures map-side,
+    // only (band, key) rows shuffle for the dedup; the per-stage counts
+    // are group-less partial aggregates. At 100 TB the curated frame
+    // between stages would be checkpointed to parquet; here the
+    // optimizer simply rescans the lineage per stage count.
+    "q_text_curation_funnel" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val m = gopherMetrics(s, d)
+        val bands = Dedup.minhashBandRows(
+            Dedup.shingleSets(Tables.documents(s, d))
+              .as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+        val gm = bands.groupBy("band", "key")
+          .agg(min(col("doc_id")).as("m"))
+        val flagged = bands.join(gm, Seq("band", "key"))
+          .filter(col("doc_id") > col("m"))
+          .select("doc_id").distinct()
+        val ded = m.join(flagged, Seq("doc_id"), "left_anti")
+        val qual = ded.filter(gopherPasses)
+        val split = qual
+          .withColumn("bucket",
+            expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage(m, "0_all")
+          .unionByName(stage(ded, "1_neardup"))
+          .unionByName(stage(qual, "2_quality"))
+          .unionByName(split
+            .groupBy(concat(lit("3_"), col("split")).as("stage"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_words")).as("n_tokens"))
+            .select("stage", "n_docs", "n_tokens"))
+          .orderBy("stage")
+      },
+      oracle = Some(s"""
+        WITH ${Dedup.docShinglesCte},
+        ${Dedup.minhashBandsCte},
+        gm AS (SELECT band, key, min(doc_id) AS m FROM bands
+               GROUP BY 1, 2),
+        flagged AS (
+          SELECT DISTINCT b.doc_id AS doc_id
+          FROM bands b JOIN gm g ON g.band = b.band AND g.key = b.key
+          WHERE b.doc_id > g.m),
+        t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        tops AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, w, count(*) AS c FROM (
+              SELECT doc_id, unnest(ws) AS w FROM t)
+            GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        m AS (
+          SELECT t.doc_id AS doc_id, text, len(ws) AS n_words,
+                 list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 top_cnt
+          FROM t JOIN tops ON tops.doc_id = t.doc_id),
+        ded AS (
+          SELECT * FROM m
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        q AS (
+          SELECT doc_id, n_words FROM ded
+          WHERE n_words >= 50 AND n_words <= 100000
+            AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+            AND n_alpha * 5 >= n_words * 4 AND top_cnt * 5 <= n_words),
+        sp AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, n_words,
+                       ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100
+                         AS b
+                FROM q))
+        SELECT stage, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+          SELECT '0_all' AS stage, count(*) AS n_docs,
+                 coalesce(sum(n_words), 0) AS n_tokens FROM m
+          UNION ALL
+          SELECT '1_neardup', count(*), coalesce(sum(n_words), 0) FROM ded
+          UNION ALL
+          SELECT '2_quality', count(*), coalesce(sum(n_words), 0) FROM q
+          UNION ALL
+          SELECT '3_' || split, count(*), coalesce(sum(n_words), 0)
+          FROM sp GROUP BY split)
+        ORDER BY stage"""))
   )
 }
