@@ -183,6 +183,34 @@ object Windows extends QueryPack {
                LEFT JOIN p USING (user_id)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ------------------------------------ distribution window functions
+    // percent_rank / cume_dist over a per-priority price ordering — the
+    // relative-standing family (beyond ref). The compound (price, key)
+    // order makes ranks tie-free, so both engines evaluate the same
+    // closed-form fractions; one shuffle on the partition key.
+    "q_window_distribution" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER win, 6) AS pr,
+               round(cume_dist() OVER win, 6) AS cd,
+               ntile(4) OVER win AS quartile
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW win AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")),
+
     // ----------------------------------------------- cohort retention
     // The event-analytics retention triangle: users cohorted by their
     // first-active week, then for each (cohort, week-offset) the count
