@@ -251,5 +251,35 @@ object Aggregates extends QueryPack {
               FROM orders)
         WHERE o_totalprice = mx
         ORDER BY o_orderkey"""))
+        ,
+
+    // ------------------------------- custom typed Aggregator: top-k/group
+    // The k cheapest orders per priority via graft.functions.CheapestK —
+    // a bounded-state Aggregator (O(k) per group, map-side partial
+    // aggregation) where the relational form below (the oracle) sorts
+    // every partition in full just to keep 3 rows. At 100 TB the window
+    // form shuffles and sorts the whole fact table; the Aggregator's
+    // exchange carries ≤ k rows per (group, task). Deterministic by the
+    // (price, orderkey) total order.
+    "q_agg_topk_per_group" -> GraftQuery(
+      run = (s, d) => {
+        val cheapest = udaf(new graft.functions.CheapestK(3))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(cheapest(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_orderpriority"),
+            posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("o_orderpriority"),
+            (col("pos") + lit(1L)).as("rank"),
+            col("p._1").as("o_totalprice"), col("p._2").as("o_orderkey"))
+          .orderBy("o_orderpriority", "rank")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, rn AS rank, o_totalprice, o_orderkey
+        FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3 ORDER BY o_orderpriority, rank"""))
   )
 }
