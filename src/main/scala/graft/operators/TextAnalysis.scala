@@ -518,11 +518,13 @@ object TextAnalysis extends QueryPack {
     // reporting docs and tokens retained at every stage. Each stage
     // composes already-oracled operators (band kernel shared with
     // q_dedup_minhash_lsh, gopherMetrics, md5-bucket split), so the
-    // funnel is itself hash-checkable. Scale shape: signatures map-side,
-    // only (band, key) rows shuffle for the dedup; the per-stage counts
-    // are group-less partial aggregates. At 100 TB the curated frame
-    // between stages would be checkpointed to parquet; here the
-    // optimizer simply rescans the lineage per stage count.
+    // funnel is itself hash-checkable. Scale shape: ONE pass — each doc
+    // is tagged with its deepest surviving stage (0 = dropped at
+    // near-dup, 1 = dropped at quality, 2 = survived, with its split),
+    // one (level, split) aggregate yields a ≤5-row summary, and the
+    // cumulative funnel rows assemble from that summary driver-side
+    // (histogram-edge-sized, not data-sized). No per-stage lineage
+    // rescans; signatures map-side; only (band, key) rows shuffle.
     "q_text_curation_funnel" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
@@ -536,26 +538,35 @@ object TextAnalysis extends QueryPack {
         val flagged = bands.join(gm, Seq("band", "key"))
           .filter(col("doc_id") > col("m"))
           .select("doc_id").distinct()
-        val ded = m.join(flagged, Seq("doc_id"), "left_anti")
-        val qual = ded.filter(gopherPasses)
-        val split = qual
-          .withColumn("bucket",
-            expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
+          .withColumn("dup", lit(1))
+        val per = m.join(flagged, Seq("doc_id"), "left")
+          .withColumn("level",
+            when(col("dup") === 1, 0)
+              .when(gopherPasses, 2).otherwise(1))
           .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val").otherwise("test"))
-        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
-          df.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
-            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-        stage(m, "0_all")
-          .unionByName(stage(ded, "1_neardup"))
-          .unionByName(stage(qual, "2_quality"))
-          .unionByName(split
-            .groupBy(concat(lit("3_"), col("split")).as("stage"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(col("n_words")).as("n_tokens"))
-            .select("stage", "n_docs", "n_tokens"))
+            when(col("level") === 2,
+              when(expr(s"${md5h("CAST(doc_id AS STRING)")} % 100") < 80,
+                "train")
+                .when(expr(s"${md5h("CAST(doc_id AS STRING)")} % 100") < 90,
+                  "val")
+                .otherwise("test")))
+          .groupBy("level", "split")
+          .agg(count(lit(1)).as("n"), sum(col("n_words")).as("tok"))
+          .collect()
+          .map(r => (r.getInt(0), Option(r.getString(1)),
+            r.getLong(2), r.getLong(3)))
+        def cum(minLevel: Int): (Long, Long) = {
+          val keep = per.filter(_._1 >= minLevel)
+          (keep.map(_._3).sum, keep.map(_._4).sum)
+        }
+        val stages =
+          Seq("0_all" -> cum(0), "1_neardup" -> cum(1),
+            "2_quality" -> cum(2)) ++
+          per.collect { case (2, Some(sp), n, tok) =>
+            s"3_$sp" -> (n, tok)
+          }
+        stages.map { case (st, (n, tok)) => (st, n, tok) }
+          .toDF("stage", "n_docs", "n_tokens")
           .orderBy("stage")
       },
       oracle = Some(s"""

@@ -50,7 +50,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_knn_brute", "q_sim_ivf_topk", "q_sim_lsh_bucket",
     "q_text_quality", "q_text_lm_score", "q_text_vocab",
     "q_mm_features", "q_scale_zorder", "q_scale_salted_join",
-    "q_scale_mixture", "q_scalar_fragment_masses")
+    "q_scale_mixture", "q_scalar_fragment_masses",
+    "q_text_curation_funnel", "q_agg_topk_per_group",
+    "q_window_distribution")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
