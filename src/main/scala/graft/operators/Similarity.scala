@@ -510,6 +510,142 @@ object Similarity extends QueryPack {
                round(score / 1000000000000.0, 4) AS approx_dot
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // -------------------------------------------------- IVF-PQ composite
+    // The canonical billion-scale index shape (FAISS IVFPQ): a coarse
+    // quantizer routes each vector to its nearest centroid's inverted
+    // list, the RESIDUAL (vector − centroid) is product-quantized with
+    // per-(list, subspace) codebooks, and search scores candidates by
+    // integer ADC: ⟨q, x̂⟩ = ⟨q, c_list⟩ + Σ_sub ⟨q_sub, code_vec⟩. At
+    // 100 TB: lists ≙ partitions (probe = partition pruning), codes are
+    // 8 bytes/vector, and the ADC tables are a 320-row broadcast. Every
+    // quantity lives on the 1e-6 integer grid (codebook means are
+    // integer sum-div), so scores are exact Longs — the oracle compare
+    // has no FP margin anywhere. Codebook structure: 4 deterministic
+    // codes per (list, subspace), membership keyed by vec_id % 4.
+    "q_sim_ivfpq" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        def grid(df: org.apache.spark.sql.DataFrame, key: String) =
+          df.select(col(key), posexplode(col("v")).as(Seq("i", "x")))
+            .select(col(key), col("i"),
+              expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+        val uq = grid(all, "vec_id")
+        val cent = grid(all, "label")
+          .groupBy(col("label").as("c_label"), col("i").as("ci"))
+          .agg(expr("sum(xq) div count(1)").as("cq"))
+        val assign = uq.join(broadcast(cent), col("i") === col("ci"))
+          .groupBy(col("vec_id"), col("c_label"))
+          .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+            .as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("d2"), col("c_label"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("list"))
+        val resid = uq.join(assign, "vec_id")
+          .join(broadcast(cent),
+            col("list") === col("c_label") && col("i") === col("ci"))
+          .select(col("vec_id"), col("list"), col("i"),
+            expr("i div 8").as("sub"), (col("xq") - col("cq")).as("r"))
+        val cb = resid
+          .withColumn("code", expr("vec_id % 4"))
+          .groupBy("list", "sub", "code", "i")
+          .agg(expr("sum(r) div count(1)").as("cmean"))
+        val sel = resid.join(broadcast(cb.withColumnRenamed("i", "cbi")),
+            Seq("list", "sub")).filter(col("i") === col("cbi"))
+          .groupBy(col("vec_id"), col("sub"), col("code"))
+          .agg(sum((col("r") - col("cmean")) * (col("r") - col("cmean")))
+            .as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "sub")
+              .orderBy(col("d2"), col("code"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"))
+        val qAssign = assign.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("list").as("probe"))
+        val qs = uq.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "q_id").join(broadcast(qAssign), "q_id")
+        val qc = qs.join(broadcast(cent),
+            col("probe") === col("c_label") && col("i") === col("ci"))
+          .groupBy(col("q_id"), col("probe"))
+          .agg(sum(col("xq") * col("cq")).as("qcdot"))
+        val qtab = qs.join(broadcast(cb.withColumnRenamed("i", "cbi")),
+            col("probe") === col("list") && col("i") === col("cbi"))
+          .groupBy(col("q_id"), col("probe"), col("sub"), col("code"))
+          .agg(sum(col("xq") * col("cmean")).as("t"))
+        sel.join(assign, "vec_id")
+          .join(broadcast(qtab),
+            col("list") === qtab("probe") &&
+              sel("sub") === qtab("sub") && sel("code") === qtab("code") &&
+              col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(sum(col("t")).as("adc"))
+          .join(broadcast(qc.drop("probe")), "q_id")
+          .select(col("q_id"), col("n_id"),
+            (col("qcdot") + col("adc")).as("approx_dot"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("approx_dot").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "approx_dot")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+               FROM u),
+        cent AS (SELECT label AS c_label, i,
+                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
+                          AS cq
+                 FROM u GROUP BY label, i),
+        asg AS (SELECT vec_id, c_label AS list FROM (
+                  SELECT xq.vec_id, cent.c_label,
+                         row_number() OVER (PARTITION BY xq.vec_id
+                           ORDER BY sum((xq.xq - cent.cq)*(xq.xq - cent.cq)),
+                                    cent.c_label) AS rn
+                  FROM xq JOIN cent ON cent.i = xq.i
+                  GROUP BY xq.vec_id, cent.c_label) WHERE rn = 1),
+        res AS (SELECT xq.vec_id AS vec_id, asg.list AS list, xq.i AS i,
+                       (xq.i - 1) // 8 AS sub, xq.xq - cent.cq AS r
+                FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                        JOIN cent ON cent.c_label = asg.list
+                                 AND cent.i = xq.i),
+        cb AS (SELECT list, sub, vec_id % 4 AS code, i,
+                      sum(r) // count(*) AS cmean
+               FROM res GROUP BY list, sub, vec_id % 4, i),
+        sel AS (SELECT vec_id, sub, code FROM (
+                  SELECT res.vec_id, res.sub, cb.code,
+                         row_number() OVER (PARTITION BY res.vec_id, res.sub
+                           ORDER BY sum((res.r - cb.cmean)*(res.r - cb.cmean)),
+                                    cb.code) AS rn
+                  FROM res JOIN cb ON cb.list = res.list AND cb.i = res.i
+                  GROUP BY res.vec_id, res.sub, cb.code) WHERE rn = 1),
+        qc AS (SELECT xq.vec_id AS q_id, asg.list AS probe,
+                      sum(xq.xq * cent.cq) AS qcdot
+               FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                       JOIN cent ON cent.c_label = asg.list AND cent.i = xq.i
+               WHERE xq.vec_id < 10 GROUP BY 1, 2),
+        qtab AS (SELECT xq.vec_id AS q_id, cb.sub AS sub, cb.code AS code,
+                        sum(xq.xq * cb.cmean) AS t
+                 FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                         JOIN cb ON cb.list = asg.list AND cb.i = xq.i
+                 WHERE xq.vec_id < 10 GROUP BY 1, 2, 3),
+        sc AS (SELECT qc.q_id AS q_id, s2.vec_id AS n_id,
+                      CAST(qc.qcdot + sum(qtab.t) AS BIGINT) AS approx_dot
+               FROM sel s2
+               JOIN asg ON asg.vec_id = s2.vec_id
+               JOIN qc ON qc.probe = asg.list
+               JOIN qtab ON qtab.q_id = qc.q_id AND qtab.sub = s2.sub
+                        AND qtab.code = s2.code
+               WHERE s2.vec_id <> qc.q_id
+               GROUP BY qc.q_id, s2.vec_id, qc.qcdot),
+        rk AS (SELECT q_id, n_id, approx_dot,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY approx_dot DESC, n_id) AS rank
+               FROM sc)
+        SELECT q_id, rank, n_id, approx_dot
+        FROM rk WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // -------------------------------------------- IVF multi-probe (nprobe=2)
     // The recall knob demonstrated: probing the 2 nearest centroids'
     // lists roughly doubles the scanned fraction and recovers strictly
