@@ -98,6 +98,74 @@ object Similarity extends QueryPack {
     out.orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ oracle CTE chain (expects `u` from the unnest CTE in
+    * scope); ends with `rk(q_id, n_id, approx_dot, rank)`. Shared by the
+    * index query and its recall measurement so the two cannot drift. */
+  private val ivfpqCtes = """
+        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+               FROM u),
+        cent AS (SELECT label AS c_label, i,
+                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
+                          AS cq
+                 FROM u GROUP BY label, i),
+        asg AS (SELECT vec_id, c_label AS list FROM (
+                  SELECT xq.vec_id, cent.c_label,
+                         row_number() OVER (PARTITION BY xq.vec_id
+                           ORDER BY sum((xq.xq - cent.cq)*(xq.xq - cent.cq)),
+                                    cent.c_label) AS rn
+                  FROM xq JOIN cent ON cent.i = xq.i
+                  GROUP BY xq.vec_id, cent.c_label) WHERE rn = 1),
+        res AS (SELECT xq.vec_id AS vec_id, asg.list AS list, xq.i AS i,
+                       (xq.i - 1) // 8 AS sub, xq.xq - cent.cq AS r
+                FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                        JOIN cent ON cent.c_label = asg.list
+                                 AND cent.i = xq.i),
+        quad AS (SELECT vec_id, sub,
+                        2 * max(CASE WHEN (i - 1) % 8 = 0
+                                     THEN CASE WHEN r > 0 THEN 1 ELSE 0 END
+                                     ELSE 0 END)
+                        + max(CASE WHEN (i - 1) % 8 = 1
+                                   THEN CASE WHEN r > 0 THEN 1 ELSE 0 END
+                                   ELSE 0 END) AS code
+                 FROM res GROUP BY vec_id, sub),
+        cb AS (SELECT res.list AS list, res.sub AS sub, quad.code AS code,
+                      res.i AS i, sum(res.r) // count(*) AS cmean
+               FROM res JOIN quad ON quad.vec_id = res.vec_id
+                                 AND quad.sub = res.sub
+               GROUP BY res.list, res.sub, quad.code, res.i),
+        sel AS (SELECT vec_id, sub, code FROM (
+                  SELECT res.vec_id, res.sub, cb.code,
+                         row_number() OVER (PARTITION BY res.vec_id, res.sub
+                           ORDER BY sum((res.r - cb.cmean)*(res.r - cb.cmean)),
+                                    cb.code) AS rn
+                  FROM res JOIN cb ON cb.list = res.list AND cb.i = res.i
+                  GROUP BY res.vec_id, res.sub, cb.code) WHERE rn = 1),
+        qc AS (SELECT xq.vec_id AS q_id, asg.list AS probe,
+                      sum(xq.xq * cent.cq) AS qcdot
+               FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                       JOIN cent ON cent.c_label = asg.list AND cent.i = xq.i
+               WHERE xq.vec_id < 10 GROUP BY 1, 2),
+        qtab AS (SELECT xq.vec_id AS q_id, cb.sub AS sub, cb.code AS code,
+                        sum(xq.xq * cb.cmean) AS t
+                 FROM xq JOIN asg ON asg.vec_id = xq.vec_id
+                         JOIN cb ON cb.list = asg.list AND cb.i = xq.i
+                 WHERE xq.vec_id < 10 GROUP BY 1, 2, 3),
+        sc AS (SELECT qc.q_id AS q_id, s2.vec_id AS n_id,
+                      CAST(qc.qcdot + sum(qtab.t) AS BIGINT) AS approx_dot
+               FROM sel s2
+               JOIN asg ON asg.vec_id = s2.vec_id
+               JOIN qc ON qc.probe = asg.list
+               JOIN qtab ON qtab.q_id = qc.q_id AND qtab.sub = s2.sub
+                        AND qtab.code = s2.code
+               WHERE s2.vec_id <> qc.q_id
+               GROUP BY qc.q_id, s2.vec_id, qc.qcdot),
+        rk AS (SELECT q_id, n_id, approx_dot,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY approx_dot / (na.nrm * nb.nrm) DESC, n_id)
+                        AS rank
+               FROM sc JOIN nrm na ON na.vec_id = sc.q_id
+                       JOIN nrm nb ON nb.vec_id = sc.n_id)"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------ brute-force cosine kNN
@@ -547,8 +615,18 @@ object Similarity extends QueryPack {
             col("list") === col("c_label") && col("i") === col("ci"))
           .select(col("vec_id"), col("list"), col("i"),
             expr("i div 8").as("sub"), (col("xq") - col("cq")).as("r"))
+        // codebook keyed by residual QUADRANT (signs of the first two
+        // subspace coordinates): a deterministic one-step clustering
+        // that correlates with residual geometry — an id-keyed grouping
+        // averages each code to ~0 and the codes carry no signal
+        val quad = resid
+          .groupBy("vec_id", "sub")
+          .agg((lit(2) * max(when(expr("i % 8 = 0") && col("r") > 0, 1)
+              .otherwise(0)) +
+            max(when(expr("i % 8 = 1") && col("r") > 0, 1).otherwise(0)))
+            .as("code"))
         val cb = resid
-          .withColumn("code", expr("vec_id % 4"))
+          .join(quad, Seq("vec_id", "sub"))
           .groupBy("list", "sub", "code", "i")
           .agg(expr("sum(r) div count(1)").as("cmean"))
         val sel = resid.join(broadcast(cb.withColumnRenamed("i", "cbi")),
@@ -583,68 +661,78 @@ object Similarity extends QueryPack {
           .join(broadcast(qc.drop("probe")), "q_id")
           .select(col("q_id"), col("n_id"),
             (col("qcdot") + col("adc")).as("approx_dot"))
+          // rank by the NORMALIZED score so the approximation targets
+          // the same cosine ordering the brute-force baseline uses (a
+          // raw-dot ranking would conflate norm variation with
+          // quantization loss in the recall measurement); the division
+          // of an exact Long by two exact norms is a single deterministic
+          // FP op — same value in both engines
+          .join(broadcast(all.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))),
+            "q_id")
+          .join(all.select(col("vec_id").as("n_id"),
+            col("nrm").as("n_nrm")), "n_id")
           .withColumn("rank", row_number().over(
             Window.partitionBy("q_id")
-              .orderBy(col("approx_dot").desc, col("n_id"))))
+              .orderBy((col("approx_dot") / (col("q_nrm") * col("n_nrm")))
+                .desc, col("n_id"))))
           .filter(col("rank") <= 3)
           .select("q_id", "rank", "n_id", "approx_dot")
           .orderBy("q_id", "rank")
       },
       oracle = Some(s"""
         WITH $unnestCte,
-        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
-               FROM u),
-        cent AS (SELECT label AS c_label, i,
-                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
-                          AS cq
-                 FROM u GROUP BY label, i),
-        asg AS (SELECT vec_id, c_label AS list FROM (
-                  SELECT xq.vec_id, cent.c_label,
-                         row_number() OVER (PARTITION BY xq.vec_id
-                           ORDER BY sum((xq.xq - cent.cq)*(xq.xq - cent.cq)),
-                                    cent.c_label) AS rn
-                  FROM xq JOIN cent ON cent.i = xq.i
-                  GROUP BY xq.vec_id, cent.c_label) WHERE rn = 1),
-        res AS (SELECT xq.vec_id AS vec_id, asg.list AS list, xq.i AS i,
-                       (xq.i - 1) // 8 AS sub, xq.xq - cent.cq AS r
-                FROM xq JOIN asg ON asg.vec_id = xq.vec_id
-                        JOIN cent ON cent.c_label = asg.list
-                                 AND cent.i = xq.i),
-        cb AS (SELECT list, sub, vec_id % 4 AS code, i,
-                      sum(r) // count(*) AS cmean
-               FROM res GROUP BY list, sub, vec_id % 4, i),
-        sel AS (SELECT vec_id, sub, code FROM (
-                  SELECT res.vec_id, res.sub, cb.code,
-                         row_number() OVER (PARTITION BY res.vec_id, res.sub
-                           ORDER BY sum((res.r - cb.cmean)*(res.r - cb.cmean)),
-                                    cb.code) AS rn
-                  FROM res JOIN cb ON cb.list = res.list AND cb.i = res.i
-                  GROUP BY res.vec_id, res.sub, cb.code) WHERE rn = 1),
-        qc AS (SELECT xq.vec_id AS q_id, asg.list AS probe,
-                      sum(xq.xq * cent.cq) AS qcdot
-               FROM xq JOIN asg ON asg.vec_id = xq.vec_id
-                       JOIN cent ON cent.c_label = asg.list AND cent.i = xq.i
-               WHERE xq.vec_id < 10 GROUP BY 1, 2),
-        qtab AS (SELECT xq.vec_id AS q_id, cb.sub AS sub, cb.code AS code,
-                        sum(xq.xq * cb.cmean) AS t
-                 FROM xq JOIN asg ON asg.vec_id = xq.vec_id
-                         JOIN cb ON cb.list = asg.list AND cb.i = xq.i
-                 WHERE xq.vec_id < 10 GROUP BY 1, 2, 3),
-        sc AS (SELECT qc.q_id AS q_id, s2.vec_id AS n_id,
-                      CAST(qc.qcdot + sum(qtab.t) AS BIGINT) AS approx_dot
-               FROM sel s2
-               JOIN asg ON asg.vec_id = s2.vec_id
-               JOIN qc ON qc.probe = asg.list
-               JOIN qtab ON qtab.q_id = qc.q_id AND qtab.sub = s2.sub
-                        AND qtab.code = s2.code
-               WHERE s2.vec_id <> qc.q_id
-               GROUP BY qc.q_id, s2.vec_id, qc.qcdot),
-        rk AS (SELECT q_id, n_id, approx_dot,
-                      row_number() OVER (PARTITION BY q_id
-                        ORDER BY approx_dot DESC, n_id) AS rank
-               FROM sc)
+        $ivfpqCtes
         SELECT q_id, rank, n_id, approx_dot
         FROM rk WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ----------------------------------------------- IVF-PQ recall@3
+    // The compression loss, measured: overlap of the IVF-PQ top-3 with
+    // the exact brute-force top-3 per query. Approximation quality is a
+    // MEASURED number here, never an assumption — same discipline as
+    // q_sim_recall for IVF/LSH. On the synthetic near-random embeddings
+    // the nprobe=1 COARSE routing is the binding constraint (q_sim_recall
+    // measures the same ceiling for exact-scored IVF); the PQ stage adds
+    // ~no further loss at that ceiling. nprobe and codes/subspace are the
+    // recall knobs, exactly as in the un-quantized IVF pair.
+    "q_sim_ivfpq_recall" -> GraftQuery(
+      run = (s, d) => {
+        val b = queries("q_sim_knn_brute").run(s, d)
+          .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+        val p = queries("q_sim_ivfpq").run(s, d)
+          .select(col("q_id"), col("n_id"))
+        b.groupBy("q_id").agg(count(lit(1)).as("brute_k"))
+          .join(
+            b.join(p, Seq("q_id", "n_id")).groupBy("q_id")
+              .agg(count(lit(1)).as("ivfpq_hits")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), col("brute_k"),
+            coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        $ivfpqCtes,
+        bdots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         sum(a.x*b.x) AS dot
+                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        btop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM bdots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        pqtop AS (SELECT q_id, n_id FROM rk WHERE rank <= 3),
+        hits AS (SELECT btop.q_id AS q_id, count(*) AS ivfpq_hits
+                 FROM btop JOIN pqtop ON pqtop.q_id = btop.q_id
+                                     AND pqtop.n_id = btop.n_id
+                 GROUP BY 1)
+        SELECT b.q_id AS q_id, count(*) AS brute_k,
+               CAST(coalesce(min(h.ivfpq_hits), 0) AS BIGINT) AS ivfpq_hits
+        FROM btop b LEFT JOIN hits h ON h.q_id = b.q_id
+        GROUP BY b.q_id ORDER BY q_id""")),
 
     // -------------------------------------------- IVF multi-probe (nprobe=2)
     // The recall knob demonstrated: probing the 2 nearest centroids'
