@@ -70,6 +70,30 @@ object Scalars extends QueryPack {
                regexp_replace(props, '[^0-9]', '', 'g') AS props_clean
         FROM events WHERE event_id < 500 ORDER BY event_id""")),
 
+    // String-function battery (beyond ref): edit distance, character
+    // translation, delimited-field extraction, padding, reversal — all
+    // codegen'd built-ins with engine-identical definitions, exercised
+    // over customer names. Integer/string outputs: exact hash compare.
+    "q_scalar_strings" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 50)
+          .select(col("c_custkey"),
+            length(col("c_name")).as("name_len"),
+            levenshtein(col("c_name"), reverse(col("c_name")))
+              .as("lev_to_reverse"),
+            translate(col("c_name"), "aeiou", "12345").as("translated"),
+            expr("split_part(c_name, '#', 2)").as("num_part"),
+            lpad(upper(col("c_name")), 25, "*").as("padded"))
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey, length(c_name) AS name_len,
+               levenshtein(c_name, reverse(c_name)) AS lev_to_reverse,
+               translate(c_name, 'aeiou', '12345') AS translated,
+               split_part(c_name, '#', 2) AS num_part,
+               lpad(upper(c_name), 25, '*') AS padded
+        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""")),
+
     // Arithmetic battery: unit conversion (×60), ppm tolerance, min-max
     // unscale — all plain column arithmetic, identical IEEE semantics.
     "q_scalar_arithmetic" -> GraftQuery(
