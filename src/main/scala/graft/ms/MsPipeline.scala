@@ -208,8 +208,14 @@ object MsPipeline extends QueryPack {
           .groupBy("swath_key", "rt_window")
           .agg(count(lit(1)).as("n_peaks"),
             round(sum(col("intensity")), 2).as("sum_intensity"))
+        // Complete, not Update: the memory sink APPENDS updated rows per
+        // batch under Update, so a multi-batch replay (multi-file input
+        // at larger SF, maxFilesPerTrigger) would retain superseded rows
+        // for re-updated slice keys. Complete truncates and re-emits the
+        // full (small, aggregated) slice table each batch — correct under
+        // any batching. Same pattern as q_stream_session_window.
         val q = sliced.writeStream.queryName("graft_ms_stream_slices")
-          .format("memory").outputMode("update")
+          .format("memory").outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()

@@ -90,12 +90,16 @@ object WindowOps {
 
   /** The slice partition key the reference encodes in directory names:
     * "{:.2f}" of the adjusted lower bound (split_csv_maps_to_slices
-    * .py:81-84). bround first so dyadic ties round half-even like
-    * Python's format (Java's %.2f alone rounds HALF_UP); formatting the
-    * already-2dp-rounded double is then tie-free. */
+    * .py:81-84). Must be THE SAME function as the typed tensorize path's
+    * key (Tensorizer.swathKey = pyFormat, exact-binary half-even) — a
+    * bround-then-format column version rounds the shortest-decimal
+    * representation instead and diverges on the 2.675 class, silently
+    * splitting one slice into two keys between the two paths. The UDF
+    * also works on streaming inputs, where a precomputed broadcast key
+    * table could not be collected. */
+  private val swathKeyUdf = udf((v: Double) => Tensorizer.swathKey(v))
   def withSwathKey(peaks: DataFrame): DataFrame =
-    peaks.withColumn("swath_key",
-      format_string("%.2f", bround(col("swath_lower_adjusted"), 2)))
+    peaks.withColumn("swath_key", swathKeyUdf(col("swath_lower_adjusted")))
 
   /** Partitioned columnar sink for the sliced peak table (replaces the
     * reference's per-slice CSV directories; drops its coalesce(1)). */

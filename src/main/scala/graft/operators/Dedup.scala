@@ -384,8 +384,10 @@ object Dedup extends QueryPack {
         c AS (SELECT h, count(*) AS tot, count(DISTINCT doc_id) AS nd
               FROM g GROUP BY h HAVING count(*) > 1)
         SELECT g.doc_id AS doc_id, count(*) AS n_shingles,
-               sum(CASE WHEN c.tot IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
-               sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_xdoc,
+               CAST(sum(CASE WHEN c.tot IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_xdoc,
                round(CAST(sum(CASE WHEN c.tot IS NOT NULL THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 4) AS dup_frac
         FROM g LEFT JOIN c ON c.h = g.h

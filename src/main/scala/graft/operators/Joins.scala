@@ -100,8 +100,8 @@ object Joins extends QueryPack {
                  datediff('day', DATE '1970-01-01', o_orderdate::DATE) + 30 AS b_end
           FROM orders WHERE o_custkey < 20)
         SELECT b_id, count(*) AS n_overlaps,
-               sum(least(a_end, b_end) - greatest(a_start, b_start) + 1)
-                 AS sum_overlap_days
+               CAST(sum(least(a_end, b_end) - greatest(a_start, b_start) + 1)
+                    AS BIGINT) AS sum_overlap_days
         FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
         GROUP BY b_id ORDER BY b_id""")),
 

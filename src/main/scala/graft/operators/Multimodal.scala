@@ -188,8 +188,8 @@ object Multimodal extends QueryPack {
         m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 32.0 AS mean
               FROM b GROUP BY doc_id),
         h AS (SELECT b.doc_id AS doc_id,
-                     sum(CASE WHEN v > mean THEN (1::BIGINT << (i - 1))
-                         ELSE 0 END) AS phash
+                     CAST(sum(CASE WHEN v > mean THEN (1::BIGINT << (i - 1))
+                              ELSE 0 END) AS BIGINT) AS phash
               FROM b JOIN m ON m.doc_id = b.doc_id
               GROUP BY b.doc_id)
         SELECT doc_id, phash,

@@ -148,7 +148,7 @@ object ScaleOps extends QueryPack {
           WHERE rn = 1)
         SELECT event_type, count(*) AS n,
                round(sum(value), 4) AS sum_value,
-               sum(version) AS n_updated
+               CAST(sum(version) AS BIGINT) AS n_updated
         FROM merged GROUP BY event_type ORDER BY event_type""")),
 
     // --------------------------------------------- partition pruning
@@ -213,7 +213,8 @@ object ScaleOps extends QueryPack {
                                   ELSE 4294967296 END
                       THEN 1 ELSE 0 END AS keep
           FROM documents)
-        SELECT lang, count(*) AS n_total, sum(keep) AS n_sampled,
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(keep) AS BIGINT) AS n_sampled,
                round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS sampled_frac
         FROM k GROUP BY lang ORDER BY lang""")),
 
@@ -339,8 +340,8 @@ object ScaleOps extends QueryPack {
           FROM base GROUP BY 1, 2),
         files AS (SELECT * FROM zf UNION ALL SELECT * FROM lf)
         SELECT layout, count(*) AS n_files,
-               sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20) THEN 1 ELSE 0 END)
-                 AS files_read,
+               CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
                round(1.0 - CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
                                          THEN 1 ELSE 0 END) AS DOUBLE)
                            / count(*), 4) AS skip_frac

@@ -297,7 +297,8 @@ object Similarity extends QueryPack {
                                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS p
                    FROM generate_series(0,7) tj(j), generate_series(0,63) ti(i)),
         sig AS (SELECT vec_id,
-                       sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS bucket
+                       CAST(sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END)
+                            AS BIGINT) AS bucket
                 FROM (SELECT u.vec_id AS vec_id, planes.j AS j,
                              sum(floor(u.x * 1000000.0 + 0.5)::BIGINT *
                                  CASE WHEN planes.p > 0 THEN 1 ELSE -1 END) AS s

@@ -467,10 +467,10 @@ object TextAnalysis extends QueryPack {
           FROM documents),
         c AS (
           SELECT doc_id, source, n_tokens,
-                 coalesce(sum(n_tokens) OVER (
+                 CAST(coalesce(sum(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS cum_before
+                   AS BIGINT) AS cum_before
           FROM t)
         SELECT doc_id, source, n_tokens,
                cum_before // 256 AS seq_id,

@@ -101,7 +101,8 @@ object EventStreams extends QueryPack {
         per_session AS (
           SELECT user_id, session_id, count(*) AS n
           FROM sessions GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
                max(n) AS longest_session
         FROM per_session GROUP BY user_id ORDER BY user_id"""
 

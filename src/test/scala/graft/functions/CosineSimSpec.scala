@@ -82,37 +82,4 @@ class CosineSimSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     codegen should include(".getDouble(")
   }
 
-  // LAST test on purpose: spark.sql.extensions is a STATIC conf — it
-  // only applies when the SparkContext itself is created, so exercising
-  // the extensions path requires stopping the suite context and building
-  // a fresh one. (The previous form of this test reused the live
-  // context: getOrCreate handed back the default session where the
-  // imperative registration had already run — a false positive that
-  // never touched the injection path.)
-  test("extensions apply on a fresh context: function + optimizer rule") {
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[1]").appName("ext-spec")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      import s2.implicits._
-      val c = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
-        .selectExpr("graft_cosine(a, b) AS c")
-        .collect().head.getDouble(0)
-      c shouldBe 1.0 +- 1e-12
-      // the interval-lookup rule rides the same injection — no
-      // imperative install on s2, yet the join plans join-free
-      val dim = Seq((0, 0.0, 5.0), (1, 5.0, 10.0))
-        .toDF("band_id", "lo", "hi")
-      val pts = Seq((1, 2.5), (2, 7.5), (3, 11.0)).toDF("id", "value")
-      val joined = pts.join(dim,
-        col("value") >= dim("lo") && col("value") < dim("hi"))
-      joined.queryExecution.optimizedPlan.toString should not include "Join"
-      joined.count() shouldBe 2
-    } finally s2.stop()
-  }
 }

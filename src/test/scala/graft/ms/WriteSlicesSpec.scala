@@ -54,6 +54,24 @@ class WriteSlicesSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("column swath key equals the typed tensorize-path key, incl. the " +
+    "2.675 class where bround and exact-binary rounding disagree") {
+    import spark.implicits._
+    // 2.675 prints like a tie but its binary value sits BELOW it: exact
+    // half-even gives "2.67" while bround-then-format gave "2.68". Also
+    // a true dyadic tie (440.125 → "440.12") and plain values.
+    val lowers = Seq(2.675, 440.125, 623.0, 639.5, 100.03125)
+    val got = WindowOps.withSwathKey(lowers.toDF("swath_lower_adjusted"))
+      .select("swath_lower_adjusted", "swath_key")
+      .collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    lowers.foreach { v =>
+      got(v) shouldBe graft.ms.ops.Tensorizer.swathKey(v)
+    }
+    got(2.675) shouldBe "2.67"
+    got(440.125) shouldBe "440.12"
+    got(100.03125) shouldBe "100.03"
+  }
+
   test("windows CSV round-trips sorted distinct bounds") {
     import spark.implicits._
     val w = Seq((623.0, 640.0), (639.0, 656.0), (623.0, 640.0))

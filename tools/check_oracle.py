@@ -48,6 +48,15 @@ for name, sql in sorted(oracle.items()):
     for c in g.columns:
         gv, ev = g[c], e[c]
         if gv.dtype != ev.dtype:
+            # The driver's gate hashes value REPRESENTATIONS, so a kind
+            # mismatch (int64 vs float64 from e.g. DuckDB HUGEINT sums,
+            # "5" vs "5.0") IS a hash fail — flag it, don't coerce.
+            # Same-kind width differences (int32 vs int64) render the
+            # same text and are safe to align.
+            if gv.dtype.kind != ev.dtype.kind:
+                print(f"FAIL {name}: dtype {c}: {gv.dtype} vs {ev.dtype} "
+                      f"(value-representation mismatch under the hash gate)")
+                exact = False; break
             try:
                 ev = ev.astype(gv.dtype)
             except Exception:
