@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] at sf0.1 under an 8g heap spends multi-second
+  // GC pauses that get misattributed to whichever query is running
+  // (observed 10× per-query swings round-to-round); the bench host has
+  // 128 GiB, so size the single-JVM heap for 32 executor threads.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 
 // Forked run output goes straight to stdout (no [info] prefix) so the

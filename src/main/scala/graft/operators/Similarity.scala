@@ -774,6 +774,100 @@ object Similarity extends QueryPack {
         SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ------------------------------------------ semantic dedup (SemDeDup)
+    // Embedding-space near-dup removal (the SemDeDup shape: cluster the
+    // corpus in embedding space, then drop within-cluster semantic
+    // duplicates — redundancy lexical shingle dedup cannot see). The
+    // clustering bounds the pairwise work exactly like LSH bands bound
+    // the MinHash join: scoring never crosses cluster boundaries.
+    //  - codebook: integer mean of grid-quantized coords per label
+    //    (same deterministic construction as q_sim_pq_adc; at 100 TB the
+    //    codebook comes from sampled k-means and is broadcast either way)
+    //  - assignment: nearest centroid by exact integer L2 (ties → lowest
+    //    label), so both engines place every vector identically
+    //  - pair scores: graft_qcos (native codegen'd integer fold) over the
+    //    quantized vectors — all inputs are exact integers < 2^53, so the
+    //    cosine doubles are BIT-IDENTICAL across engines and the
+    //    keep/drop threshold compare is exact, never FP-marginal
+    // Output: one row per vector — cluster, count of lower-id near-dups
+    // (cos ≥ 0.4), keep flag, max similarity to any lower-id cluster-mate
+    // (−1 for the cluster's first member). Keep-lowest-id is the
+    // deterministic canonical-document rule from the dedup pack.
+    "q_dedup_semantic" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d).withColumn("vq",
+          expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+        val comp = all.select(col("vec_id"),
+          posexplode(col("vq")).as(Seq("i", "xq")))
+        val cent = all.select(col("label"), posexplode(col("vq")).as(Seq("i", "xq")))
+          .groupBy(col("label").as("c_label"), col("i"))
+          .agg(expr("sum(xq) div count(1)").as("cq"))
+        val assign = comp.join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("c_label"))
+          .agg(sum(expr("(xq - cq) * (xq - cq)")).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("list"))
+        val m = all.join(assign, "vec_id")
+          .select(col("vec_id"), col("list"), col("vq"))
+        val sims = m.as("a").join(m.as("b"),
+            col("a.list") === col("b.list") &&
+              col("a.vec_id") > col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"),
+            expr("graft_qcos(a.vq, b.vq)").as("cos"))
+        val agg = sims.groupBy("vec_id")
+          .agg(sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_close_prev"),
+            max(col("cos")).as("max_cos"))
+        assign.join(agg, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("list"),
+            coalesce(col("n_close_prev"), lit(0L)).as("n_close_prev"),
+            when(coalesce(col("n_close_prev"), lit(0L)) > 0, 0).otherwise(1)
+              .as("keep"),
+            round(coalesce(col("max_cos"), lit(-1.0)), 4).as("max_sim_prev"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+               FROM u),
+        cent AS (SELECT label AS c_label, i,
+                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
+                          AS cq
+                 FROM u GROUP BY label, i),
+        asg AS (SELECT vec_id, c_label AS list FROM (
+                  SELECT xq.vec_id, cent.c_label,
+                         row_number() OVER (PARTITION BY xq.vec_id
+                           ORDER BY sum((xq.xq - cent.cq)*(xq.xq - cent.cq)),
+                                    cent.c_label) AS rn
+                  FROM xq JOIN cent ON cent.i = xq.i
+                  GROUP BY xq.vec_id, cent.c_label) WHERE rn = 1),
+        sq AS (SELECT vec_id, sum(xq*xq) AS s2 FROM xq GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS vec_id, b.vec_id AS prev_id,
+                        CAST(sum(a.xq*b.xq) AS DOUBLE) AS dot
+                 FROM xq a JOIN asg aa ON aa.vec_id = a.vec_id
+                           JOIN asg ab ON ab.list = aa.list
+                           JOIN xq b ON b.vec_id = ab.vec_id AND b.i = a.i
+                 WHERE a.vec_id > b.vec_id
+                 GROUP BY 1, 2),
+        sims AS (SELECT dots.vec_id AS vec_id,
+                        dot / (sqrt(CAST(sa.s2 AS DOUBLE))
+                               * sqrt(CAST(sb.s2 AS DOUBLE))) AS cos
+                 FROM dots JOIN sq sa ON sa.vec_id = dots.vec_id
+                           JOIN sq sb ON sb.vec_id = dots.prev_id),
+        agg AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_close_prev,
+                       max(cos) AS max_cos
+                FROM sims GROUP BY vec_id)
+        SELECT asg.vec_id AS vec_id, asg.list AS list,
+               coalesce(n_close_prev, CAST(0 AS BIGINT)) AS n_close_prev,
+               CASE WHEN coalesce(n_close_prev, CAST(0 AS BIGINT)) > 0
+                    THEN 0 ELSE 1 END AS keep,
+               round(coalesce(max_cos, -1.0), 4) AS max_sim_prev
+        FROM asg LEFT JOIN agg ON agg.vec_id = asg.vec_id
+        ORDER BY asg.vec_id""")),
+
     // ----------------------------------------------- measured ANN recall
     // Recall@3 of the IVF and LSH tiers against the brute-force ground
     // truth — ANN quality is measured, not assumed. Composes the three

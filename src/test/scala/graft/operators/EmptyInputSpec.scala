@@ -52,7 +52,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_mm_features", "q_scale_zorder", "q_scale_salted_join",
     "q_scale_mixture", "q_scalar_fragment_masses",
     "q_text_curation_funnel", "q_agg_topk_per_group",
-    "q_window_distribution", "q_sim_ivfpq")
+    "q_window_distribution", "q_sim_ivfpq", "q_dedup_semantic")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
