@@ -113,5 +113,6 @@ class GraftExtensions
       new ExpressionInfo(classOf[QuantizedCos].getName, "graft_qcos"),
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

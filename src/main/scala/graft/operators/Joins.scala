@@ -133,6 +133,61 @@ object Joins extends QueryPack {
         FROM events JOIN bands ON value >= lo AND value < hi
         GROUP BY band_id, event_type ORDER BY band_id, event_type""")),
 
+    // -------------------------- interval join, DATA-DERIVED dim (physical)
+    // The case the logical lookup rule CANNOT take: the band table is
+    // computed from the data itself (exact quartiles of events.value), so
+    // there is no literal to bake into the plan — exactly how the
+    // reference's isolation windows arise (derived from the scans,
+    // msproc.py:89-91). graft.plans.IntervalJoinStrategy plans the range
+    // join as IntervalJoinExec: dim collected once, sorted-lo + prefix-max
+    // stabbing structure broadcast, O(log W + matches) probe per fact row
+    // instead of the O(W)-per-row BroadcastNestedLoopJoin default.
+    // Quartile bounds round to 4 dp on BOTH sides so the band edges are
+    // the identical doubles in both engines. IntervalJoinStrategySpec
+    // proves result equivalence with Spark's default plan on
+    // overlapping/duplicate/null/NaN intervals.
+    "q_join_interval_stats_bands" -> GraftQuery(
+      run = (s, d) => {
+        graft.plans.IntervalJoinStrategy.install(s)
+        val q = Tables.events(s, d).agg(
+          round(expr("percentile(value, 0.25D)"), 4).as("q1"),
+          round(expr("percentile(value, 0.5D)"), 4).as("q2"),
+          round(expr("percentile(value, 0.75D)"), 4).as("q3"))
+        val dim = q.select(explode(array(
+            struct(lit(0).as("band_id"),
+              lit(Double.NegativeInfinity).as("lo"), col("q1").as("hi")),
+            struct(lit(1).as("band_id"), col("q1").as("lo"),
+              col("q2").as("hi")),
+            struct(lit(2).as("band_id"), col("q2").as("lo"),
+              col("q3").as("hi")),
+            struct(lit(3).as("band_id"), col("q3").as("lo"),
+              lit(Double.PositiveInfinity).as("hi")))).as("b"))
+          .select(col("b.band_id").as("band_id"), col("b.lo").as("lo"),
+            col("b.hi").as("hi"))
+          .hint("broadcast")
+        Tables.events(s, d)
+          .join(dim,
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("band_id")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT round(quantile_cont(value, 0.25), 4) AS q1,
+                          round(quantile_cont(value, 0.5), 4) AS q2,
+                          round(quantile_cont(value, 0.75), 4) AS q3
+                   FROM events),
+        bands AS (
+          SELECT 0 AS band_id, CAST('-infinity' AS DOUBLE) AS lo, q1 AS hi
+          FROM q
+          UNION ALL SELECT 1, q1, q2 FROM q
+          UNION ALL SELECT 2, q2, q3 FROM q
+          UNION ALL SELECT 3, q3, CAST('infinity' AS DOUBLE) FROM q)
+        SELECT band_id, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id ORDER BY band_id""")),
+
     // Three-way star join, both dims broadcast (no shuffle on customer).
     "q_join_star" -> GraftQuery(
       run = (s, d) =>
