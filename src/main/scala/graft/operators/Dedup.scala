@@ -537,12 +537,26 @@ object Dedup extends QueryPack {
         var prevSum = labelSum(labels.persist())
         var changed = true
         while (changed) {
-          val next = labels
+          // one-hop min-label propagation over the edge set...
+          val prop = labels
             .join(edgeDf, col("doc_id") === col("src"))
             .select(col("dst").as("doc_id"), col("canonical_id"))
             .unionByName(labels)
             .groupBy("doc_id")
             .agg(min(col("canonical_id")).as("canonical_id"))
+          // ...then POINTER JUMPING: canonical := canonical(canonical).
+          // Without this the loop runs once per component DIAMETER — a
+          // 1000-link near-dup chain (transitive chains are common in
+          // real corpora) costs 1000 shuffle rounds at 100 TB. Composing
+          // the label map with itself each round makes convergence
+          // O(log diameter). The join always matches (labels are doc_ids
+          // of graph nodes, and every node carries a label row), and the
+          // looked-up label is ≤ the current one by min-monotonicity, so
+          // the fixpoint (component min) is unchanged.
+          val next = prop.as("a")
+            .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id"),
+              col("b.canonical_id").as("canonical_id"))
           next.persist()
           val nextSum = labelSum(next)
           changed = nextSum.compareTo(prevSum) != 0
