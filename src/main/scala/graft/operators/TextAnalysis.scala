@@ -300,6 +300,61 @@ object TextAnalysis extends QueryPack {
         FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // --------------------------------- CCNet-style perplexity bucketing
+    // The corpus-partitioning step downstream of the LM scorer: within
+    // each language, rank documents by LM score and cut into
+    // head/middle/tail terciles (CCNet keeps "head" for training,
+    // inspects "tail"). Composes q_text_lm_score (resolved lazily from
+    // this pack's own registry, like q_sim_recall does) — the ranking
+    // orders by the ROUNDED score with a doc_id tie-break, so the
+    // tercile boundaries are total-ordered and identical across engines.
+    // Output is per-(lang, bucket) with min/max score bounds
+    // (order-independent aggregates — no FP-summation-order hazard).
+    "q_text_ccnet_buckets" -> GraftQuery(
+      run = (s, d) => {
+        val lm = queries("q_text_lm_score").run(s, d)
+          .select(col("doc_id"), col("avg_logprob"))
+        val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        lm.join(langs, "doc_id")
+          .withColumn("bucket", expr(
+            "ntile(3) OVER (PARTITION BY lang " +
+              "ORDER BY avg_logprob DESC, doc_id)"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("avg_logprob")).as("min_lp"),
+            max(col("avg_logprob")).as("max_lp"))
+          .orderBy("lang", "bucket")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i FROM t))
+          WHERE w2 IS NOT NULL),
+        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY w1),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM (
+          SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+        scored AS (
+          SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + v))), 4)
+                   AS avg_logprob
+          FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
+          GROUP BY doc_id),
+        b AS (
+          SELECT s.doc_id, d.lang, s.avg_logprob,
+                 ntile(3) OVER (PARTITION BY d.lang
+                   ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket
+          FROM scored s JOIN documents d USING (doc_id))
+        SELECT lang, bucket, count(*) AS n_docs,
+               min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
     // -------------------------------------------- vocabulary construction
     // Corpus-wide top-50 words with document frequency — the tokenizer-
     // training precursor. One partial-aggregated shuffle keyed by word,
