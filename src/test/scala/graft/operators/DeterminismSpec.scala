@@ -34,7 +34,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_join_interval_overlap", "q_join_tpch_q18",
     "q_dedup_minhash_lsh", "q_dedup_cluster", "q_sim_ivf_topk",
     "q_sim_lsh_bucket", "q_text_fingerprint", "q_scale_zorder",
-    "q_reshape_set_ops", "q_scalar_format_keys")
+    "q_reshape_set_ops", "q_scalar_format_keys",
+    "q_dedup_semantic", "q_join_interval_stats_bands",
+    "q_text_ccnet_buckets")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
