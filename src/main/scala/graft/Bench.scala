@@ -57,7 +57,11 @@ object Bench {
       "q_ms_decompose", "q_stream_tumbling", "q_stream_sessionize",
       "q_scale_salted_join", "q_scale_bucketed_join")
     val byName = results.toMap
-    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
+    // loud, not silent: a renamed/misspelled headline entry would
+    // otherwise just vanish from the driver-parsed metric line
+    val missing = headline.filterNot(byName.contains)
+    require(missing.isEmpty, s"headline names not in registry: $missing")
+    val qs = headline.map(k => "\"" + k + "\":" + r3(byName(k)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total_${results.size}_queries","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -553,6 +553,9 @@ object Dedup extends QueryPack {
           // of graph nodes, and every node carries a label row), and the
           // looked-up label is ≤ the current one by min-monotonicity, so
           // the fixpoint (component min) is unchanged.
+          // prop self-joins: persist it for the round or the propagation
+          // aggregate (the round's most expensive stage) runs twice
+          prop.persist()
           val next = prop.as("a")
             .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
             .select(col("a.doc_id").as("doc_id"),
@@ -561,6 +564,7 @@ object Dedup extends QueryPack {
           val nextSum = labelSum(next)
           changed = nextSum.compareTo(prevSum) != 0
           prevSum = nextSum
+          prop.unpersist() // consumed by next's materialization above
           labels.unpersist() // superseded generation
           labels = next
         }

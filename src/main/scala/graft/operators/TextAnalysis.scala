@@ -41,6 +41,31 @@ object TextAnalysis extends QueryPack {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Shared DuckDB CTE chain for the bigram LM (tokenize → bigrams →
+    * counts → vocab) — ONE definition feeding both the q_text_lm_score
+    * oracle and the q_text_ccnet_buckets oracle, so a change to the LM
+    * (tokenization, counts) cannot leave one oracle checking a stale
+    * formula while the Spark sides stay composed. */
+  private val lmOracleCtes = """t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i FROM t))
+          WHERE w2 IS NOT NULL),
+        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY w1),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM (
+          SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))"""
+
+  /** The add-1-smoothed mean log-likelihood aggregate (4-dp rounded) —
+    * the single scoring formula both LM oracles state. */
+  private val lmLogprobAgg = "round(avg(ln((c2 + 1.0) / (c1 + v))), 4)"
+
   /** Per-document Gopher metrics frame (doc_id, text, n_words, sum_len,
     * n_alpha, top_cnt) — one scan + one (doc, word) aggregate; shared by
     * the standalone filter query and the curation funnel. */
@@ -279,24 +304,10 @@ object TextAnalysis extends QueryPack {
             round(avg(col("lp")), 4).as("avg_logprob"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
-          FROM documents),
-        bg AS (
-          SELECT doc_id, w1, w2 FROM (
-            SELECT doc_id, w AS w1,
-                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-            FROM (SELECT doc_id, unnest(ws) AS w,
-                         generate_subscripts(ws, 1) AS i FROM t))
-          WHERE w2 IS NOT NULL),
-        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY w1),
-        vocab AS (SELECT count(DISTINCT w) AS v FROM (
-          SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))
+      oracle = Some(s"""
+        WITH $lmOracleCtes
         SELECT doc_id, count(*) AS n_bigrams,
-               round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS avg_logprob
+               $lmLogprobAgg AS avg_logprob
         FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
         GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -325,25 +336,10 @@ object TextAnalysis extends QueryPack {
             max(col("avg_logprob")).as("max_lp"))
           .orderBy("lang", "bucket")
       },
-      oracle = Some("""
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
-          FROM documents),
-        bg AS (
-          SELECT doc_id, w1, w2 FROM (
-            SELECT doc_id, w AS w1,
-                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-            FROM (SELECT doc_id, unnest(ws) AS w,
-                         generate_subscripts(ws, 1) AS i FROM t))
-          WHERE w2 IS NOT NULL),
-        cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-        cnt1 AS (SELECT w1, sum(c2) AS c1 FROM cnt2 GROUP BY w1),
-        vocab AS (SELECT count(DISTINCT w) AS v FROM (
-          SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+      oracle = Some(s"""
+        WITH $lmOracleCtes,
         scored AS (
-          SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + v))), 4)
-                   AS avg_logprob
+          SELECT doc_id, $lmLogprobAgg AS avg_logprob
           FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
           GROUP BY doc_id),
         b AS (

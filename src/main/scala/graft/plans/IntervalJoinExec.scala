@@ -71,6 +71,8 @@ case class IntervalJoinExec(
       if (lv == null || hv == null) None
       else Some((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r.copy()))
     }
+    // Scala's TotalOrdering sorts NaN last — consistent with cmp's
+    // NaN-greatest, so the lo array stays binary-searchable under cmp
     val sorted = dim.sortBy(_._1)
     val lows = sorted.map(_._1)
     val highs = sorted.map(_._2)
@@ -79,7 +81,11 @@ case class IntervalJoinExec(
     var acc = Double.NegativeInfinity
     var i = 0
     while (i < highs.length) {
-      if (highs(i) > acc) acc = highs(i) // NaN upper never raises the max
+      // cmp-max: a NaN upper bound IS the maximum (Spark's total order),
+      // so it must dominate the prefix — a primitive `>` would skip it
+      // and the walk would stop before rows a NaN-bounded interval
+      // matches under Spark semantics
+      if (IntervalJoinExec.cmp(highs(i), acc) > 0) acc = highs(i)
       prefixMaxHi(i) = acc
       i += 1
     }
@@ -97,24 +103,34 @@ case class IntervalJoinExec(
         val v = boundPoint.eval(lrow)
         if (v == null || ls.isEmpty) Iterator.empty
         else {
-          val x = v.asInstanceOf[Double] // NaN: every compare fails → 0 rows
+          // all compares go through cmp = Spark's SQL double order
+          // (NaN greatest, NaN == NaN) — a raw Java compare silently
+          // loses the rows where either side is NaN, which DO match
+          // under Spark's BroadcastNestedLoopJoin (e.g. x < NaN is TRUE
+          // for finite x)
+          val x = v.asInstanceOf[Double]
           var loI = 0
           var hiI = ls.length - 1
           var ub = -1
           while (loI <= hiI) {
             val mid = (loI + hiI) >>> 1
-            val ok = if (lInc) ls(mid) <= x else ls(mid) < x
+            val c = IntervalJoinExec.cmp(ls(mid), x)
+            val ok = if (lInc) c <= 0 else c < 0
             if (ok) { ub = mid; loI = mid + 1 } else hiI = mid - 1
           }
           if (ub < 0) Iterator.empty
           else new Iterator[InternalRow] {
             private var j = ub
             private var pending = -1
-            private def upperOk(k: Int): Boolean =
-              if (uInc) x <= hs(k) else x < hs(k)
+            private def upperOk(k: Int): Boolean = {
+              val c = IntervalJoinExec.cmp(x, hs(k))
+              if (uInc) c <= 0 else c < 0
+            }
             // prefix-max proof that some k' <= k can still match
-            private def reachable(k: Int): Boolean =
-              if (uInc) pm(k) >= x else pm(k) > x
+            private def reachable(k: Int): Boolean = {
+              val c = IntervalJoinExec.cmp(pm(k), x)
+              if (uInc) c >= 0 else c > 0
+            }
             private def advance(): Unit = {
               pending = -1
               while (j >= 0 && reachable(j)) {
@@ -141,6 +157,20 @@ case class IntervalJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinExec {
+  /** Spark SQL's double comparison (SQLOrderingUtil.compareDoubles
+    * semantics): NaN is greater than every value and equal to itself,
+    * -0.0 == 0.0. The operator replaces a join whose codegen compares
+    * through this order — matching it exactly is what makes the two
+    * plans bit-identical on NaN bounds and NaN points. */
+  private[plans] def cmp(a: Double, b: Double): Int =
+    if (a < b) -1
+    else if (a > b) 1
+    else if (a == b) 0
+    else if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
+    else -1
 }
 
 /** Planner strategy: route `fact JOIN dim ON point {>,>=} dim.lo AND

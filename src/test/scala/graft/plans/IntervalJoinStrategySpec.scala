@@ -49,7 +49,13 @@ class IntervalJoinStrategySpec extends AnyFunSuite with Matchers
       (4, None, Some(3.0)), // null lower: never matches
       (5, Some(2.0), None), // null upper: never matches
       (6, Some(2.0), Some(2.0)), // empty interval
-      (7, Some(-10.0), Some(-1.0))
+      (7, Some(-10.0), Some(-1.0)),
+      // NaN bounds: Spark's SQL double order is NaN-greatest, so
+      // hi = NaN matches every finite point above lo (x < NaN is TRUE)
+      // and lo = NaN matches only NaN points under >=; the exec must
+      // reproduce this, not primitive-Java NaN compares (always false)
+      (8, Some(5.0), Some(Double.NaN)),
+      (9, Some(Double.NaN), Some(3.0))
     ).toDF("band_id", "lo", "hi")
       .select(col("band_id"), col("lo").cast("double"),
         col("hi").cast("double"))
