@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query runner for profiling:
+  *   runMain graft.RunOne <query_name> [sfDir] [reps] [explain]
+  *
+  * Prints per-rep wall-clock (rep 1 includes scan/cache warm-up; later
+  * reps isolate the query's own cost) and, with `explain`, the formatted
+  * physical plan — the loop used to audit every operator's plan shape.
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val showPlan = args.contains("explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query: $name"))
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[runone] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    if (showPlan) fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.SpectralExtras,
     operators.ScaleOps,
+    operators.GraphOps,
     ms.MsPipeline,
     streaming.EventStreams,
     streaming.DocStreams,

@@ -521,11 +521,28 @@ object Dedup extends QueryPack {
         val pairs = jaccardPairs(s, shingles(s, d), 0.5)
           .select(col("d1"), col("d2"))
           .persist()
+        // Materialize the pair cache with ONE action before the edge
+        // union reads it twice: the union's two branches otherwise race
+        // to fill the same not-yet-populated cache and each computes the
+        // full shingle→pair chain (measured: the init action cost ~2× the
+        // pair generation on its own).
+        pairs.count()
+        if (sys.env.contains("GRAFT_CC_TRACE"))
+          println(f"[cc] pairs done at ${System.nanoTime() / 1e9}%.2f")
         val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
           .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
           .persist()
-        var labels = edgeDf.select(col("src").as("doc_id")).distinct()
-          .withColumn("canonical_id", col("doc_id"))
+        // Seed each node with min(self, neighbors) — the first propagation
+        // round fused into initialization (one groupBy instead of a
+        // join+union+groupBy loop round; for the common diameter-≤2
+        // near-dup families the loop then converges in a single
+        // confirmation round).
+        var labels = edgeDf
+          .select(col("dst").as("doc_id"), col("src").as("canonical_id"))
+          .unionByName(edgeDf.select(col("src").as("doc_id"),
+            col("src").as("canonical_id")))
+          .groupBy("doc_id")
+          .agg(min(col("canonical_id")).as("canonical_id"))
         // Convergence probe: min-label propagation only ever DECREASES a
         // label, so Σ canonical_id strictly decreases until the fixpoint
         // — one aggregate per round (which also materializes the cache)
@@ -535,6 +552,8 @@ object Dedup extends QueryPack {
           df.agg(coalesce(sum(col("canonical_id")).cast("decimal(38,0)"),
             lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
         var prevSum = labelSum(labels.persist())
+        if (sys.env.contains("GRAFT_CC_TRACE"))
+          println(f"[cc] init done at ${System.nanoTime() / 1e9}%.2f")
         var changed = true
         while (changed) {
           // one-hop min-label propagation over the edge set...
@@ -567,6 +586,8 @@ object Dedup extends QueryPack {
           prop.unpersist() // consumed by next's materialization above
           labels.unpersist() // superseded generation
           labels = next
+          if (sys.env.contains("GRAFT_CC_TRACE"))
+            println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
         }
         pairs.unpersist()
         edgeDf.unpersist()

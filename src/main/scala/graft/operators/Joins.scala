@@ -429,6 +429,85 @@ object Joins extends QueryPack {
         SELECT o_orderpriority, count(*) AS n_lines,
                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q7 shape (volume shipping): revenue flow between two nations
+    // by ship year. The two single-row nation filters broadcast, supplier/
+    // customer dims broadcast, and the only real shuffle is lineitem ⋈
+    // orders — with the nation predicates pushed through the dim joins
+    // so most of both facts is filtered before the exchange.
+    "q_join_tpch_q7" -> GraftQuery(
+      run = (s, d) => {
+        val n1 = "NATION_1"
+        val n2 = "NATION_2"
+        val nat = Tables.nation(s, d)
+          .filter(col("n_name").isin(n1, n2))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cst = Tables.customer(s, d)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q10 shape (returned-item reporting): top customers by
+    // revenue lost to returns in one quarter. Ranking is on the ROUNDED
+    // revenue (then custkey) so the top-20 cut is identical in any
+    // engine — ordering by the raw double would let a last-bit
+    // summation difference flip the boundary row.
+    "q_join_tpch_q10" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("2000-04-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o_orderdate < TIMESTAMP '2000-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""))
   )
 }

@@ -672,6 +672,66 @@ object TextAnalysis extends QueryPack {
           UNION ALL
           SELECT '3_' || split, count(*), coalesce(sum(n_words), 0)
           FROM sp GROUP BY split)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ------------------------------------- DSIR importance weighting
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every document by how much more likely its hashed-unigram features
+    // are under a target distribution (here: the English subcorpus) than
+    // under the raw corpus. Two aggregation passes over the token
+    // stream — bucket counts (1024 hashed buckets, the paper's
+    // hashed-n-gram trick bounding model size regardless of corpus
+    // size) then a broadcast join of the per-bucket log-ratio back onto
+    // the stream. Only counts shuffle; at 100 TB the bucket table is
+    // 1024 rows whatever the corpus is, and per-doc scoring is
+    // map-side. Mean (not sum) log-ratio so the score is
+    // length-normalized; round(·,4) absorbs float summation order (the
+    // ln inputs are identical exact rationals in both engines).
+    "q_text_dsir" -> GraftQuery(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+          .withColumn("b", expr(s"${md5h("w")} % 1024"))
+        val tot = toks.agg(
+          count(lit(1)).as("nr"),
+          count(when(col("lang") === "en", lit(1))).as("nt"))
+        val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val ct = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val lr = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+          .select(col("b"),
+            (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+              (col("nt") + lit(1024.0))) -
+              log((col("cr") + lit(1.0)) / (col("nr") + lit(1024.0))))
+              .as("lr"))
+        toks.join(broadcast(lr), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(col("lr")), 4).as("dsir_score"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS w
+          FROM documents),
+        tb AS (SELECT doc_id, lang,
+                      ('0x'||substr(md5(w),1,8))::BIGINT % 1024 AS b
+               FROM t),
+        tot AS (SELECT count(*) AS nr,
+                       count(*) FILTER (WHERE lang = 'en') AS nt FROM tb),
+        cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en'
+               GROUP BY b),
+        lr AS (SELECT cr.b,
+                      ln((coalesce(ct.ct, 0) + 1.0) / (nt + 1024.0)) -
+                      ln((cr.cr + 1.0) / (nr + 1024.0)) AS lr
+               FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(lr.lr), 4) AS dsir_score
+        FROM tb JOIN lr ON lr.b = tb.b
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

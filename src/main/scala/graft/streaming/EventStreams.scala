@@ -370,6 +370,41 @@ object EventStreams extends QueryPack {
         runToMemory(s, sessions, "graft_stream_sessions", OutputMode.Update())
           .orderBy("user_id")
       },
-      oracle = Some(sessionOracleSql))
+      oracle = Some(sessionOracleSql)),
+
+    // ------------------------------- stream-static enrichment join
+    // The production "enrich events against a dimension" shape: a
+    // batch-computed per-type profile (here: average value) broadcast
+    // into the stream — NO streaming state, no watermark needed; each
+    // micro-batch map-side joins the static side. At 100 TB/day the
+    // static side refreshes per batch via foreachBatch; the stream
+    // never shuffles before the final aggregate.
+    "q_stream_static_join" -> GraftQuery(
+      run = (s, d) => {
+        val typeAvg = s.read.schema(eventSchema)
+          .parquet(s"$d/events.parquet")
+          .groupBy(col("event_type"))
+          .agg(avg(col("value")).as("type_avg"))
+        val enriched = s.readStream.schema(eventSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .join(broadcast(typeAvg), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("value") > col("type_avg"), lit(1)))
+              .as("n_above_avg"),
+            round(max(col("type_avg")), 4).as("type_avg"))
+        runToMemory(s, enriched, "graft_stream_static_join",
+          OutputMode.Complete())
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ta AS (SELECT event_type, avg(value) AS type_avg
+                    FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_total,
+               count(*) FILTER (WHERE e.value > ta.type_avg) AS n_above_avg,
+               round(max(ta.type_avg), 4) AS type_avg
+        FROM events e JOIN ta ON ta.event_type = e.event_type
+        GROUP BY e.event_type ORDER BY e.event_type"""))
   )
 }

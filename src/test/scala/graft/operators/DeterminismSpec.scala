@@ -36,7 +36,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_lsh_bucket", "q_text_fingerprint", "q_scale_zorder",
     "q_reshape_set_ops", "q_scalar_format_keys",
     "q_dedup_semantic", "q_join_interval_stats_bands",
-    "q_text_ccnet_buckets")
+    "q_text_ccnet_buckets",
+    "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
+    "q_join_tpch_q10")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

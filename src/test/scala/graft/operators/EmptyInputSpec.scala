@@ -52,7 +52,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_mm_features", "q_scale_zorder", "q_scale_salted_join",
     "q_scale_mixture", "q_scalar_fragment_masses",
     "q_text_curation_funnel", "q_agg_topk_per_group",
-    "q_window_distribution", "q_sim_ivfpq", "q_dedup_semantic")
+    "q_window_distribution", "q_sim_ivfpq", "q_dedup_semantic",
+    "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
+    "q_join_tpch_q7", "q_join_tpch_q10")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

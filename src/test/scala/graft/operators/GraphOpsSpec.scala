@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Golden checks for the graph pack on hand-built graphs where the
+  * answer is known by inspection (the DuckDB oracle checks sf0.01;
+  * these pin the algorithms themselves on adversarially tiny inputs). */
+class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("graph-spec")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Write a minimal star-schema dir: two nations trading symmetrically
+    * (edge 0→1 and 1→0, equal weight) and four orders whose part sets
+    * make exactly one co-purchase triangle. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-graph").toString
+    Seq((0L, "N_A"), (1L, "N_B")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((10L, 0L), (11L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    Seq((20L, 0L), (21L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    // o1: cust in nation1, supplied from nation0; o2: the reverse
+    Seq((1L, 21L), (2L, 20L), (3L, 20L), (4L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    // parts: order 1 = {1,2,3} (triangle), order 2 = {3,4}, order 3 = {1,2}
+    Seq(
+      (1L, 10L, 1L), (1L, 10L, 2L), (1L, 10L, 3L),
+      (2L, 11L, 3L), (2L, 11L, 4L),
+      (3L, 11L, 1L), (3L, 11L, 2L))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("pagerank: symmetric 2-node trade cycle gives equal ranks") {
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir).collect()
+    rows.length shouldBe 2
+    val ranks = rows.map(_.getLong(1))
+    ranks(0) shouldBe ranks(1)
+    // damped integer PageRank conserves ≈ all mass (integer division
+    // only ever loses downward)
+    val total = ranks.sum
+    total should be <= 1000000000000L
+    total should be > (1000000000000L * 95L / 100L)
+  }
+
+  test("triangles: one known triangle among the co-purchase edges") {
+    val r = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
+    r.length shouldBe 1
+    // nodes {1,2,3,4}; edges {12,13,23,34}; the only triangle is 1-2-3
+    r(0).getAs[Long]("n_nodes") shouldBe 4L
+    r(0).getAs[Long]("n_edges") shouldBe 4L
+    r(0).getAs[Long]("n_triangles") shouldBe 1L
+  }
+}
