@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016) — the
+  * vocabulary-learning step of an LLM data pipeline, run as a Spark
+  * loop:
+  *
+  *  1. aggregate the corpus once to (word, freq) — after this the text
+  *     never moves again; all later shuffles carry symbol-pair counts;
+  *  2. per merge rank: count adjacent symbol pairs weighted by word
+  *     freq (one shuffle of pair counts), pick the argmax pair with a
+  *     total-order tie-break (min of a (−count, left, right) struct —
+  *     a partial-aggregable scalar, not a sort), apply the merge to
+  *     every word's symbol sequence in a map-side kernel.
+  *
+  * The driver sees exactly one (pair, count) row per rank — the same
+  * "collect a scalar per iteration" shape as the reference's
+  * decomposition loop. At 100 TB the word table is the unique-token
+  * vocabulary (≪ corpus, Zipf-bounded), so per-rank cost is
+  * O(vocab · avg word length) map work + one tiny shuffle.
+  *
+  * No DuckDB oracle: the merge order is a sequentially-dependent greedy
+  * choice (rank k's counts depend on merge k−1) — covered by the golden
+  * spec against an independent sequential reference implementation.
+  */
+object BpeTrainer {
+
+  /** One learned merge. */
+  final case class Merge(
+      merge_rank: Int, left: String, right: String, pair_count: Long)
+
+  /** Replace adjacent (l, r) symbol pairs with the merged symbol,
+    * left-to-right non-overlapping — the canonical BPE apply step. */
+  def mergeSeq(sym: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `k` merges from the corpus; returns (merge_rank, left,
+    * right, pair_count) ordered by rank. */
+  def train(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    var words = docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val best = words
+        .flatMap { case (sym, c) =>
+          if (sym.length < 2) Iterator.empty
+          else sym.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum(col("c")).as("cnt"))
+        // argmax with (count desc, left, right) total order as ONE
+        // partial-aggregable scalar — no global sort, no limit(1)
+        .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r")))
+          .as("best"))
+        .select(col("best.l"), col("best.r"), (-col("best.nc")).as("cnt"))
+        .collect()
+      if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        val next = words
+          .map { case (sym, c) => (mergeSeq(sym, l, r), c) }
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    s.createDataFrame(merges.toSeq).orderBy("merge_rank")
+  }
+}

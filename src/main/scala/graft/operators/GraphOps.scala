@@ -36,6 +36,30 @@ object GraphOps extends QueryPack {
   private val Scale = 1000000000000L
   private val Iters = 5
 
+  /** Distinct undirected co-purchase edges (u < v): parts appearing in
+    * the same order. Per-order item counts are bounded (TPC-H ≤ 7), so
+    * the orderkey self-join emits O(k²)-per-order = O(|lineitem|) pairs
+    * — no quadratic hazard at any corpus size. */
+  private def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** The co-purchase edge list as a DuckDB CTE (mirror of
+    * [[coPurchaseEdges]]). */
+  private val coPurchaseCte = """
+        e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- weighted PageRank
@@ -132,14 +156,7 @@ object GraphOps extends QueryPack {
     // is counted exactly once at its lowest-rank apex.
     "q_graph_triangles" -> GraftQuery(
       run = (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-        val e0 = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .distinct()
-          .persist()
+        val e0 = coPurchaseEdges(s, d).persist()
         e0.count() // materialize before the multi-branch reads below
         val deg = e0.select(col("u").as("x"))
           .unionByName(e0.select(col("v").as("x")))
@@ -177,11 +194,8 @@ object GraphOps extends QueryPack {
             col("n_triangles"))
         out
       },
-      oracle = Some("""
-        WITH e0 AS (
-          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM lineitem a JOIN lineitem b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      oracle = Some(s"""
+        WITH $coPurchaseCte,
         deg AS (SELECT x, count(*) AS dg FROM (
                   SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
                 GROUP BY x),
@@ -201,6 +215,63 @@ object GraphOps extends QueryPack {
                (SELECT count(*) FROM e0) AS n_edges,
                (SELECT count(*) FROM w) AS n_wedges,
                (SELECT count(*) FROM w JOIN oed e3
-                  ON e3.a = w.x AND e3.b = w.y) AS n_triangles"""))
+                  ON e3.a = w.x AND e3.b = w.y) AS n_triangles""")),
+
+    // --------------------------------- bounded multi-source BFS frontier
+    // 3 rounds of min-distance propagation from a deterministic seed set
+    // (node id ≡ 0 mod 97) over the undirected co-purchase graph —
+    // the "how far does influence spread" primitive (and the building
+    // block of hop-bounded joins). Distances are exact integers; each
+    // round is one shuffle on node id, the identical plan at any graph
+    // size. Output: node count per distance.
+    "q_graph_bfs" -> GraftQuery(
+      run = (s, d) => {
+        val e0 = coPurchaseEdges(s, d).persist()
+        e0.count() // materialize before the two-branch union below
+        val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+          .persist()
+        var dist = edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+          .withColumn("dist", lit(0))
+          .persist()
+        dist.count()
+        (1 to 3).foreach { _ =>
+          // each round reads the frontier TWICE (relax + carry); persist
+          // and materialize per round or round k recomputes round k−1
+          // in both branches — 2^k blowup over the loop
+          val next = dist
+            .join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
+            .unionByName(dist)
+            .groupBy("node").agg(min(col("dist")).as("dist"))
+            .persist()
+          next.count()
+          dist.unpersist()
+          dist = next
+        }
+        dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      oracle = Some {
+        def round(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT e.dst AS node, p.dist + 1 AS dist
+            FROM $prev p JOIN edges e ON e.src = p.node
+            UNION ALL SELECT node, dist FROM $prev)
+          GROUP BY node)"""
+        s"""
+        WITH $coPurchaseCte,
+        edges AS (SELECT u AS src, v AS dst FROM e0
+                  UNION ALL SELECT v, u FROM e0),
+        d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges
+               WHERE src % 97 = 0),
+        ${round("d0", "d1")},
+        ${round("d1", "d2")},
+        ${round("d2", "d3")}
+        SELECT dist, count(*) AS n_nodes FROM d3
+        GROUP BY dist ORDER BY dist"""
+      })
   )
 }

@@ -732,6 +732,74 @@ object TextAnalysis extends QueryPack {
         SELECT doc_id, count(*) AS n_tokens,
                round(avg(lr.lr), 4) AS dsir_score
         FROM tb JOIN lr ON lr.b = tb.b
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------- Gopher repetition signals (Rae et al.
+    // 2021 §A1.1): fraction of n-gram occurrences that are duplicates
+    // and the share taken by the single most frequent n-gram, n ∈ {2,3}.
+    // High values mark boilerplate/spam for removal. One (doc, gram)
+    // count aggregate per n — counts shuffle, text doesn't; ratios are
+    // exact-integer until the final rounded division.
+    "q_text_repetition" -> GraftQuery(
+      run = (s, d) => {
+        def grams(n: Int) = {
+          val idx = (0 until n)
+            .map(k => s"ws[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+          Tables.documents(s, d)
+            .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+            .filter(size(col("ws")) >= n)
+            .select(col("doc_id"),
+              explode(expr(s"transform(sequence(0, size(ws)-$n), i -> $idx)"))
+                .as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id")
+            .agg(sum(col("c")).as(s"n${n}_total"),
+              sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+                .as(s"dup$n"),
+              max(col("c")).as(s"top$n"))
+            .select(col("doc_id"), col(s"n${n}_total"),
+              round(col(s"dup$n").cast("double") / col(s"n${n}_total"), 4)
+                .as(s"dup${n}_frac"),
+              round(col(s"top$n").cast("double") / col(s"n${n}_total"), 4)
+                .as(s"top${n}_frac"))
+        }
+        grams(2).join(grams(3), Seq("doc_id")).orderBy("doc_id")
+      },
+      oracle = Some {
+        def cte(n: Int) = {
+          val idx = (1 to n - 1)
+            .map(k => s"lead(w, $k) OVER win").mkString(" || ' ' || ")
+          s"""
+        g$n AS (
+          SELECT doc_id, w || ' ' || $idx AS g
+          FROM (SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS i
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         w -> w <> '') AS ws
+                      FROM documents))
+          WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n
+                WHERE g IS NOT NULL GROUP BY doc_id, g),
+        r$n AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n${n}_total,
+                 round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                       / sum(c), 4) AS dup${n}_frac,
+                 round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top${n}_frac
+          FROM c$n GROUP BY doc_id)"""
+        }
+        s"""
+        WITH ${cte(2)}, ${cte(3)}
+        SELECT r2.doc_id, n2_total, dup2_frac, top2_frac,
+               n3_total, dup3_frac, top3_frac
+        FROM r2 JOIN r3 ON r3.doc_id = r2.doc_id
+        ORDER BY r2.doc_id"""
+      }),
+
+    // ------------------------------------ BPE merge training (rows-only)
+    // 8 learned merges over the corpus vocabulary — see [[BpeTrainer]];
+    // sequentially-greedy, so no SQL oracle (golden spec instead).
+    "q_text_bpe_train" -> GraftQuery(
+      run = (s, d) => BpeTrainer.train(s, Tables.documents(s, d), 8))
   )
 }
