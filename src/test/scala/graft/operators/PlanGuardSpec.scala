@@ -112,6 +112,35 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include ("BroadcastHashJoin")
   }
 
+  test("graph queries equi-join — never nested-loop — and DSIR prunes") {
+    assume(haveData)
+    // triangles: the wedge self-join and its closure must plan as hash
+    // (equi) joins — a nested loop there is the O(W·E) trap. The ONLY
+    // permitted nested loops are the two 1-row × 1-row stat combines
+    // (n_nodes × n_edges × closure), harmless at any scale.
+    val tri = plan("q_graph_triangles")
+    "BroadcastNestedLoopJoin".r.findAllIn(tri).size should be <= 2
+    (tri should include).regex("(BroadcastHashJoin|SortMergeJoin)")
+    plan("q_graph_bfs") should not include "NestedLoop"
+    plan("q_graph_pagerank") should not include "NestedLoop"
+    // DSIR touches only (doc_id, lang, text)
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan("q_text_dsir")).map(_.group(1)).toSeq
+    scans should not be empty
+    scans.foreach(s => s.split(",").length should be <= 3)
+  }
+
+  test("TPC-H Q7/Q10 broadcast every dimension side") {
+    assume(haveData)
+    Seq("q_join_tpch_q7", "q_join_tpch_q10").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include ("BroadcastHashJoin")
+        p should not include "NestedLoop"
+      }
+    }
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     assume(haveData)
     val p = plan("q_scale_partition_pruning")
