@@ -280,6 +280,62 @@ object Aggregates extends QueryPack {
                      row_number() OVER (PARTITION BY o_orderpriority
                        ORDER BY o_totalprice, o_orderkey) AS rn
               FROM orders)
-        WHERE rn <= 3 ORDER BY o_orderpriority, rank"""))
+        WHERE rn <= 3 ORDER BY o_orderpriority, rank""")),
+
+    // --------------------------- regression / correlation aggregates
+    // Per-nation least-squares fit of order value against customer
+    // account balance (slope, intercept, Pearson r) — the built-in
+    // moment aggregates (one pass, partial+final, no sort). Rounding
+    // absorbs the FP accumulation-order noise of the moment sums.
+    "q_agg_regression" -> GraftQuery(
+      run = (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            round(regr_slope(col("o_totalprice"), col("c_acctbal")), 4)
+              .as("slope"),
+            round(regr_intercept(col("o_totalprice"), col("c_acctbal")), 4)
+              .as("intercept"),
+            round(corr(col("o_totalprice"), col("c_acctbal")), 4)
+              .as("pearson_r"))
+          .orderBy("n_name"),
+      oracle = Some("""
+        SELECT n_name, count(*) AS n,
+               round(regr_slope(o_totalprice, c_acctbal), 4) AS slope,
+               round(regr_intercept(o_totalprice, c_acctbal), 4) AS intercept,
+               round(corr(o_totalprice, c_acctbal), 4) AS pearson_r
+        FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ----------------------------------- deterministic mode (argmax)
+    // Most frequent quantity per return flag with a total-order
+    // tie-break (highest count, then smallest value) — stated as a
+    // partial-aggregable min-of-struct, not a per-group sort, on the
+    // Spark side; the oracle states the same order with a window.
+    "q_agg_mode" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(struct((-col("c")).as("nc"), col("l_quantity")))
+            .as("m"))
+          .select(col("l_returnflag"),
+            col("m.l_quantity").as("mode_qty"),
+            (-col("m.nc")).as("mode_count"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               CAST(c AS BIGINT) AS mode_count
+        FROM (SELECT l_returnflag, l_quantity, count(*) AS c,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_quantity) AS rn
+              FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rn = 1 ORDER BY l_returnflag"""))
   )
 }

@@ -65,4 +65,18 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       }
     }
   }
+
+  test("streaming queries run to completion on zero-row sources") {
+    assume(haveData)
+    // an AvailableNow replay over an empty landing file is exactly the
+    // "new tenant / quiet hour" shape — the memory-sink table must
+    // exist (and be empty), not throw
+    Seq("q_stream_tumbling", "q_stream_sessionize",
+      "q_stream_static_join").foreach { q =>
+      withClue(q) {
+        noException should be thrownBy
+          SparkEntry.queries(q)(spark, emptyDir).count()
+      }
+    }
+  }
 }
