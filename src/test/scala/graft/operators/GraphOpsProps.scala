@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Randomized cross-checks for the graph pack: encode seeded random
+  * graphs as 2-item orders (so the co-purchase derivation reproduces
+  * exactly the generated edge set) and compare the distributed results
+  * against brute-force references computed in plain Scala. Catches the
+  * class of bug a single golden graph can miss (orientation ties,
+  * dangling nodes, unreachable components). */
+class GraphOpsProps extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("graph-props")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Random undirected simple graph on node ids 0..n-1 (NOT all
+    * multiples of 97 — seeds for BFS are the 0-node only, plus any
+    * larger multiples if n > 97). */
+  private def randomEdges(n: Int, m: Int, seed: Long): Set[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Iterator.continually {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      if (a < b) (a, b) else (b, a)
+    }.filter { case (a, b) => a != b }.take(m * 2).toSet.take(m)
+  }
+
+  /** Write the edge set as a lineitem table of 2-item orders. */
+  private def writeGraph(edges: Set[(Long, Long)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-gprops").toString
+    edges.toSeq.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i.toLong, 0L, u), (i.toLong, 0L, v))
+    }.toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): Long = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = adj.keys.toSeq.sorted
+    // yield the distinct (a,b,c) triple, NOT a constant — a constant
+    // yielded through Set generators dedups to one element
+    (for {
+      a <- nodes; b <- adj.getOrElse(a, Set.empty[Long]).toSeq if b > a
+      c <- adj.getOrElse(b, Set.empty[Long]).toSeq if c > b
+      if adj(a).contains(c)
+    } yield (a, b, c)).size.toLong
+  }
+
+  private def bruteBfs(edges: Set[(Long, Long)], hops: Int): Map[Int, Long] = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = adj.keySet.filter(_ % 97 == 0)
+    var dist: Map[Long, Int] = seeds.map(_ -> 0).toMap
+    (1 to hops).foreach { k =>
+      val frontier = dist.collect { case (n, d) if d == k - 1 => n }
+      val reached = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+        .filterNot(dist.contains)
+      dist = dist ++ reached.map(_ -> k)
+    }
+    dist.groupBy(_._2).map { case (d, m) => d -> m.size.toLong }
+  }
+
+  test("triangle count matches brute force on random graphs") {
+    Seq((12, 25, 1L), (20, 60, 2L), (30, 90, 3L), (8, 28, 4L))
+      .foreach { case (n, m, seed) =>
+        val edges = randomEdges(n, m, seed)
+        val dir = writeGraph(edges)
+        withClue(s"n=$n m=${edges.size} seed=$seed") {
+          val r = SparkEntry.queries("q_graph_triangles")(spark, dir)
+            .collect()(0)
+          r.getAs[Long]("n_edges") shouldBe edges.size.toLong
+          r.getAs[Long]("n_triangles") shouldBe bruteTriangles(edges)
+        }
+      }
+  }
+
+  test("BFS distance histogram matches brute force on random graphs") {
+    Seq((150, 200, 5L), (120, 150, 6L), (200, 260, 7L))
+      .foreach { case (n, m, seed) =>
+        val edges = randomEdges(n, m, seed)
+        val dir = writeGraph(edges)
+        val expected = bruteBfs(edges, 3)
+        withClue(s"n=$n m=${edges.size} seed=$seed") {
+          val got = SparkEntry.queries("q_graph_bfs")(spark, dir)
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          got shouldBe expected
+        }
+      }
+  }
+}
