@@ -372,6 +372,44 @@ object EventStreams extends QueryPack {
       },
       oracle = Some(sessionOracleSql)),
 
+    // --------------------------- RocksDB-backed stateful aggregation
+    // The tumbling-window aggregate run on the RocksDB state store —
+    // the production backend for 100 TB/day streams, where keyed state
+    // outgrows the default in-memory (HDFS-backed) provider's executor
+    // heap. Same query, same oracle as q_stream_tumbling: the state
+    // backend must be a pure operational choice with zero semantic
+    // drift, and this entry pins exactly that.
+    "q_stream_rocksdb" -> GraftQuery(
+      run = (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stream = s.readStream.schema(eventSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_time", "10 minutes")
+            .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value")), 4).as("sum_value"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+          runToMemory(s, stream, "graft_stream_rocksdb", OutputMode.Update())
+            .orderBy("hour", "event_type")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ------------------------------- stream-static enrichment join
     // The production "enrich events against a dimension" shape: a
     // batch-computed per-type profile (here: average value) broadcast
