@@ -47,6 +47,27 @@ object Aggregates extends QueryPack {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // CUBE + grouping_id: all 4 grouping-set combinations in one pass
+    // (beyond ref — completes the grouping-sets family next to ROLLUP).
+    // grouping_id disambiguates "NULL because aggregated" from "NULL in
+    // the data", the standard cube-consumer contract.
+    "q_agg_cube" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("gid", "l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
     // Round-key rollup: round-mz+sum / round-rt+mean (msproc.py:634-657) —
     // grouping on rounded continuous values collapses near-identical
     // readings before the shuffle.

@@ -683,6 +683,36 @@ object Dedup extends QueryPack {
         SELECT v1, v2, round(dot/(na.nrm*nb.nrm), 4) AS cosine
         FROM dots JOIN nrm na ON na.vec_id = v1 JOIN nrm nb ON nb.vec_id = v2
         WHERE dot/(na.nrm*nb.nrm) >= 0.4
-        ORDER BY v1, v2"""))
+        ORDER BY v1, v2""")),
+
+    // --------------------------- blocked fuzzy matching (edit distance)
+    // Entity-resolution shape: near-identical NAMES (typos, variants)
+    // found by prefix blocking + Levenshtein verification — over the
+    // DISTINCT value domain, which is the scalable form (the value
+    // domain is Zipf-small relative to the row count; id-level pairs
+    // explode combinatorially for popular values). Blocking bounds the
+    // candidate set like LSH bands do for shingles; a production pass
+    // adds more blocking keys for recall, same plan shape.
+    "q_dedup_fuzzy" -> GraftQuery(
+      run = (s, d) => {
+        val names = Tables.part(s, d)
+          .select(lower(col("p_name")).as("n")).distinct()
+          .withColumn("blk", substring(col("n"), 1, 3))
+        names.as("a")
+          .join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.n") < col("b.n"))
+          .select(col("a.n").as("n1"), col("b.n").as("n2"),
+            levenshtein(col("a.n"), col("b.n")).as("lev"))
+          .filter(col("lev") <= 3)
+          .orderBy("n1", "n2")
+      },
+      oracle = Some("""
+        WITH names AS (
+          SELECT DISTINCT lower(p_name) AS n FROM part),
+        blocked AS (SELECT n, substr(n, 1, 3) AS blk FROM names)
+        SELECT a.n AS n1, b.n AS n2, levenshtein(a.n, b.n) AS lev
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
+        WHERE levenshtein(a.n, b.n) <= 3
+        ORDER BY n1, n2"""))
   )
 }
