@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{ShuffleMeter, SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Shuffle-volume guards: print thresholds on the claims COVERAGE.md
+  * makes in prose. Run at sf0.01 where the text corpus is ~hundreds of
+  * KB — an operator that accidentally shuffles document bodies blows
+  * straight through these bounds. */
+class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def haveData = new java.io.File(s"$sf/documents.parquet").exists
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("shuffle-volume")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def shuffleWrite(q: String): Long =
+    ShuffleMeter.measure(spark) {
+      SparkEntry.queries(q)(spark, sf).count(): Unit
+    }.shuffleWrite
+
+  private lazy val textBytes: Long =
+    Tables.documents(spark, sf)
+      .agg(sum(octet_length(col("text")))).head().getLong(0)
+
+  test("exact dedup shuffles digests, not document bodies") {
+    assume(haveData)
+    // the shuffle carries (digest, doc_id) rows + partial-agg overhead;
+    // the corpus text itself must stay map-side. The lower bound guards
+    // the METER: a broken listener reporting 0 would hollow out every
+    // assertion in this suite.
+    val w = shuffleWrite("q_dedup_exact")
+    w should be > 0L
+    w should be < textBytes / 2
+  }
+
+  test("the bigram LM shuffles counts, not text") {
+    assume(haveData)
+    // two count-aggregate passes + broadcast scoring: bounded by the
+    // (w1, w2, count) domain, far below shipping the corpus twice
+    val w = shuffleWrite("q_text_lm_score")
+    w should be > 0L
+    w should be < textBytes * 2
+  }
+
+  test("brute-force kNN never shuffles the vector corpus") {
+    assume(haveData)
+    // corpus scan + broadcast query batch + per-partition top-k: only
+    // the tiny per-partition candidate sets cross the wire
+    val corpusBytes = 500L * 64 * 4
+    shuffleWrite("q_sim_knn_brute") should be < corpusBytes / 2
+  }
+}
