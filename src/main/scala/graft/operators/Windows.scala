@@ -268,6 +268,59 @@ object Windows extends QueryPack {
           .limit(10),
       oracle = Some("""
         SELECT o_orderkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ----------------------------- time-series gap filling (resample)
+    // Regularize the event stream to a dense hourly grid per type:
+    // missing buckets appear with n=0 and the last observed hourly sum
+    // carried forward (the resample + ffill shape every time-series
+    // pipeline needs). The dense grid is generated from each type's
+    // OWN [min, max] hour span — sequence() per type, exploded, left
+    // join of the sparse aggregate, then a last_value window for the
+    // carry. Hour keys are exact integers (µs div 3600e6).
+    "q_window_gapfill" -> GraftQuery(
+      run = (s, d) => {
+        val hours = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 1000 div 3600000000").as("h"),
+            col("value"))
+        val sparse = hours.groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        val spans = hours.groupBy("event_type")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = spans.select(col("event_type"),
+          explode(expr("sequence(h0, h1)")).as("h"))
+        val filled = grid.join(sparse, Seq("event_type", "h"), "left")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        filled
+          .select(col("event_type"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_sum"))
+          .orderBy("event_type", "h")
+      },
+      oracle = Some("""
+        WITH hrs AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS h, value
+          FROM events),
+        sparse AS (
+          SELECT event_type, h, count(*) AS n,
+                 round(sum(value), 4) AS sum_value
+          FROM hrs GROUP BY 1, 2),
+        spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+                  FROM hrs GROUP BY 1),
+        grid AS (
+          SELECT event_type, unnest(generate_series(h0, h1)) AS h
+          FROM spans),
+        filled AS (
+          SELECT g.event_type, g.h,
+                 coalesce(s.n, 0) AS n, s.sum_value
+          FROM grid g LEFT JOIN sparse s
+            ON s.event_type = g.event_type AND s.h = g.h)
+        SELECT event_type, h, CAST(n AS BIGINT) AS n,
+               last_value(sum_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS ffill_sum
+        FROM filled ORDER BY event_type, h"""))
   )
 }
