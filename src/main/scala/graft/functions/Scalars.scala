@@ -160,6 +160,44 @@ object Scalars extends QueryPack {
                round(sum(CASE WHEN event_type = 'purchase' THEN value * 10.0
                               WHEN event_type = 'click' THEN value * 2.0
                               ELSE value END), 4) AS weighted_sum
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------- array-function battery (§2.7 breadth)
+    // Spark array HOFs vs DuckDB list functions over the embedding
+    // vectors: slice, sort, extrema, sequential fold (identical
+    // element order on both sides → identical FP), filtered count.
+    // The top-3 column is emitted as a joined STRING: the gate sorts
+    // result rows by every column, and array cells are unsortable
+    // there (same convention as q_agg_collect).
+    "q_scalar_arrays" -> GraftQuery(
+      run = (s, d) =>
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            expr("slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8)")
+              .as("a"))
+          .select(col("vec_id"),
+            size(col("a")).as("n"),
+            round(array_max(col("a")), 4).as("mx"),
+            round(array_min(col("a")), 4).as("mn"),
+            round(expr("aggregate(a, 0D, (acc, x) -> acc + x)"), 4).as("s"),
+            size(expr("filter(a, x -> x > 0)")).as("n_pos"),
+            expr("array_join(transform(slice(sort_array(a, false), 1, 3), " +
+              "x -> CAST(round(x, 4) AS STRING)), '|')").as("top3"))
+          .orderBy("vec_id"),
+      oracle = Some("""
+        SELECT vec_id, len(a) AS n,
+               round(list_max(a), 4) AS mx,
+               round(list_min(a), 4) AS mn,
+               round(list_sum(a), 4) AS s,
+               len(list_filter(a, x -> x > 0)) AS n_pos,
+               list_aggregate(list_transform(list_reverse_sort(a)[1:3],
+                 x -> CAST(round(x, 4) AS VARCHAR)), 'string_agg', '|')
+                 AS top3
+        FROM (SELECT vec_id,
+                     list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))
+                       AS a
+              FROM embeddings WHERE vec_id < 100)
+        ORDER BY vec_id"""))
   )
 }

@@ -47,6 +47,29 @@ object Aggregates extends QueryPack {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // Exact quartiles per group (percentile with linear interpolation —
+    // the same rank = p·(n−1) definition DuckDB's quantile_cont uses;
+    // q_scale_approx_quantile is the sketched scale path, this is the
+    // exact small-group form).
+    "q_agg_percentiles" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(percentile(col("value"), lit(0.25)).as("p25r"),
+            percentile(col("value"), lit(0.5)).as("p50r"),
+            percentile(col("value"), lit(0.75)).as("p75r"))
+          .select(col("event_type"),
+            round(col("p25r"), 4).as("p25"),
+            round(col("p50r"), 4).as("p50"),
+            round(col("p75r"), 4).as("p75"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // CUBE + grouping_id: all 4 grouping-set combinations in one pass
     // (beyond ref — completes the grouping-sets family next to ROLLUP).
     // grouping_id disambiguates "NULL because aggregated" from "NULL in
