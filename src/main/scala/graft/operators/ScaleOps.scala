@@ -346,6 +346,106 @@ object ScaleOps extends QueryPack {
                                          THEN 1 ELSE 0 END) AS DOUBLE)
                            / count(*), 4) AS skip_frac
         FROM files GROUP BY layout ORDER BY layout"""
-      })
+      }),
+
+    // ------------------------- data-quality constraint suite (Deequ-ish)
+    // The validation gate a corpus passes before training: each
+    // constraint is one aggregate over the table, evaluated in a single
+    // pass (one scan, partial+final agg — at 100 TB this is a
+    // scan-speed job). Output: (constraint, observed metric, passed).
+    "q_scale_constraints" -> GraftQuery(
+      run = (s, d) => {
+        val m = Tables.documents(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("text")).as("n_text"),
+          count_distinct(col("doc_id")).as("n_ids"),
+          count(when(col("lang").isin("en", "de", "fr", "es", "zh"),
+            lit(1))).as("n_lang_ok"),
+          count(when(col("n_chars") >= 1 && col("n_chars") <= 100000,
+            lit(1))).as("n_len_ok"),
+          count(when(col("n_chars") === length(col("text")), lit(1)))
+            .as("n_consistent"))
+        m.select(
+          struct(lit("completeness_text").as("check_name"),
+            col("n_text").as("observed"),
+            (col("n_text") === col("n_rows")).as("passed")).as("c1"),
+          struct(lit("uniqueness_doc_id").as("check_name"),
+            col("n_ids").as("observed"),
+            (col("n_ids") === col("n_rows")).as("passed")).as("c2"),
+          struct(lit("lang_in_domain").as("check_name"),
+            col("n_lang_ok").as("observed"),
+            (col("n_lang_ok") === col("n_rows")).as("passed")).as("c3"),
+          struct(lit("n_chars_in_range").as("check_name"),
+            col("n_len_ok").as("observed"),
+            (col("n_len_ok") === col("n_rows")).as("passed")).as("c4"),
+          struct(lit("n_chars_consistent").as("check_name"),
+            col("n_consistent").as("observed"),
+            (col("n_consistent") === col("n_rows")).as("passed")).as("c5"))
+          .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"),
+            col("c5"))).as("c"))
+          .select(col("c.check_name"), col("c.observed"), col("c.passed"))
+          .orderBy("check_name")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT count(*) AS n_rows, count(text) AS n_text,
+                 count(DISTINCT doc_id) AS n_ids,
+                 count(*) FILTER (WHERE lang IN
+                   ('en','de','fr','es','zh')) AS n_lang_ok,
+                 count(*) FILTER (WHERE n_chars BETWEEN 1 AND 100000)
+                   AS n_len_ok,
+                 count(*) FILTER (WHERE n_chars = length(text))
+                   AS n_consistent
+          FROM documents)
+        SELECT check_name, observed, passed FROM (
+          SELECT 'completeness_text' AS check_name, n_text AS observed,
+                 n_text = n_rows AS passed FROM m
+          UNION ALL SELECT 'uniqueness_doc_id', n_ids, n_ids = n_rows FROM m
+          UNION ALL SELECT 'lang_in_domain', n_lang_ok,
+                 n_lang_ok = n_rows FROM m
+          UNION ALL SELECT 'n_chars_in_range', n_len_ok,
+                 n_len_ok = n_rows FROM m
+          UNION ALL SELECT 'n_chars_consistent', n_consistent,
+                 n_consistent = n_rows FROM m)
+        ORDER BY check_name""")),
+
+    // ------------------------------- snapshot diff (version reconcile)
+    // Classify every key across two dataset versions as added /
+    // removed / changed / unchanged — the reconciliation op behind
+    // incremental corpus refreshes. v2 is derived deterministically
+    // in-query (drop every 10th event, double the value of every 7th)
+    // so the diff is self-contained; the shape is one full-outer join
+    // on the key + change classification, shuffling only (key, digest).
+    "q_scale_snapshot_diff" -> GraftQuery(
+      run = (s, d) => {
+        val v1 = Tables.events(s, d)
+          .select(col("event_id"), round(col("value"), 4).as("v"))
+        val v2 = Tables.events(s, d)
+          .filter(col("event_id") % 10 =!= 0)
+          .select(col("event_id"),
+            round(when(col("event_id") % 7 === 0, col("value") * 2.0)
+              .otherwise(col("value")), 4).as("v"))
+        v1.as("a").join(v2.as("b"), Seq("event_id"), "full_outer")
+          .select(
+            when(col("a.v").isNull, "added")
+              .when(col("b.v").isNull, "removed")
+              .when(col("a.v") =!= col("b.v"), "changed")
+              .otherwise("unchanged").as("change"))
+          .groupBy("change").agg(count(lit(1)).as("n"))
+          .orderBy("change")
+      },
+      oracle = Some("""
+        WITH v1 AS (SELECT event_id, round(value, 4) AS v FROM events),
+        v2 AS (SELECT event_id,
+                      round(CASE WHEN event_id % 7 = 0 THEN value * 2.0
+                                 ELSE value END, 4) AS v
+               FROM events WHERE event_id % 10 <> 0)
+        SELECT CASE WHEN a.v IS NULL THEN 'added'
+                    WHEN b.v IS NULL THEN 'removed'
+                    WHEN a.v <> b.v THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               count(*) AS n
+        FROM v1 a FULL OUTER JOIN v2 b USING (event_id)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
