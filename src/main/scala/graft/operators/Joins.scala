@@ -508,6 +508,41 @@ object Joins extends QueryPack {
           AND o_orderdate < TIMESTAMP '2000-04-01'
           AND l_returnflag = 'R'
         GROUP BY 1, 2, 3, 4
-        ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Physical backward as-of join (custom LogicalPlan + strategy +
+    // exec — graft.plans.AsOfJoin): each click matched to the user's
+    // latest purchase at or before it, LEFT OUTER, broadcast build +
+    // O(log n) probe, left side streaming unshuffled. The aggregate
+    // formulation of the same family is q_join_asof; the oracle states
+    // the windowed relational form.
+    "q_join_asof_exec" -> GraftQuery(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("t", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("t").as("pt"))
+        graft.plans.AsOfJoin
+          .join(clicks, purchases, "user_id", "t", "p_user", "pt",
+            "purchase_id")
+          .select(col("click_id"), col("purchase_id"),
+            (col("t") - col("pt")).as("lag_us"))
+          .orderBy("click_id")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT c.click_id, c.t, p.purchase_id, p.pt,
+                     row_number() OVER (PARTITION BY c.click_id
+                       ORDER BY p.pt DESC, p.purchase_id DESC) AS rn
+              FROM c LEFT JOIN p
+                ON p.user_id = c.user_id AND p.pt <= c.t)
+        SELECT click_id, purchase_id, t - pt AS lag_us
+        FROM j WHERE rn = 1 ORDER BY click_id"""))
   )
 }
