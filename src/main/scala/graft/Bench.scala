@@ -56,7 +56,8 @@ object Bench {
       "q_mm_features", "q_ms_slice_counts", "q_ms_tensorize",
       "q_ms_decompose", "q_stream_tumbling", "q_stream_sessionize",
       "q_scale_salted_join", "q_scale_bucketed_join",
-      "q_graph_pagerank", "q_graph_triangles", "q_text_dsir")
+      "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
+      "q_join_asof_exec")
     val byName = results.toMap
     // loud, not silent: a renamed/misspelled headline entry would
     // otherwise just vanish from the driver-parsed metric line

@@ -114,5 +114,6 @@ class GraftExtensions
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
