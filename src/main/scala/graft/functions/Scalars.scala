@@ -182,8 +182,13 @@ object Scalars extends QueryPack {
             round(array_min(col("a")), 4).as("mn"),
             round(expr("aggregate(a, 0D, (acc, x) -> acc + x)"), 4).as("s"),
             size(expr("filter(a, x -> x > 0)")).as("n_pos"),
+            // 1e4 integer grid, THEN stringify: casting a rounded DOUBLE
+            // to string renders scientific notation in Spark ("5.0E-5")
+            // but decimal in DuckDB ("0.00005") — integer strings are
+            // format-identical everywhere
             expr("array_join(transform(slice(sort_array(a, false), 1, 3), " +
-              "x -> CAST(round(x, 4) AS STRING)), '|')").as("top3"))
+              "x -> CAST(CAST(round(x * 10000, 0) AS BIGINT) AS STRING)), " +
+              "'|')").as("top3_e4"))
           .orderBy("vec_id"),
       oracle = Some("""
         SELECT vec_id, len(a) AS n,
@@ -192,8 +197,8 @@ object Scalars extends QueryPack {
                round(list_sum(a), 4) AS s,
                len(list_filter(a, x -> x > 0)) AS n_pos,
                list_aggregate(list_transform(list_reverse_sort(a)[1:3],
-                 x -> CAST(round(x, 4) AS VARCHAR)), 'string_agg', '|')
-                 AS top3
+                 x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)),
+                 'string_agg', '|') AS top3_e4
         FROM (SELECT vec_id,
                      list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))
                        AS a
