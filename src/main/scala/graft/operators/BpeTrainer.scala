@@ -91,4 +91,31 @@ object BpeTrainer {
     words.unpersist()
     s.createDataFrame(merges.toSeq).orderBy("merge_rank")
   }
+
+  /** Apply learned merges to the corpus: per-document token counts
+    * before (characters) and after encoding — the compression the
+    * vocabulary buys. The merge table is tiny (k rows) and ships as a
+    * closure constant; encoding is pure map-side work per document. */
+  def encode(
+      s: SparkSession, docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        var before = 0L
+        var after = 0L
+        words.foreach { w =>
+          var sym = w.map(_.toString).toArray
+          before += sym.length
+          merges.foreach { case (l, r) => sym = mergeSeq(sym, l, r) }
+          after += sym.length
+        }
+        (id, before, after,
+          if (before == 0) 0.0
+          else math.rint(10000.0 * after / before) / 10000.0)
+      }
+      .toDF("doc_id", "chars_in", "tokens_out", "compression")
+      .orderBy("doc_id")
+  }
 }

@@ -409,6 +409,44 @@ object ScaleOps extends QueryPack {
                  n_consistent = n_rows FROM m)
         ORDER BY check_name""")),
 
+    // ----------------------- quota-exact stratified sample (fixed budget)
+    // Exactly min(quota, n_l) documents per language, chosen by md5
+    // order — the fixed-token-budget sampling a training mix needs when
+    // proportional rates (q_scale_mixture) must give way to hard
+    // per-stratum caps. The md5 rank is reproducible across engines,
+    // partitionings, and cluster sizes; the per-stratum window sorts
+    // only within strata (at 100 TB: one shuffle on lang, each reducer
+    // top-K's its stratum — or the TopKAggregator form for huge strata).
+    "q_scale_quota_sample" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quota = 40
+        Tables.documents(s, d)
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+          .filter(col("rk") <= quota)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("chars_sampled"),
+            min(col("h")).as("min_h"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT lang, n_chars, h,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY h, doc_id) AS rk
+          FROM (SELECT lang, n_chars, doc_id,
+                       ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT AS h
+                FROM documents))
+        SELECT lang, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+               min(h) AS min_h
+        FROM ranked WHERE rk <= 40
+        GROUP BY lang ORDER BY lang""")),
+
     // ------------------------------- snapshot diff (version reconcile)
     // Classify every key across two dataset versions as added /
     // removed / changed / unchanged — the reconciliation op behind

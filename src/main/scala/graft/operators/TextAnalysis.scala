@@ -800,6 +800,18 @@ object TextAnalysis extends QueryPack {
     // 8 learned merges over the corpus vocabulary — see [[BpeTrainer]];
     // sequentially-greedy, so no SQL oracle (golden spec instead).
     "q_text_bpe_train" -> GraftQuery(
-      run = (s, d) => BpeTrainer.train(s, Tables.documents(s, d), 8))
+      run = (s, d) => BpeTrainer.train(s, Tables.documents(s, d), 8)),
+
+    // ------------------------- BPE encoding with the learned merges
+    // train → collect the k-row merge table → apply map-side across
+    // the corpus; reports per-document compression. Rows-only (the
+    // merge table is the sequential trainer's output); the encode
+    // kernel itself is golden-tested in BpeTrainerSpec.
+    "q_text_bpe_encode" -> GraftQuery(
+      run = (s, d) => {
+        val merges = BpeTrainer.train(s, Tables.documents(s, d), 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        BpeTrainer.encode(s, Tables.documents(s, d), merges)
+      })
   )
 }

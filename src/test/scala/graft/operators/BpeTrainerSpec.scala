@@ -68,4 +68,17 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     BpeTrainer.mergeSeq(Array("a", "b", "a", "b"), "a", "b").toSeq shouldBe
       Seq("ab", "ab")
   }
+
+  test("encode reports the compression the learned merges buy") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa"), (2L, "xy"))
+      .toDF("doc_id", "text")
+    // merges: (a,a) -> aa, (aa,aa) -> aaaa: "aaaa" = 4 chars -> 1 token
+    val out = BpeTrainer
+      .encode(spark, docs, Seq(("a", "a"), ("aa", "aa")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    out(0) shouldBe ((1L, 8L, 2L, 0.25))
+    out(1) shouldBe ((2L, 2L, 2L, 1.0))
+  }
 }
