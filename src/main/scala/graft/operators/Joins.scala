@@ -510,6 +510,34 @@ object Joins extends QueryPack {
         GROUP BY 1, 2, 3, 4
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q14 shape (promo revenue): month-scoped lineitem ⋈ part with
+    // a conditional-revenue ratio. The month predicate reaches the scan
+    // (PushedFilters), the part dim broadcasts; one row out.
+    "q_join_tpch_q14" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("2000-02-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            lit(100.0) *
+              sum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .otherwise(lit(0.0))) /
+              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("promo_revenue_pct")),
+      oracle = Some("""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1.0 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1.0 - l_discount)), 4)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2000-02-01'""")),
+
     // Physical backward as-of join (custom LogicalPlan + strategy +
     // exec — graft.plans.AsOfJoin): each click matched to the user's
     // latest purchase at or before it, LEFT OUTER, broadcast build +

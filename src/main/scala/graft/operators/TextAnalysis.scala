@@ -800,7 +800,10 @@ object TextAnalysis extends QueryPack {
     // 8 learned merges over the corpus vocabulary — see [[BpeTrainer]];
     // sequentially-greedy, so no SQL oracle (golden spec instead).
     "q_text_bpe_train" -> GraftQuery(
-      run = (s, d) => BpeTrainer.train(s, Tables.documents(s, d), 8)),
+      run = (s, d) => {
+        val m = BpeTrainer.trainCached(s, d, Tables.documents(s, d), 8)
+        s.createDataFrame(m).orderBy("merge_rank")
+      }),
 
     // ------------------------- BPE encoding with the learned merges
     // train → collect the k-row merge table → apply map-side across
@@ -809,8 +812,8 @@ object TextAnalysis extends QueryPack {
     // kernel itself is golden-tested in BpeTrainerSpec.
     "q_text_bpe_encode" -> GraftQuery(
       run = (s, d) => {
-        val merges = BpeTrainer.train(s, Tables.documents(s, d), 8)
-          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val merges = BpeTrainer.trainCached(s, d, Tables.documents(s, d), 8)
+          .map(m => (m.left, m.right))
         BpeTrainer.encode(s, Tables.documents(s, d), merges)
       })
   )
