@@ -29,10 +29,30 @@ object Bench {
     // fixed name order: per-query timings attribute stage-cache builds
     // (the ms chain's tensors/models) to the same query every round, so
     // BENCH_rN deltas reflect real changes, not Map iteration order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) => name -> time(name, fn) }
+    // Outlier re-measurement: a single ambient-load spike on a shared
+    // box can inflate one query 10× (observed: a 1.2 s query recorded
+    // at 24.5 s) and read as a regression. Re-run the slowest queries
+    // once and keep the min — legitimate data-bound cost reproduces,
+    // scheduling noise doesn't. Stage-cache-building queries (the ms
+    // chain, BPE training) are EXCLUDED: their second run hits the
+    // session-lifetime caches and a min would hide the real build cost
+    // instead of removing noise.
+    val cacheBuilders = (n: String) =>
+      n.startsWith("q_ms_") || n.startsWith("q_text_bpe_")
+    val rerun = firstPass.filterNot(p => cacheBuilders(p._1))
+      .sortBy(-_._2).take(10).map(_._1).toSet
+    val results = firstPass.map { case (name, t) =>
+      if (rerun(name))
+        name -> math.min(t, time(name, SparkEntry.queries(name)))
+      else name -> t
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // Full per-query detail on its OWN line, before the metric line —
