@@ -38,7 +38,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_dedup_semantic", "q_join_interval_stats_bands",
     "q_text_ccnet_buckets",
     "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
-    "q_join_tpch_q10", "q_agg_mode", "q_agg_regression")
+    "q_join_tpch_q10", "q_agg_mode", "q_agg_regression",
+    "q_scale_quota_sample", "q_window_gapfill", "q_join_asof_exec",
+    "q_dedup_fuzzy")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
