@@ -87,6 +87,71 @@ class GraphOpsProps extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       }
   }
 
+  /** Write a random trade schema: suppliers/customers spread over
+    * `nNations` nations, orders with 1–3 lineitems each. */
+  private def writeTrade(nNations: Int, nOrders: Int, seed: Long): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val d = Files.createTempDirectory("graft-trade").toString
+    val nations = (0 until nNations).map(i => (i.toLong, s"N_$i"))
+    nations.toDF("n_nationkey", "n_name").write.parquet(s"$d/nation.parquet")
+    val supps = (0 until 20).map(i => (i.toLong, rnd.nextInt(nNations).toLong))
+    supps.toDF("s_suppkey", "s_nationkey").write.parquet(s"$d/supplier.parquet")
+    val custs = (0 until 20).map(i => (i.toLong, rnd.nextInt(nNations).toLong))
+    custs.toDF("c_custkey", "c_nationkey").write.parquet(s"$d/customer.parquet")
+    val orders = (0 until nOrders).map(i => (i.toLong, rnd.nextInt(20).toLong))
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    val lines = orders.flatMap { case (ok, _) =>
+      (0 to rnd.nextInt(3)).map(_ => (ok, rnd.nextInt(20).toLong, 1L))
+    }
+    lines.toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  /** Brute integer PageRank with EXACTLY the query's formulas. */
+  private def brutePagerank(d: String): Map[String, Long] = {
+    val Scale = 1000000000000L
+    val li = spark.read.parquet(s"$d/lineitem.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ords = spark.read.parquet(s"$d/orders.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cn = spark.read.parquet(s"$d/customer.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sn = spark.read.parquet(s"$d/supplier.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nn = spark.read.parquet(s"$d/nation.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = li.map { case (ok, sk) => (sn(sk), cn(ords(ok))) }
+      .groupBy(identity).map { case (e, xs) => e -> xs.length.toLong }
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet
+    val n = nodes.size.toLong
+    val outw = edges.groupBy(_._1._1)
+      .map { case (s, es) => s -> es.values.sum }
+    val base = 15L * Scale / (100L * n)
+    var rank: Map[Long, Long] = nodes.map(_ -> Scale / n).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.toSeq
+        .map { case ((s, c), w) => c -> (rank(s) * w / outw(s)) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      rank = nodes.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    rank.map { case (k, v) => nn(k) -> v }
+  }
+
+  test("integer PageRank matches brute force on random trade graphs") {
+    Seq((5, 60, 11L), (8, 120, 12L), (3, 40, 13L)).foreach {
+      case (nNations, nOrders, seed) =>
+        val d = writeTrade(nNations, nOrders, seed)
+        withClue(s"nations=$nNations orders=$nOrders seed=$seed") {
+          val got = SparkEntry.queries("q_graph_pagerank")(spark, d)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          got shouldBe brutePagerank(d)
+        }
+    }
+  }
+
   test("BFS distance histogram matches brute force on random graphs") {
     Seq((150, 200, 5L), (120, 150, 6L), (200, 260, 7L))
       .foreach { case (n, m, seed) =>
