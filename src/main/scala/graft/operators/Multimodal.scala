@@ -231,6 +231,50 @@ object Multimodal extends QueryPack {
                      / ln(2.0::DOUBLE), 4) AS entropy
         FROM hist h JOIN tot t ON t.doc_id = h.doc_id
         GROUP BY h.doc_id, t.n_bytes, t.mean_v, t.max_v
-        ORDER BY h.doc_id"""))
+        ORDER BY h.doc_id""")),
+
+    // ------------------------------------- video near-dup (frame overlap)
+    // The standard video-dedup shape: per-frame fingerprints → inverted
+    // index on fingerprint → candidate pairs by shared-frame count.
+    // Frames = the payload's 8×16-byte segments; fingerprint = leading
+    // 4 frame bytes folded to a 1024-bucket space (the synthetic
+    // analog of a coarse perceptual hash — collisions stand in for
+    // visually-identical frames). Only (doc_id, fingerprint) pairs
+    // shuffle — never frame bytes; posting lists are bounded by the
+    // fingerprint-space size exactly like the shingle df cap.
+    "q_mm_video_neardup" -> GraftQuery(
+      run = (s, d) => {
+        val sigs = synth(s, d)
+          .select(col("doc_id"), col("blob"),
+            explode(sequence(lit(0), lit(7))).as("f"))
+          .select(col("doc_id"),
+            // stride 17, not 16: the synthetic payload is the 16-byte
+            // md5 repeated, so frame-aligned reads would give all 8
+            // frames ONE identical signature; the +f phase makes each
+            // frame sample a distinct window (a real codec's frames
+            // differ on their own)
+            expr(s"CAST(conv(hex(substring(blob, 1 + 17*f, 4)), 16, 10) " +
+              "AS BIGINT) % 1024").as("sig"))
+          .distinct()
+        sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("d1", "d2")
+      },
+      oracle = Some(s"""
+        WITH $synthCte,
+        sigs AS (
+          SELECT DISTINCT doc_id,
+                 ('0x'||substr(hx, 34*f + 1, 8))::BIGINT % 1024 AS sig
+          FROM media, generate_series(0, 7) t(f))
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        FROM sigs a JOIN sigs b
+          ON a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY d1, d2"""))
   )
 }
