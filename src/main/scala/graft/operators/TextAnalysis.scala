@@ -210,6 +210,64 @@ object TextAnalysis extends QueryPack {
                          ELSE 'fr' END = lang AS INT) AS is_match
         FROM h ORDER BY doc_id""")),
 
+    // ------------------------ classifier evaluation (confusion matrix)
+    // The eval step every learned/heuristic curation filter needs: the
+    // language-ID predictions crossed against the labeled lang column —
+    // per-cell counts plus precision/recall per actual class (recall
+    // here; precision follows by transposing). One aggregate over the
+    // prediction stream; the same shape evaluates a quality classifier
+    // at 100 TB (predictions and labels shuffle as tiny counts).
+    "q_text_langid_eval" -> GraftQuery(
+      run = (s, d) => {
+        val preds = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .withColumn("en_hits", size(filter(col("ws"), w => w.isin(stopEn: _*))))
+          .withColumn("de_hits", size(filter(col("ws"), w => w.isin(stopDe: _*))))
+          .withColumn("fr_hits", size(filter(col("ws"), w => w.isin(stopFr: _*))))
+          .withColumn("pred_lang",
+            when(col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("fr_hits"), "en")
+              .when(col("de_hits") >= col("fr_hits"), "de")
+              .otherwise("fr"))
+        val actualTotals = preds.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_actual"))
+        preds.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(actualTotals), Seq("lang"))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast("double") / col("n_actual"), 4)
+              .as("frac_of_actual"))
+          .orderBy("lang", "pred_lang")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        h AS (
+          SELECT lang,
+                 CASE WHEN len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopEn)}], w))) >=
+                      len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopDe)}], w)))
+                  AND len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopEn)}], w))) >=
+                      len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopFr)}], w)))
+                      THEN 'en'
+                      WHEN len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopDe)}], w))) >=
+                      len(list_filter(ws, w ->
+                        list_contains([${sqlList(stopFr)}], w)))
+                      THEN 'de' ELSE 'fr' END AS pred_lang
+          FROM t),
+        tot AS (SELECT lang, count(*) AS n_actual FROM h GROUP BY lang)
+        SELECT h.lang, pred_lang, count(*) AS n,
+               round(CAST(count(*) AS DOUBLE) / max(n_actual), 4)
+                 AS frac_of_actual
+        FROM h JOIN tot ON tot.lang = h.lang
+        GROUP BY h.lang, pred_lang ORDER BY h.lang, pred_lang""")),
+
     // ------------------------------------- Gopher-style document filters
     // The published corpus-filter family (Gopher, Rae et al. 2021):
     // word-count bounds, mean word length, fraction of alphabetic words,
