@@ -447,6 +447,73 @@ object ScaleOps extends QueryPack {
         FROM ranked WHERE rk <= 40
         GROUP BY lang ORDER BY lang""")),
 
+    // ------------------------------ distribution drift (PSI) between
+    // dataset versions — the production drift gate: 10 equal-width bins
+    // over the BASE version's range, per-bin population shares of both
+    // versions, and the population-stability-index term
+    // (p2−p1)·ln(p2/p1) with add-half smoothing. Bin edges come from a
+    // 1-row broadcast aggregate; the binning arithmetic is the same
+    // expression in both engines so edge landings are bit-identical.
+    // v2 reuses the snapshot-diff derivation (drop every 10th event,
+    // double every 7th value) so the drift is real and self-contained.
+    "q_scale_drift" -> GraftQuery(
+      run = (s, d) => {
+        val v1 = Tables.events(s, d).select(col("value").as("x"))
+        val v2 = Tables.events(s, d)
+          .filter(col("event_id") % 10 =!= 0)
+          .select(when(col("event_id") % 7 === 0, col("value") * 2.0)
+            .otherwise(col("value")).as("x"))
+        val edges = v1.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        def binned(v: org.apache.spark.sql.DataFrame, tag: String) =
+          v.crossJoin(broadcast(edges))
+            .select(least(greatest(
+              floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 10)
+                .cast("int"), lit(0)), lit(9)).as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
+        binned(v1, "v1").join(binned(v2, "v2"), Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+            coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+          .crossJoin(broadcast(
+            Tables.events(s, d).agg(
+              count(lit(1)).as("t1"),
+              count(when(col("event_id") % 10 =!= 0, lit(1))).as("t2"))))
+          .select(col("bin"), col("n_v1"), col("n_v2"),
+            round(((col("n_v2") + lit(0.5)) / (col("t2") + lit(5.0)) -
+              (col("n_v1") + lit(0.5)) / (col("t1") + lit(5.0))) *
+              log(((col("n_v2") + lit(0.5)) / (col("t2") + lit(5.0))) /
+                ((col("n_v1") + lit(0.5)) / (col("t1") + lit(5.0)))), 6)
+              .as("psi_term"))
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        WITH v1 AS (SELECT value AS x FROM events),
+        v2 AS (SELECT CASE WHEN event_id % 7 = 0 THEN value * 2.0
+                           ELSE value END AS x
+               FROM events WHERE event_id % 10 <> 0),
+        e AS (SELECT min(x) AS lo, max(x) AS hi FROM v1),
+        b1 AS (SELECT least(greatest(
+                 CAST(floor((x - lo) / (hi - lo) * 10) AS INT), 0), 9)
+                 AS bin, count(*) AS n_v1
+               FROM v1, e GROUP BY 1),
+        b2 AS (SELECT least(greatest(
+                 CAST(floor((x - lo) / (hi - lo) * 10) AS INT), 0), 9)
+                 AS bin, count(*) AS n_v2
+               FROM v2, e GROUP BY 1),
+        t AS (SELECT count(*) AS t1,
+                     count(*) FILTER (WHERE event_id % 10 <> 0) AS t2
+              FROM events),
+        m AS (SELECT coalesce(b1.bin, b2.bin) AS bin,
+                     coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+                     t1, t2
+              FROM b1 FULL OUTER JOIN b2 ON b2.bin = b1.bin CROSS JOIN t)
+        SELECT bin, n_v1, n_v2,
+               round(((n_v2 + 0.5) / (t2 + 5.0) -
+                      (n_v1 + 0.5) / (t1 + 5.0)) *
+                     ln(((n_v2 + 0.5) / (t2 + 5.0)) /
+                        ((n_v1 + 0.5) / (t1 + 5.0))), 6) AS psi_term
+        FROM m ORDER BY bin""")),
+
     // ------------------------------- snapshot diff (version reconcile)
     // Classify every key across two dataset versions as added /
     // removed / changed / unchanged — the reconciliation op behind
