@@ -270,6 +270,66 @@ object Windows extends QueryPack {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
+    // ---------------------- gaps-and-islands (merge overlapping spans)
+    // Each event opens a 5-minute activity span; overlapping spans per
+    // type merge into islands (running cumulative-max of span ends vs
+    // the next start — the classic formulation). Output: island count
+    // and exact covered time per type, all integer µs. The window
+    // sorts within each type's partition only; at scale the same query
+    // range-partitions on (type, start).
+    "q_window_islands" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spanUs = 5L * 60 * 1000000L
+        val spans = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts div 1000").as("s0"),
+            (expr("ts div 1000") + lit(spanUs)).as("s1"))
+        val w = Window.partitionBy("event_type").orderBy("s0", "s1")
+        val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        spans
+          .withColumn("prev_max", max(col("s1")).over(prev))
+          .withColumn("new_island",
+            when(col("prev_max").isNull || col("s0") > col("prev_max"), 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum(col("new_island")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("event_type"), col("island"))
+          .agg(min(col("s0")).as("i0"), max(col("s1")).as("i1"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("i1") - col("i0")).as("covered_us"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH spans AS (
+          SELECT event_type, epoch_us(ts) AS s0,
+                 epoch_us(ts) + 300000000 AS s1
+          FROM events),
+        marked AS (
+          SELECT event_type, s0, s1,
+                 CASE WHEN max(s1) OVER (PARTITION BY event_type
+                        ORDER BY s0, s1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                   OR s0 > max(s1) OVER (PARTITION BY event_type
+                        ORDER BY s0, s1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+          FROM spans),
+        numbered AS (
+          SELECT event_type, s0, s1,
+                 sum(new_island) OVER (PARTITION BY event_type
+                   ORDER BY s0, s1 ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked),
+        islands AS (
+          SELECT event_type, island, min(s0) AS i0, max(s1) AS i1
+          FROM numbered GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_islands,
+               CAST(sum(i1 - i0) AS BIGINT) AS covered_us
+        FROM islands GROUP BY event_type ORDER BY event_type""")),
+
     // ----------------------------- time-series gap filling (resample)
     // Regularize the event stream to a dense hourly grid per type:
     // missing buckets appear with n=0 and the last observed hourly sum
