@@ -217,6 +217,54 @@ object GraphOps extends QueryPack {
                (SELECT count(*) FROM w JOIN oed e3
                   ON e3.a = w.x AND e3.b = w.y) AS n_triangles""")),
 
+    // --------------------------- market-basket lift (association rules)
+    // Co-occurrence lift over the order/part bipartite relation:
+    // lift(a,b) = N·c_ab / (c_a·c_b) with a support floor — the
+    // classic association-rule screen. All counts are exact integers
+    // (distinct order sets), the ranking cut is on the ROUNDED lift
+    // with a (u, v) tie-break, and nothing here is quadratic: pair
+    // counts come from the bounded per-order self-join, singleton
+    // counts from one aggregate, N from a scalar.
+    "q_graph_lift" -> GraftQuery(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val pairCnt = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3)
+        val single = li.groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("c"))
+        val nOrders = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairCnt
+          .join(broadcast(single.select(col("p").as("u"), col("c").as("c_a"))), "u")
+          .join(broadcast(single.select(col("p").as("v"), col("c").as("c_b"))), "v")
+          .crossJoin(broadcast(nOrders))
+          .select(col("u"), col("v"), col("c_ab"),
+            round(col("n_orders") * col("c_ab") /
+              (col("c_a") * col("c_b")).cast("double"), 4).as("lift"))
+          .orderBy(col("lift").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_ab
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+        sc AS (SELECT l_partkey AS p, count(*) AS c FROM li GROUP BY 1),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+        SELECT u, v, c_ab,
+               round(n_orders * c_ab / CAST(ca.c * cb.c AS DOUBLE), 4)
+                 AS lift
+        FROM pc JOIN sc ca ON ca.p = u JOIN sc cb ON cb.p = v CROSS JOIN n
+        ORDER BY lift DESC, u, v LIMIT 20""")),
+
     // --------------------------------- bounded multi-source BFS frontier
     // 3 rounds of min-distance propagation from a deterministic seed set
     // (node id ≡ 0 mod 97) over the undirected co-purchase graph —

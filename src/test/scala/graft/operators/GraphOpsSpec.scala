@@ -67,4 +67,27 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     r(0).getAs[Long]("n_edges") shouldBe 4L
     r(0).getAs[Long]("n_triangles") shouldBe 1L
   }
+
+  test("lift: hand-computed association lift with the support floor") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-lift").toString
+    // 5 orders. Pair (1,2) co-occurs in orders 1,2,3 (c_ab = 3, passes
+    // the floor); pair (1,3) only in order 4 (filtered). c_1 = 4,
+    // c_2 = 3, N = 5 → lift(1,2) = 5·3 / (4·3) = 1.25 exactly.
+    // The duplicate (3, 2) row checks the DISTINCT projection.
+    Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 2L),
+      (4L, 1L), (4L, 3L),
+      (5L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val rows = SparkEntry.queries("q_graph_lift")(spark, d).collect()
+    rows.length shouldBe 1
+    rows(0).getAs[Long]("u") shouldBe 1L
+    rows(0).getAs[Long]("v") shouldBe 2L
+    rows(0).getAs[Long]("c_ab") shouldBe 3L
+    rows(0).getAs[Double]("lift") shouldBe 1.25
+  }
 }
