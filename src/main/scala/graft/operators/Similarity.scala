@@ -973,6 +973,99 @@ object Similarity extends QueryPack {
                coalesce(ivf_hits, 0) AS ivf_hits
         FROM base LEFT JOIN lh ON lh.q_id = base.q_id
                   LEFT JOIN ih ON ih.q_id = base.q_id
-        ORDER BY base.q_id"""))
+        ORDER BY base.q_id""")),
+
+    // --------------------------------------- Lloyd k-means (2 iterations)
+    // Distributed k-means over the quantized embeddings — the clustering
+    // primitive under SemDeDup-style corpus curation (q_dedup_semantic
+    // borrows its codebook from the label column; this is the real
+    // iterative algorithm that would PRODUCE such a codebook). Per Lloyd
+    // round: assignment is one broadcast of the k×64 centroid table
+    // against the corpus scan (the corpus never shuffles for assignment),
+    // and the centroid update is one (cluster, dim) aggregation — the
+    // canonical scale shape; at 100 TB only k·dim·partitions partial
+    // rows cross the wire per round.
+    // Everything is exact 64-bit integer arithmetic on the 1e-6 grid
+    // (quantize → seed → squared-L2 assignment with lowest-cluster
+    // tie-break → floor-div centroid update), so both engines trace the
+    // identical trajectory and the oracle is an exact hash match, not an
+    // FP-tolerance compare:
+    //  - seeds: the k = 4 lowest vec_ids (cluster id ≡ seed vec_id);
+    //    deterministic stand-in for a sampled k-means|| init
+    //  - 2 full rounds: assign → update → assign → update
+    // Output per surviving cluster: member count, inertia (sum of the
+    // round-2 assignment distances, wrt the round-1 centroids), and the
+    // round-2 centroid coordinate sum as an exact checksum.
+    "q_sim_kmeans" -> GraftQuery(
+      run = (s, d) => {
+        val k = 4
+        val all = vecs(s, d).select(col("vec_id"),
+          expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
+            .as("vq"))
+        val seeds = all.orderBy("vec_id").limit(k)
+          .select(col("vec_id").as("c"), col("vq").as("cq"))
+        // one Lloyd assignment: nearest centroid by exact integer L2,
+        // ties to the lowest cluster id
+        def assign(cent: DataFrame): DataFrame =
+          all.crossJoin(broadcast(cent))
+            .withColumn("d2", expr(
+              "aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("c"), col("d2"), col("vq"))
+        // one centroid update: per-dimension integer mean (sum div count)
+        def update(asg: DataFrame): DataFrame =
+          asg.select(col("c"), posexplode(col("vq")).as(Seq("i", "xq")))
+            .groupBy("c", "i")
+            .agg(expr("sum(xq) div count(1)").as("cqi"))
+            .groupBy("c")
+            .agg(expr("transform(array_sort(collect_list(struct(i, cqi))), e -> e.cqi)")
+              .as("cq"))
+        val a2 = assign(update(assign(seeds)))
+        val c2 = update(a2)
+        a2.groupBy("c")
+          .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+          .join(c2.select(col("c"),
+            expr("aggregate(cq, 0L, (a, x) -> a + x)").as("cent_sum")), "c")
+          .orderBy("c")
+      },
+      oracle = Some("""
+        WITH xq AS (SELECT vec_id,
+                           generate_subscripts(embedding, 1) AS i,
+                           floor(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000000.0 + 0.5)::BIGINT AS xq
+                    FROM embeddings),
+        seeds AS (SELECT vec_id AS c FROM embeddings ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT s.c, x.i, x.xq AS cq
+               FROM seeds s JOIN xq x ON x.vec_id = s.c),
+        a1 AS (SELECT vec_id, c FROM (
+                 SELECT x.vec_id, c0.c,
+                        row_number() OVER (PARTITION BY x.vec_id
+                          ORDER BY sum((x.xq - c0.cq)*(x.xq - c0.cq)), c0.c)
+                          AS rn
+                 FROM xq x JOIN c0 ON c0.i = x.i
+                 GROUP BY x.vec_id, c0.c) WHERE rn = 1),
+        c1 AS (SELECT a1.c, x.i, sum(x.xq) // count(*) AS cq
+               FROM a1 JOIN xq x ON x.vec_id = a1.vec_id
+               GROUP BY a1.c, x.i),
+        a2 AS (SELECT vec_id, c, d2 FROM (
+                 SELECT x.vec_id, c1.c,
+                        sum((x.xq - c1.cq)*(x.xq - c1.cq)) AS d2,
+                        row_number() OVER (PARTITION BY x.vec_id
+                          ORDER BY sum((x.xq - c1.cq)*(x.xq - c1.cq)), c1.c)
+                          AS rn
+                 FROM xq x JOIN c1 ON c1.i = x.i
+                 GROUP BY x.vec_id, c1.c) WHERE rn = 1),
+        c2 AS (SELECT a2.c, x.i, sum(x.xq) // count(*) AS cq
+               FROM a2 JOIN xq x ON x.vec_id = a2.vec_id
+               GROUP BY a2.c, x.i)
+        SELECT a2.c AS c, count(*) AS n_members,
+               CAST(sum(a2.d2) AS BIGINT) AS inertia,
+               min(cs.cent_sum) AS cent_sum
+        FROM a2 JOIN (SELECT c, CAST(sum(cq) AS BIGINT) AS cent_sum
+                      FROM c2 GROUP BY c) cs ON cs.c = a2.c
+        GROUP BY a2.c
+        ORDER BY a2.c"""))
   )
 }

@@ -854,6 +854,56 @@ object TextAnalysis extends QueryPack {
         ORDER BY r2.doc_id"""
       }),
 
+    // ------------------------------------------- TF-IDF keyword extraction
+    // Top-3 characteristic terms per document — the classic inverted-index
+    // keyword ranking (and the lexical half of hybrid BM25+vector
+    // retrieval). The idf is kept on an exact integer grid so the ranking
+    // is hash-comparable: idf_scaled = (1e6 · N) div df (integer floor
+    // division in both engines), score = tf · idf_scaled — all 64-bit
+    // integers, no log/double in the compare path.
+    // Scale shape: tf is a (doc, term) aggregation, df a term aggregation;
+    // the tf ⋈ df equi-join shuffles on the term key. Zipf-hot terms (high
+    // df) are exactly the ones with the lowest idf — they never reach a
+    // top-3 — but they still dominate the join input; at 100 TB the
+    // mitigation is the ScaleOps salted-join pattern on the df side, or
+    // an early df-threshold stoplist if the corpus profile allows it.
+    "q_text_tfidf" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(df, "w").crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * expr("(1000000L * n_docs) div df"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("w"), col("tf"),
+            col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                 tf.tf * ((1000000 * n_docs) // df.df) AS score
+          FROM tf JOIN df ON df.w = tf.w CROSS JOIN n)
+        SELECT doc_id, rank, w, tf, df, score FROM (
+          SELECT doc_id, w, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, w) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // ------------------------------------ BPE merge training (rows-only)
     // 8 learned merges over the corpus vocabulary — see [[BpeTrainer]];
     // sequentially-greedy, so no SQL oracle (golden spec instead).
