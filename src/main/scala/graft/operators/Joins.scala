@@ -538,6 +538,202 @@ object Joins extends QueryPack {
         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
           AND l_shipdate < TIMESTAMP '2000-02-01'""")),
 
+    // TPC-H Q8 shape (national market share): the 8-table join — part
+    // prunes the fact scan via its broadcast, orders carries the date
+    // window to the scan, customer routes through nation→region (one
+    // nation role) while supplier carries the second nation role.
+    // Everything except the two fact joins (lineitem⋈orders on orderkey,
+    // orders⋈customer on custkey) is a broadcast: the fact side shuffles
+    // exactly twice regardless of scale.
+    "q_join_tpch_q8" -> GraftQuery(
+      run = (s, d) => {
+        val amerNations = Tables.region(s, d)
+          .filter(col("r_name") === "AMERICA")
+          .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val supNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(amerNations), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(
+            sum(when(col("s_nation") === "NATION_1",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      oracle = Some("""
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1.0 - l_discount)), 4)
+                 AS mkt_share
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers survive with c_count = 0, then a second
+    // aggregation over the counts — the double-groupBy histogram.
+    // Exact integers end to end.
+    "q_join_tpch_q13" -> GraftQuery(
+      run = (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      oracle = Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q15 shape (top supplier): quarter-scoped per-supplier revenue,
+    // then the max-revenue supplier(s) via a broadcast scalar. Revenue is
+    // computed in exact integer 1e-4-dollar units (cents × discount
+    // percentage points), so the revenue = max(revenue) equality — the
+    // part of Q15 that is FP-fragile in doubles — is an exact integer
+    // compare in both engines.
+    "q_join_tpch_q15" -> GraftQuery(
+      run = (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+          .withColumn("rev_e4",
+            expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)") *
+              (lit(100L) - expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("rev_e4")).as("total_revenue_e4"))
+        val mx = rev.agg(max(col("total_revenue_e4")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue_e4") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("supplier_no") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT *
+                          (100 - floor(l_discount * 100.0 + 0.5)::BIGINT))
+                      AS BIGINT) AS total_revenue_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+            AND l_shipdate < TIMESTAMP '1999-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue_e4
+        FROM rev JOIN supplier ON s_suppkey = supplier_no
+        WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // TPC-H Q19 shape (disjunctive predicates): an OR of three
+    // brand/size/quantity conjunction bands across the lineitem ⋈ part
+    // broadcast join — the classic test that a disjunction of
+    // cross-table conjunctions still evaluates inside one codegen stage
+    // after the join, with the common p_partkey equi-key extracted as
+    // the join condition (no cartesian fallback).
+    "q_join_tpch_q19" -> GraftQuery(
+      run = (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+              .select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+                col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+                col("l_quantity").between(20, 30)))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_lines")),
+      oracle = Some("""
+        SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // TPC-H Q22 shape (global-sales opportunity): customers above the
+    // positive-balance average with no recent order (none in the final
+    // year of the data — the corpus is dense enough that literally
+    // order-less customers don't exist), rolled up by nation. The
+    // reference Q22 cuts on phone country codes (absent in this schema);
+    // nation plays that role here. The average cutoff is an exact
+    // integer (sum-of-cents div count), so the boundary compare can
+    // never be FP-marginal; the "no recent order" test is a left-anti
+    // join against the date-pruned orders fact.
+    "q_join_tpch_q22" -> GraftQuery(
+      run = (s, d) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("bal_c",
+            expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)"))
+        val cut = cust.filter(col("bal_c") > 0)
+          .agg(expr("sum(bal_c) div count(1)").as("cut"))
+        cust.crossJoin(broadcast(cut))
+          .filter(col("bal_c") > col("cut"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH cust AS (SELECT c_custkey, c_nationkey,
+                             floor(c_acctbal * 100.0 + 0.5)::BIGINT AS bal_c
+                      FROM customer),
+        cut AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS cut
+                FROM cust WHERE bal_c > 0)
+        SELECT n_name, count(*) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        FROM cust CROSS JOIN cut
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE bal_c > cut
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-08-01')
+        GROUP BY n_name ORDER BY n_name""")),
+
     // Physical backward as-of join (custom LogicalPlan + strategy +
     // exec — graft.plans.AsOfJoin): each click matched to the user's
     // latest purchase at or before it, LEFT OUTER, broadcast build +

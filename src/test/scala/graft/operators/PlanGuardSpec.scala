@@ -141,6 +141,24 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("TPC-H Q8/Q19 extract the equi-key; Q22 plans a broadcast anti join") {
+    assume(haveData)
+    // Q8: 8-table join — part/nation/region/supplier all broadcast
+    // Q19: the OR-of-conjunctions must NOT defeat the p_partkey equi-join
+    Seq("q_join_tpch_q8", "q_join_tpch_q19").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include ("BroadcastHashJoin")
+        p should not include "NestedLoop"
+      }
+    }
+    // Q22's scalar cutoff joins as a 1-row BroadcastNestedLoopJoin (the
+    // scalar-broadcast pattern — fine at any scale), so only the anti
+    // join's hash plan is pinned here.
+    val q22 = plan("q_join_tpch_q22")
+    q22 should include regex "BroadcastHashJoin .*LeftAnti"
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     assume(haveData)
     val p = plan("q_scale_partition_pruning")
