@@ -380,6 +380,57 @@ object Aggregates extends QueryPack {
                      row_number() OVER (PARTITION BY l_returnflag
                        ORDER BY count(*) DESC, l_quantity) AS rn
               FROM lineitem GROUP BY l_returnflag, l_quantity)
-        WHERE rn = 1 ORDER BY l_returnflag"""))
+        WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // --------------------------- robust outlier screen (median + MAD)
+    // Per-group median/MAD outlier counting — the robust alternative to
+    // mean±3σ (one wild value moves a mean; it barely moves a median).
+    // Everything runs on the integer cents grid and interpolated
+    // medians are carried ×2 (an even-count median is k or k+0.5, so
+    // 2·median is always an exact integer): the outlier test
+    // |x − med| > 3·MAD becomes 2·dev2 > 3·mad4 in pure 64-bit integer
+    // arithmetic — no FP boundary anywhere. Two passes over the group
+    // (median, then deviations), the unavoidable shape for exact MAD;
+    // at 100 TB the first pass would swap in the approx-quantile sketch
+    // (q_scale_approx_quantile) with the same downstream algebra.
+    "q_agg_outliers" -> GraftQuery(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("x_c"))
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("CAST(2.0 * percentile(x_c, 0.5D) AS BIGINT)").as("med2"))
+        val dev = li.join(broadcast(med), "l_returnflag")
+          .withColumn("dev2", abs(lit(2L) * col("x_c") - col("med2")))
+        val mad = dev.groupBy("l_returnflag")
+          .agg(expr("CAST(2.0 * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+        dev.join(broadcast(mad), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med2")) / 200.0, 2).as("median_price"),
+            round(max(col("mad4")) / 400.0, 2).as("mad"),
+            sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH li AS (SELECT l_returnflag,
+                           floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS x_c
+                    FROM lineitem),
+        med AS (SELECT l_returnflag,
+                       CAST(2.0 * median(x_c) AS BIGINT) AS med2
+                FROM li GROUP BY 1),
+        dev AS (SELECT li.l_returnflag, x_c, med2,
+                       abs(2 * x_c - med2) AS dev2
+                FROM li JOIN med USING (l_returnflag)),
+        mad AS (SELECT l_returnflag,
+                       CAST(2.0 * median(dev2) AS BIGINT) AS mad4
+                FROM dev GROUP BY 1)
+        SELECT dev.l_returnflag, count(*) AS n,
+               round(max(med2) / 200.0, 2) AS median_price,
+               round(max(mad4) / 400.0, 2) AS mad,
+               CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (l_returnflag)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

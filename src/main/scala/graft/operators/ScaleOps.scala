@@ -551,6 +551,69 @@ object ScaleOps extends QueryPack {
                     ELSE 'unchanged' END AS change,
                count(*) AS n
         FROM v1 a FULL OUTER JOIN v2 b USING (event_id)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------- count-min sketch heavy hitters (hot keys)
+    // The streaming-sketch answer to "which keys are hot?" — the
+    // detection primitive that FEEDS the salting patterns above: at
+    // 100 TB you cannot afford an exact global count per key just to
+    // find the handful that need skew handling, but a d×w count-min
+    // sketch is d·w integers regardless of corpus size (here 4×64;
+    // production ~4×2^20). Counts shuffle as (row, bucket) partials —
+    // 256 cells total cross the wire, never the words.
+    // Estimates are min over rows of the hashed cell, an overestimate
+    // by construction (est ≥ exact, equality when no collision) — the
+    // output reports both sides so the error is measured, not assumed.
+    // md5-derived bucket hashing keeps every cell integer-exact and
+    // engine-independent; the top-10 ground truth is computed exactly
+    // for comparison (the part a real deployment cannot do at scale).
+    "q_scale_heavy_hitters" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.documents(s, d)
+          .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+            .as("w"))
+        val rows = Seq(0, 1, 2, 3)
+        def bucket(wCol: String) = expr(
+          s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '_', $wCol)), 1, 8), 16, 10) AS BIGINT) % 64")
+        val cells = words
+          .withColumn("r", explode(lit(rows.toArray)))
+          .withColumn("b", bucket("w"))
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        val top = words.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(10)
+        val est = top.select(col("w"), explode(lit(rows.toArray)).as("r"))
+          .withColumn("b", bucket("w"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy("w").agg(min(col("c")).as("est"))
+        top.join(est, "w")
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("w"))))
+          .select(col("rank"), col("w"), col("n"), col("est"),
+            (col("est") - col("n")).as("overcount"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS w
+                   FROM documents),
+        r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        cells AS (SELECT r.r,
+                         ('0x'||substr(md5(r.r::VARCHAR || '_' || w.w),1,8))::BIGINT
+                           % 64 AS b,
+                         count(*) AS c
+                  FROM w CROSS JOIN r GROUP BY 1, 2),
+        top AS (SELECT w, count(*) AS n FROM w GROUP BY w
+                ORDER BY n DESC, w LIMIT 10),
+        est AS (SELECT top.w, min(c.c) AS est
+                FROM top CROSS JOIN r
+                JOIN cells c ON c.r = r.r
+                  AND c.b = ('0x'||substr(md5(r.r::VARCHAR || '_' || top.w),1,8))::BIGINT
+                              % 64
+                GROUP BY top.w)
+        SELECT row_number() OVER (ORDER BY n DESC, top.w) AS rank,
+               top.w AS w, n, est, est - n AS overcount
+        FROM top JOIN est ON est.w = top.w
+        ORDER BY rank"""))
   )
 }

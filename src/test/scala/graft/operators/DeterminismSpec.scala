@@ -40,7 +40,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
     "q_join_tpch_q10", "q_agg_mode", "q_agg_regression",
     "q_scale_quota_sample", "q_window_gapfill", "q_join_asof_exec",
-    "q_dedup_fuzzy")
+    "q_dedup_fuzzy",
+    "q_graph_lift", "q_sim_kmeans", "q_text_tfidf",
+    "q_scale_heavy_hitters", "q_agg_outliers", "q_join_tpch_q15")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -54,7 +54,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_text_curation_funnel", "q_agg_topk_per_group",
     "q_window_distribution", "q_sim_ivfpq", "q_dedup_semantic",
     "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
-    "q_join_tpch_q7", "q_join_tpch_q10")
+    "q_join_tpch_q7", "q_join_tpch_q10",
+    "q_graph_lift", "q_sim_kmeans", "q_text_tfidf",
+    "q_scale_heavy_hitters", "q_agg_outliers",
+    "q_join_tpch_q8", "q_join_tpch_q13", "q_join_tpch_q15",
+    "q_join_tpch_q19", "q_join_tpch_q22")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
