@@ -1066,6 +1066,82 @@ object Similarity extends QueryPack {
         FROM a2 JOIN (SELECT c, CAST(sum(cq) AS BIGINT) AS cent_sum
                       FROM c2 GROUP BY c) cs ON cs.c = a2.c
         GROUP BY a2.c
-        ORDER BY a2.c"""))
+        ORDER BY a2.c""")),
+
+    // ---------------------- Johnson–Lindenstrauss random projection
+    // 64 → 16 dimensions through an md5-derived ±1 projection matrix —
+    // the storage/compute reducer that precedes ANN indexing at scale
+    // (project once, index the short vectors). Unlike the LSH tier
+    // (which keeps only projection SIGNS) this keeps the projected
+    // values, and the JL guarantee — E[‖R(a−b)‖²] = k·‖a−b‖² for ±1
+    // rows — is MEASURED: for the 5×5 query×candidate pair grid the
+    // output reports original and projected squared distances (exact
+    // 64-bit integers on the 1e-6 grid) and their distortion ratio
+    // d2_proj / (16·d2_orig) ≈ 1. The projection itself is one
+    // broadcast of the 16×64 matrix against the (vec, dim) stream —
+    // map-side, nothing but (vec, j) partials shuffle.
+    "q_sim_random_projection" -> GraftQuery(
+      run = (s, d) => {
+        val comp = vecs(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+          .withColumn("xq",
+            expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"))
+        val planes = s.range(16).select(col("id").cast("int").as("j"))
+          .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+          .withColumn("p", when(expr(
+            "CAST(conv(substr(md5(concat(CAST(j AS STRING), '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+            === 0, 1L).otherwise(-1L))
+        val proj = comp.join(broadcast(planes), "i")
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum(col("p") * col("xq")).as("y"))
+        val d2o = comp.as("a").join(comp.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") < 5 && col("b.vec_id") >= 5)
+          .groupBy(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"))
+          .agg(sum((col("a.xq") - col("b.xq")) * (col("a.xq") - col("b.xq")))
+            .as("d2_orig"))
+        val d2p = proj.as("a").join(proj.as("b"),
+            col("a.j") === col("b.j") &&
+              col("a.vec_id") < 5 && col("b.vec_id") >= 5)
+          .groupBy(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"))
+          .agg(sum((col("a.y") - col("b.y")) * (col("a.y") - col("b.y")))
+            .as("d2_proj"))
+        d2o.join(d2p, Seq("qa", "qb"))
+          .select(col("qa"), col("qb"), col("d2_orig"), col("d2_proj"),
+            round(col("d2_proj") / (lit(16.0) * col("d2_orig")), 4)
+              .as("distortion"))
+          .orderBy("qa", "qb")
+      },
+      oracle = Some("""
+        WITH xq AS (SELECT vec_id,
+                           generate_subscripts(embedding, 1) - 1 AS i,
+                           floor(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000000.0 + 0.5)::BIGINT AS xq
+                    FROM embeddings WHERE vec_id < 10),
+        planes AS (SELECT j, i,
+                          CASE WHEN ('0x'||substr(md5(j::VARCHAR || '_' || i::VARCHAR),1,8))::BIGINT
+                                    % 2 = 0
+                               THEN 1 ELSE -1 END AS p
+                   FROM generate_series(0, 15) tj(j),
+                        generate_series(0, 63) ti(i)),
+        proj AS (SELECT vec_id, j, CAST(sum(p * xq) AS BIGINT) AS y
+                 FROM xq JOIN planes ON planes.i = xq.i
+                 GROUP BY vec_id, j),
+        d2o AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                       CAST(sum((a.xq - b.xq)*(a.xq - b.xq)) AS BIGINT)
+                         AS d2_orig
+                FROM xq a JOIN xq b ON b.i = a.i
+                WHERE a.vec_id < 5 AND b.vec_id >= 5
+                GROUP BY 1, 2),
+        d2p AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                       CAST(sum((a.y - b.y)*(a.y - b.y)) AS BIGINT)
+                         AS d2_proj
+                FROM proj a JOIN proj b ON b.j = a.j
+                WHERE a.vec_id < 5 AND b.vec_id >= 5
+                GROUP BY 1, 2)
+        SELECT qa, qb, d2_orig, d2_proj,
+               round(d2_proj / (16.0 * d2_orig), 4) AS distortion
+        FROM d2o JOIN d2p USING (qa, qb)
+        ORDER BY qa, qb"""))
   )
 }

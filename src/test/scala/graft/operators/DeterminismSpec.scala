@@ -42,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_scale_quota_sample", "q_window_gapfill", "q_join_asof_exec",
     "q_dedup_fuzzy",
     "q_graph_lift", "q_sim_kmeans", "q_text_tfidf",
-    "q_scale_heavy_hitters", "q_agg_outliers", "q_join_tpch_q15")
+    "q_scale_heavy_hitters", "q_agg_outliers", "q_join_tpch_q15",
+    "q_sim_random_projection")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
