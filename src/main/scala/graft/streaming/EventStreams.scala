@@ -238,6 +238,62 @@ object EventStreams extends QueryPack {
          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
         ORDER BY c.user_id, click_id, error_id""")),
 
+    // ---------------------- stream-stream LEFT OUTER join (null emission)
+    // The outer variant of q_stream_join: clicks that saw no error from
+    // the same user within 10 minutes must STILL emit — with a null
+    // error side — but only once their join state expires, i.e. when
+    // the watermark passes the end of their match window. Under
+    // AvailableNow the data arrives in one batch; the engine then runs
+    // the no-data micro-batch that the advanced watermark requires, and
+    // that batch evicts + emits the unmatched rows — deterministic, not
+    // timing-dependent. The oracle reconstructs the final watermark
+    // (min over both sides of max event time, minus the 10-minute
+    // delay) and emits exactly the unmatched clicks whose window closed
+    // before it; clicks still in flight at end-of-stream are in neither
+    // result. All time arithmetic is µs on both sides.
+    "q_stream_outer_join" -> GraftQuery(
+      run = (s, d) => {
+        def side(tpe: String, alias: String) =
+          s.readStream.schema(eventSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .filter(col("event_type") === tpe)
+            .withColumn(s"${alias}_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark(s"${alias}_time", "10 minutes")
+            .select(col("user_id").as(s"${alias}_user"),
+              col("event_id").as(s"${alias}_id"), col(s"${alias}_time"))
+        val joined = side("click", "c").join(side("error", "e"),
+          col("c_user") === col("e_user") &&
+            col("e_time") >= col("c_time") &&
+            col("e_time") <= col("c_time") + expr("INTERVAL 10 MINUTES"),
+          "leftOuter")
+          .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+            col("e_id").as("error_id"))
+        runToMemory(s, joined, "graft_stream_outer_join", OutputMode.Append())
+          .orderBy("user_id", "click_id", "error_id")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'click'),
+        e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'error'),
+        wm AS (SELECT least((SELECT max(t) FROM c), (SELECT max(t) FROM e))
+                      - 600000000 AS w),
+        matched AS (
+          SELECT c.user_id, c.click_id, e.error_id
+          FROM c JOIN e ON e.user_id = c.user_id
+            AND e.t >= c.t AND e.t <= c.t + 600000000),
+        unmatched AS (
+          SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS error_id
+          FROM c CROSS JOIN wm
+          WHERE c.t + 600000000 < w
+            AND NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.user_id = c.user_id
+                              AND e.t >= c.t AND e.t <= c.t + 600000000))
+        SELECT * FROM (SELECT * FROM matched
+                       UNION ALL SELECT * FROM unmatched)
+        ORDER BY user_id, click_id, error_id""")),
+
     // ------------------------------------ streaming dedup (keyed state)
     // Each event is duplicated in-stream (explode×2), then
     // dropDuplicates on the key removes the copies with per-key state —
