@@ -614,6 +614,92 @@ object ScaleOps extends QueryPack {
         SELECT row_number() OVER (ORDER BY n DESC, top.w) AS rank,
                top.w AS w, n, est, est - n AS overcount
         FROM top JOIN est ON est.w = top.w
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // ----------------------- weighted priority sampling (bottom-k)
+    // Weight-proportional sampling without replacement — the curation
+    // op behind "sample documents proportional to length/quality".
+    // Priority sampling (Duffield–Lund–Thorup): each item draws a
+    // uniform hash u and keeps priority u/weight; the k smallest
+    // priorities are the sample, and heavier items win more often in
+    // exactly their weight proportion. Here u is the md5 hash of the
+    // doc id and the priority is (u·1e6) div n_chars — all integer, so
+    // the sample is reproducible across engines, cluster sizes, and
+    // reruns (the same property q_scale_mixture/quota rely on). The
+    // bottom-k is a TakeOrdered — per-partition top-k then a k-row
+    // merge at the driver, never a global sort.
+    "q_scale_priority_sample" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("priority", expr("(h * 1000000L) div n_chars"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("priority"), col("doc_id"))))
+          .select("rank", "doc_id", "lang", "n_chars", "priority")
+      },
+      oracle = Some("""
+        SELECT row_number() OVER (ORDER BY priority, doc_id) AS rank,
+               doc_id, lang, n_chars, priority
+        FROM (SELECT doc_id, lang, n_chars,
+                     (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                      * 1000000) // n_chars AS priority
+              FROM documents)
+        ORDER BY priority, doc_id LIMIT 20""")),
+
+    // --------------------- temporal split with a leakage audit
+    // The time-based train/test split every forecasting/recsys corpus
+    // needs: events strictly before the cutoff train, the rest test —
+    // and the split is AUDITED, not assumed: per event type the query
+    // counts the users appearing on both sides (the entity-leakage
+    // measure that invalidates a temporal split when per-user signals
+    // leak across the boundary). Counts-only shuffles: the user sets
+    // reduce to per-(type, user) flags before the side-overlap count.
+    "q_scale_time_split" -> GraftQuery(
+      run = (s, d) => {
+        val cutoffUs = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+          .getTime * 1000L)
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            (expr("ts div 1000") < cutoffUs).as("is_train"))
+        val perUser = ev.groupBy("event_type", "user_id")
+          .agg(max(when(col("is_train"), 1).otherwise(0)).as("in_train"),
+            max(when(!col("is_train"), 1).otherwise(0)).as("in_test"))
+        val rows = ev.groupBy("event_type")
+          .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+            sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+        val users = perUser.groupBy("event_type")
+          .agg(sum(col("in_train").cast("long")).as("u_train"),
+            sum(col("in_test").cast("long")).as("u_test"),
+            sum((col("in_train") * col("in_test")).cast("long"))
+              .as("u_leaked"))
+        rows.join(users, "event_type").orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT event_type, user_id,
+                           epoch_us(ts) < epoch_us(TIMESTAMP '2000-01-01')
+                             AS is_train
+                    FROM events),
+        pu AS (SELECT event_type, user_id,
+                      max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+                      max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+               FROM ev GROUP BY 1, 2),
+        r AS (SELECT event_type,
+                     CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_train,
+                     CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_test
+              FROM ev GROUP BY 1),
+        u AS (SELECT event_type,
+                     CAST(sum(in_train) AS BIGINT) AS u_train,
+                     CAST(sum(in_test) AS BIGINT) AS u_test,
+                     CAST(sum(in_train * in_test) AS BIGINT) AS u_leaked
+              FROM pu GROUP BY 1)
+        SELECT r.event_type, n_train, n_test, u_train, u_test, u_leaked
+        FROM r JOIN u ON u.event_type = r.event_type
+        ORDER BY r.event_type"""))
   )
 }

@@ -43,7 +43,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_dedup_fuzzy",
     "q_graph_lift", "q_sim_kmeans", "q_text_tfidf",
     "q_scale_heavy_hitters", "q_agg_outliers", "q_join_tpch_q15",
-    "q_sim_random_projection")
+    "q_sim_random_projection", "q_scale_priority_sample",
+    "q_scale_time_split")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

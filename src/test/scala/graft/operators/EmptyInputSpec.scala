@@ -58,7 +58,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_graph_lift", "q_sim_kmeans", "q_text_tfidf",
     "q_scale_heavy_hitters", "q_agg_outliers",
     "q_join_tpch_q8", "q_join_tpch_q13", "q_join_tpch_q15",
-    "q_join_tpch_q19", "q_join_tpch_q22", "q_sim_random_projection")
+    "q_join_tpch_q19", "q_join_tpch_q22", "q_sim_random_projection",
+    "q_scale_priority_sample", "q_scale_time_split")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
