@@ -700,6 +700,46 @@ object ScaleOps extends QueryPack {
               FROM pu GROUP BY 1)
         SELECT r.event_type, n_train, n_test, u_train, u_test, u_leaked
         FROM r JOIN u ON u.event_type = r.event_type
-        ORDER BY r.event_type"""))
+        ORDER BY r.event_type""")),
+
+    // --------------------------- k-anonymity suppression gate (privacy)
+    // Before a per-group release, every quasi-identifier cell with
+    // fewer than k members is suppressed — the governance gate that
+    // keeps "aggregate" outputs from identifying individuals. Quasi
+    // identifiers here: nation × a 2000-dollar balance band (the
+    // generalization step — raw balances would make every cell unique).
+    // The audit reports, per nation, how many cells and rows the k = 5
+    // floor suppressed; cells are counted exactly, on integer cents.
+    "q_scale_k_anon" -> GraftQuery(
+      run = (s, d) => {
+        val cells = Tables.customer(s, d)
+          .withColumn("band",
+            expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) div 200000"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "band")
+          .agg(count(lit(1)).as("n"))
+        cells.groupBy("n_name")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("cells_suppressed"),
+            sum(when(col("n") >= 5, col("n")).otherwise(0L)).as("rows_released"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_suppressed"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT n_name,
+                 floor(c_acctbal * 100.0 + 0.5)::BIGINT // 200000 AS band,
+                 count(*) AS n
+          FROM customer JOIN nation ON n_nationkey = c_nationkey
+          GROUP BY 1, 2)
+        SELECT n_name, count(*) AS n_cells,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cells_suppressed,
+               CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_released,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_suppressed
+        FROM cells GROUP BY 1 ORDER BY 1"""))
   )
 }

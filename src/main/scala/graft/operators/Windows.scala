@@ -381,6 +381,90 @@ object Windows extends QueryPack {
                last_value(sum_value IGNORE NULLS) OVER (
                  PARTITION BY event_type ORDER BY h
                  ROWS UNBOUNDED PRECEDING) AS ffill_sum
-        FROM filled ORDER BY event_type, h"""))
+        FROM filled ORDER BY event_type, h""")),
+
+    // ------------------------- SCD2 validity intervals (change history)
+    // Slowly-changing-dimension type 2: an append-only change log
+    // becomes a versioned dimension — per key, each change opens a
+    // [valid_from, valid_to) interval closed by the NEXT change (null =
+    // current version). One lead() over (key, time); the sample filter
+    // keeps the verified output small while the window still computes
+    // per-key (the filter applies after versioning, as it must — a
+    // pre-filter would fabricate gaps in the history). µs timestamps,
+    // exact integers end to end.
+    "q_window_scd2" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("t"), col("value"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_from", col("t"))
+          .withColumn("valid_to", lead(col("t"), 1).over(w))
+          .filter(col("user_id") % 97 === 0)
+          .select(col("user_id"), col("version"), col("event_id"),
+            col("valid_from"), col("valid_to"),
+            round(col("value"), 4).as("value"))
+          .orderBy("user_id", "version")
+      },
+      oracle = Some("""
+        SELECT user_id, version, event_id, valid_from, valid_to,
+               round(value, 4) AS value
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+                     lead(epoch_us(ts)) OVER win AS valid_to,
+                     row_number() OVER win AS version, value
+              FROM events
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id))
+        WHERE user_id % 97 = 0
+        ORDER BY user_id, version""")),
+
+    // ----------------------------- RFM segmentation (quintile grid)
+    // Recency/frequency/monetary customer segmentation — each customer
+    // lands in an (r, f, m) quintile cell and the output is the cell
+    // census. Monetary is summed on the integer cents grid and every
+    // ntile ordering carries a custkey tie-break, so cell assignment is
+    // total-ordered and engine-independent. Two aggregations and three
+    // windows over the same per-customer frame — one shuffle on
+    // custkey, then one on the (tiny) cell key.
+    "q_window_rfm" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+            .as("recency_us"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+              .as("monetary_c"))
+        val seg = per
+          .withColumn("r_q", ntile(5).over(
+            Window.orderBy(col("recency_us").desc, col("o_custkey"))))
+          .withColumn("f_q", ntile(5).over(
+            Window.orderBy(col("frequency").desc, col("o_custkey"))))
+          .withColumn("m_q", ntile(5).over(
+            Window.orderBy(col("monetary_c").desc, col("o_custkey"))))
+        seg.groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_c")).as("cell_monetary_c"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency_us,
+                 count(*) AS frequency,
+                 CAST(sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)
+                      AS BIGINT) AS monetary_c
+          FROM orders GROUP BY 1),
+        seg AS (
+          SELECT monetary_c,
+                 ntile(5) OVER (ORDER BY recency_us DESC, o_custkey) AS r_q,
+                 ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                 ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_q
+          FROM per)
+        SELECT r_q, f_q, m_q, count(*) AS n_customers,
+               CAST(sum(monetary_c) AS BIGINT) AS cell_monetary_c
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }
