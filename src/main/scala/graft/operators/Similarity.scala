@@ -611,11 +611,18 @@ object Similarity extends QueryPack {
               .orderBy(col("d2"), col("c_label"))))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("c_label").as("list"))
+        // the residual stream feeds four downstream branches (quadrant
+        // codes, codebook means, code selection, and the query tables);
+        // Spark does not common-subexpression-eliminate across joins, so
+        // without a cache the scan→explode→assign subtree runs 4× — the
+        // cache holds (vec, dim) Longs, ~vectors·64·24 B, trivially
+        // executor-resident at any probe-able list size
         val resid = uq.join(assign, "vec_id")
           .join(broadcast(cent),
             col("list") === col("c_label") && col("i") === col("ci"))
           .select(col("vec_id"), col("list"), col("i"),
             expr("i div 8").as("sub"), (col("xq") - col("cq")).as("r"))
+          .persist()
         // codebook keyed by residual QUADRANT (signs of the first two
         // subspace coordinates): a deterministic one-step clustering
         // that correlates with residual geometry — an id-keyed grouping
