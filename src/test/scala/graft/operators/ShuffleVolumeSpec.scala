@@ -61,4 +61,31 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val corpusBytes = 500L * 64 * 4
     shuffleWrite("q_sim_knn_brute") should be < corpusBytes / 2
   }
+
+  test("k-means rounds shuffle centroid partials, not the corpus") {
+    assume(haveData)
+    // per Lloyd round the corpus meets the centroids through a
+    // BROADCAST; what shuffles is the (cluster, dim) partial-sum grid
+    // and the per-vector assignment window rows — both tiny multiples
+    // of k·dim — never the 500×64 quantized vectors per branch. The
+    // bound is generous (the DAG has two assignment windows and two
+    // update aggregations) but shipping the corpus even once per
+    // round would exceed it.
+    val corpusBytes = 500L * 64 * 8
+    val w = shuffleWrite("q_sim_kmeans")
+    w should be > 0L
+    w should be < corpusBytes * 2
+  }
+
+  test("the count-min sketch aggregates cells, not words") {
+    assume(haveData)
+    // the sketch side reduces to 4×64 (row, bucket) cells via partial
+    // aggregation; the exact top-10 ground-truth pass shuffles
+    // (word, count) partials. Together they stay far below the corpus
+    // text volume — the failure mode this guards is a lost partial
+    // aggregation (map-side combine) on the exploded word stream.
+    val w = shuffleWrite("q_scale_heavy_hitters")
+    w should be > 0L
+    w should be < textBytes
+  }
 }
