@@ -65,4 +65,32 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       }
     } finally spark.conf.set(key, 4)
   }
+
+  test("results are identical with adaptive execution disabled") {
+    assume(haveData)
+    // AQE re-plans at runtime (coalesced partitions, demoted
+    // broadcasts, split skew partitions); none of that may change a
+    // row. The subset here is the shuffle/join-heaviest shapes — the
+    // ones AQE actually rewrites.
+    val aqeSensitive = Seq(
+      "q_join_tpch_q8", "q_join_tpch_q13", "q_join_tpch_q22",
+      "q_dedup_minhash_lsh", "q_dedup_cluster", "q_sim_kmeans",
+      "q_scale_salted_join", "q_scale_heavy_hitters", "q_window_rfm",
+      "q_graph_pagerank")
+    val key = "spark.sql.adaptive.enabled"
+    def runAll(): Map[String, Seq[String]] =
+      aqeSensitive.map { q =>
+        q -> SparkEntry.queries(q)(spark, sf).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+      }.toMap
+    val withAqe =
+      try { spark.conf.set(key, true); runAll() }
+      finally spark.conf.set(key, true)
+    val withoutAqe =
+      try { spark.conf.set(key, false); runAll() }
+      finally spark.conf.set(key, true)
+    aqeSensitive.foreach { q =>
+      withClue(q) { withoutAqe(q) shouldBe withAqe(q) }
+    }
+  }
 }
