@@ -275,6 +275,73 @@ object Multimodal extends QueryPack {
         FROM sigs a JOIN sigs b
           ON a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // --------------------- audio energy segmentation (VAD shape)
+    // The audio-curation primitive: decode PCM, compute per-frame
+    // energy, threshold into voiced/unvoiced, and merge voiced runs
+    // into segments (the voice-activity-detection shape that gates
+    // "does this clip contain speech at all" and yields the segment
+    // table a transcription stage consumes). The 128-byte payload
+    // reads as 64 unsigned 16-bit samples → 8 frames of 8 samples;
+    // energy = Σ s² per frame (exact Long), voiced = energy above the
+    // half-scale threshold, segments via gaps-and-islands. Per doc
+    // only (frame, energy) rows shuffle — with a real decoder the
+    // PCM stays executor-side exactly like the other kernels here.
+    "q_mm_audio_vad" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val thresh = 8L * 32768L * 32768L
+        val frames = synth(s, d)
+          .select(col("doc_id"), col("blob"),
+            explode(expr("sequence(0, 63)")).as("k"))
+          .select(col("doc_id"), expr("k div 8").as("f"),
+            (expr(byteAt("blob", "2*k + 1")) * 256L +
+              expr(byteAt("blob", "2*k + 2"))).as("smp"))
+          .groupBy("doc_id", "f")
+          .agg(sum(col("smp") * col("smp")).as("energy"))
+          .withColumn("voiced", (col("energy") > thresh).cast("int"))
+        val runs = frames.filter(col("voiced") === 1)
+          .withColumn("run_id", col("f") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("f")))
+          .groupBy("doc_id", "run_id")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segments"), max(col("run_len")).as("max_run"))
+        frames.groupBy("doc_id")
+          .agg(sum(col("voiced").cast("long")).as("n_voiced"))
+          .join(runs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_voiced"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("max_run"), lit(0L)).as("max_run"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $synthCte,
+        smp AS (SELECT doc_id, k // 8 AS f,
+                       ${byteAtDuck("2*k + 1")} * 256 +
+                         ${byteAtDuck("2*k + 2")} AS smp
+                FROM media, generate_series(0, 63) t(k)),
+        fr AS (SELECT doc_id, f, CAST(sum(smp*smp) AS BIGINT) AS energy
+               FROM smp GROUP BY 1, 2),
+        v AS (SELECT doc_id, f,
+                     CASE WHEN energy > 8589934592 THEN 1 ELSE 0 END
+                       AS voiced
+              FROM fr),
+        runs AS (SELECT doc_id,
+                        f - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY f) AS run_id
+                 FROM v WHERE voiced = 1),
+        seg AS (SELECT doc_id, count(*) AS run_len
+                FROM runs GROUP BY doc_id, run_id),
+        agg AS (SELECT doc_id, count(*) AS n_segments,
+                       max(run_len) AS max_run
+                FROM seg GROUP BY doc_id)
+        SELECT v.doc_id, CAST(sum(voiced) AS BIGINT) AS n_voiced,
+               coalesce(max(n_segments), 0) AS n_segments,
+               coalesce(max(max_run), 0) AS max_run
+        FROM v LEFT JOIN agg ON agg.doc_id = v.doc_id
+        GROUP BY v.doc_id
+        ORDER BY v.doc_id"""))
   )
 }
