@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{GraftQuery, QueryPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Event record as read from the stream (ts = nanos since epoch; the
@@ -17,6 +17,31 @@ final case class Event(
 final case class UserSessions(
     n_sessions: Int, n_events: Int, last_ts: Long, cur_len: Int,
     longest_session: Int)
+
+/** The sessionizer on Spark 4's arbitrary-state API
+  * (`transformWithState`): one `ValueState[UserSessions]` per user,
+  * advanced by the same fold as the `mapGroupsWithState` form. The two
+  * APIs must be pure plumbing choices — `q_stream_tws_sessionize` pins
+  * them to the same oracle the way `q_stream_rocksdb` pins state
+  * backends. */
+final class SessionProcessor
+    extends StatefulProcessor[Long, Event, (Long, Int, Int, Int)] {
+  @transient private var state: ValueState[UserSessions] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserSessions]("sessions",
+      org.apache.spark.sql.Encoders.product[UserSessions], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Int, Int, Int)] = {
+    val prev =
+      if (state.exists()) state.get() else EventStreams.emptySessions
+    val st = EventStreams.advance(prev, rows.map(_.ts / 1000).toSeq.sorted)
+    state.update(st)
+    Iterator.single((user, st.n_sessions, st.n_events, st.longest_session))
+  }
+}
 
 /** Structured Streaming operators over the `events` table.
   *
@@ -79,7 +104,7 @@ object EventStreams extends QueryPack {
   // same truncation q_stream_tumbling already applies.
   private val gapUs = 30L * 60 * 1000000L
 
-  private val emptySessions = UserSessions(0, 0, Long.MinValue, 0, 0)
+  private[streaming] val emptySessions = UserSessions(0, 0, Long.MinValue, 0, 0)
 
   /** Shared oracle for BOTH sessionization forms (stateful and native
     * session_window): per-user session stats with a >30-minute gap rule
@@ -108,7 +133,7 @@ object EventStreams extends QueryPack {
 
   /** Fold a sorted batch of event times (µs) into the running session
     * state (a >30-minute event-time gap opens a new session). */
-  private def advance(st: UserSessions, tsSorted: Seq[Long]): UserSessions = {
+  private[streaming] def advance(st: UserSessions, tsSorted: Seq[Long]): UserSessions = {
     var n = st.n_sessions; var e = st.n_events; var last = st.last_ts
     var cur = st.cur_len; var lon = st.longest_session
     tsSorted.foreach { t =>
@@ -144,6 +169,28 @@ object EventStreams extends QueryPack {
           state.update(st)
           (user, st.n_sessions, st.n_events, st.longest_session)
       }
+      .toDF("user_id", "n_sessions", "n_events", "longest_session")
+  }
+
+  /** The transformWithState sessionizer stream (requires the RocksDB
+    * state store provider on the session). Public so specs can drive it
+    * across multiple micro-batches exactly like [[sessionizeStream]]. */
+  def twsSessionStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    var reader = s.readStream.schema(eventSchema)
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, Int, Int, Int)])
       .toDF("user_id", "n_sessions", "n_events", "longest_session")
   }
 
@@ -425,6 +472,31 @@ object EventStreams extends QueryPack {
         val sessions = sessionizeStream(s, d, Some("events.parquet"))
         runToMemory(s, sessions, "graft_stream_sessions", OutputMode.Update())
           .orderBy("user_id")
+      },
+      oracle = Some(sessionOracleSql)),
+
+    // --------------- sessionization on the arbitrary-state API (Spark 4)
+    // The same per-user sessionizer expressed with transformWithState +
+    // ValueState — the engine's current-generation stateful API (typed
+    // state handles, timers, TTL; requires the RocksDB provider). Shares
+    // q_stream_sessionize's oracle verbatim: migrating stateful code
+    // from mapGroupsWithState to a StatefulProcessor must not move a
+    // single row.
+    "q_stream_tws_sessionize" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sessions = twsSessionStream(s, d, Some("events.parquet"))
+          runToMemory(s, sessions, "graft_stream_tws_sessions",
+            OutputMode.Update()).orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       },
       oracle = Some(sessionOracleSql)),
 

@@ -55,4 +55,38 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     last.getAs[Int]("longest_session") shouldBe 3
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("transformWithState carries ValueState across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-tws").toString
+    Seq((1L, 0L * minNs, 1L, "click", 1.0, "{}"),
+      (2L, 5L * minNs, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+    Seq((3L, 10L * minNs, 1L, "click", 1.0, "{}"),
+      (4L, 100L * minNs, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams
+        .twsSessionStream(spark, dir, maxFilesPerTrigger = Some(1))
+        .writeStream.queryName("graft_stream_tws_spec").format("memory")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("graft_stream_tws_spec").collect()
+      rows.length should be >= 1
+      val last = rows.last
+      last.getAs[Long]("user_id") shouldBe 1L
+      last.getAs[Int]("n_sessions") shouldBe 2
+      last.getAs[Int]("n_events") shouldBe 4
+      last.getAs[Int]("longest_session") shouldBe 3
+    } finally spark.conf.unset(key)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
