@@ -43,6 +43,42 @@ final class SessionProcessor
   }
 }
 
+/** Session-timeout emitter on event-time timers: each batch re-arms a
+  * timer at (last event + 30 min); when the WATERMARK passes it —
+  * i.e. the user has verifiably gone quiet — the open session emits
+  * and the state clears. Nothing emits on data arrival: emission is
+  * driven purely by `handleExpiredTimer`, the piece of the
+  * arbitrary-state API the sessionizer variants don't touch. */
+final class SessionTimeoutProcessor
+    extends StatefulProcessor[Long, Event, (Long, Int, Long)] {
+  @transient private var state: ValueState[UserSessions] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserSessions]("open",
+      org.apache.spark.sql.Encoders.product[UserSessions], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+    val prev = if (state.exists()) state.get() else EventStreams.emptySessions
+    val st = EventStreams.advance(prev, rows.map(_.ts / 1000).toSeq.sorted)
+    state.update(st)
+    // re-arm: one live timer per user at (last event + gap), in ms
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(st.last_ts / 1000 + 30L * 60 * 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      user: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Int, Long)] = {
+    val st = state.get()
+    state.clear()
+    Iterator.single((user, st.cur_len, st.last_ts))
+  }
+}
+
 /** Structured Streaming operators over the `events` table.
   *
   * The reference is pure batch (SURVEY §2.10) — these are the
@@ -499,6 +535,71 @@ object EventStreams extends QueryPack {
         }
       },
       oracle = Some(sessionOracleSql)),
+
+    // ----------------- session timeout via EVENT-TIME timers (Spark 4)
+    // Emission driven by handleExpiredTimer, not by data: a user's open
+    // session emits only when the watermark passes (last event + 30
+    // min) — the "user went quiet" push notification, the part of the
+    // arbitrary-state API the sessionizer pair doesn't exercise. Under
+    // AvailableNow the data batch arms one timer per user and the
+    // no-data batch fires every timer at or below the final watermark
+    // (min-of-sources max event time − 10 min). The oracle replays the
+    // same rule: each user's LAST session emits iff its timer (ms)
+    // clears the reconstructed final watermark; users still "active"
+    // at end-of-stream stay silent.
+    "q_stream_session_timeout" -> GraftQuery(
+      run = (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val closed = s.readStream.schema(eventSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_time", "10 minutes")
+            .as[Event]
+            .groupByKey(_.user_id)
+            .transformWithState(new SessionTimeoutProcessor,
+              TimeMode.EventTime(), OutputMode.Append(),
+              org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
+            .toDF("user_id", "closed_len", "last_ts_us")
+          runToMemory(s, closed, "graft_stream_session_timeout",
+            OutputMode.Append()).orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked),
+        lastsess AS (
+          SELECT user_id, count(*) AS closed_len,
+                 max(epoch_us(ts)) AS last_ts_us
+          FROM sessions s
+          WHERE session_id = (SELECT max(session_id) FROM sessions
+                              WHERE user_id = s.user_id)
+          GROUP BY user_id),
+        wm AS (SELECT max(epoch_us(ts)) // 1000 - 600000 AS w_ms
+               FROM events)
+        SELECT user_id, closed_len, last_ts_us
+        FROM lastsess CROSS JOIN wm
+        WHERE last_ts_us // 1000 + 1800000 <= w_ms
+        ORDER BY user_id""")),
 
     // --------------------------- RocksDB-backed stateful aggregation
     // The tumbling-window aggregate run on the RocksDB state store —
