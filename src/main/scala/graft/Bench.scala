@@ -29,11 +29,15 @@ object Bench {
     // fixed name order: per-query timings attribute stage-cache builds
     // (the ms chain's tensors/models) to the same query every round, so
     // BENCH_rN deltas reflect real changes, not Map iteration order
+    // A crashing query records -1.0, NOT its partial elapsed time — a
+    // broken query must not read as a fast one in round-over-round
+    // comparisons.
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (name, fn) => name -> time(name, fn) }
@@ -47,7 +51,7 @@ object Bench {
     // instead of removing noise.
     val cacheBuilders = (n: String) =>
       n.startsWith("q_ms_") || n.startsWith("q_text_bpe_")
-    val rerun = firstPass.filterNot(p => cacheBuilders(p._1))
+    val rerun = firstPass.filterNot(p => cacheBuilders(p._1) || p._2 < 0)
       .sortBy(-_._2).take(10).map(_._1).toSet
     val results = firstPass.map { case (name, t) =>
       if (rerun(name))
@@ -56,11 +60,15 @@ object Bench {
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // Full per-query detail on its OWN line, before the metric line —
-    // for humans and the judge reading the whole log.
+    // for humans and the judge reading the whole log. Failures (-1
+    // entries) are also named explicitly so they can't hide.
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL $qsAll""")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    if (failedNames.nonEmpty)
+      println(s"""BENCH_FAILED ${failedNames.mkString(",")}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
     // The FINAL metric line must fit, whole, inside the driver's 2000-char
     // output tail (with sbt's trailing "[success]" line after it) or the
     // driver records parsed=null — the all-116-query map was ~4 KB and

@@ -539,7 +539,8 @@ object Similarity extends QueryPack {
               .orderBy(col("score").desc, col("n_id"))))
           .filter(col("rank") <= 3)
           .select(col("q_id"), col("rank"), col("n_id"),
-            round(col("score") / 1e12, 4).as("approx_dot"))
+            expr("floor(score / 1e12 * 1e4 + 5e-1) / 1e4")
+              .as("approx_dot"))
           .orderBy("q_id", "rank")
       },
       oracle = Some(s"""
@@ -576,7 +577,10 @@ object Similarity extends QueryPack {
                             ORDER BY score DESC, n_id) AS rank
                    FROM scores)
         SELECT q_id, rank, n_id,
-               round(score / 1000000000000.0, 4) AS approx_dot
+               -- e-notation literals: DuckDB parses 10000.0 as DECIMAL,
+               -- which would silently switch the arithmetic (and the
+               -- result dtype) off IEEE doubles
+               floor(score / 1e12 * 1e4 + 5e-1) / 1e4 AS approx_dot
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // -------------------------------------------------- IVF-PQ composite
@@ -831,7 +835,13 @@ object Similarity extends QueryPack {
             coalesce(col("n_close_prev"), lit(0L)).as("n_close_prev"),
             when(coalesce(col("n_close_prev"), lit(0L)) > 0, 0).otherwise(1)
               .as("keep"),
-            round(coalesce(col("max_cos"), lit(-1.0)), 4).as("max_sim_prev"))
+            // floor-based half-up rounding, NOT round(): Spark's round is
+            // BigDecimal HALF_UP on the exact binary value while DuckDB
+            // rounds via double multiply — the two disagree when a
+            // (bit-identical) cosine lands near a 1e-4 midpoint. The floor
+            // form is the same IEEE op sequence in both engines.
+            expr("floor(coalesce(max_cos, -1e0) * 1e4 + 5e-1) / 1e4")
+              .as("max_sim_prev"))
           .orderBy("vec_id")
       },
       oracle = Some(s"""
@@ -871,7 +881,8 @@ object Similarity extends QueryPack {
                coalesce(n_close_prev, CAST(0 AS BIGINT)) AS n_close_prev,
                CASE WHEN coalesce(n_close_prev, CAST(0 AS BIGINT)) > 0
                     THEN 0 ELSE 1 END AS keep,
-               round(coalesce(max_cos, -1.0), 4) AS max_sim_prev
+               floor(coalesce(max_cos, -1e0) * 1e4 + 5e-1) / 1e4
+                 AS max_sim_prev
         FROM asg LEFT JOIN agg ON agg.vec_id = asg.vec_id
         ORDER BY asg.vec_id""")),
 
@@ -1115,7 +1126,7 @@ object Similarity extends QueryPack {
             .as("d2_proj"))
         d2o.join(d2p, Seq("qa", "qb"))
           .select(col("qa"), col("qb"), col("d2_orig"), col("d2_proj"),
-            round(col("d2_proj") / (lit(16.0) * col("d2_orig")), 4)
+            expr("floor(d2_proj / (16e0 * d2_orig) * 1e4 + 5e-1) / 1e4")
               .as("distortion"))
           .orderBy("qa", "qb")
       },
@@ -1147,7 +1158,8 @@ object Similarity extends QueryPack {
                 WHERE a.vec_id < 5 AND b.vec_id >= 5
                 GROUP BY 1, 2)
         SELECT qa, qb, d2_orig, d2_proj,
-               round(d2_proj / (16.0 * d2_orig), 4) AS distortion
+               floor(d2_proj / (16e0 * d2_orig) * 1e4 + 5e-1) / 1e4
+                 AS distortion
         FROM d2o JOIN d2p USING (qa, qb)
         ORDER BY qa, qb"""))
   )

@@ -75,18 +75,37 @@ case class AsOfJoinExec(
     val byB = BindReferences.bindReference(rightBy: Expression, right.output)
     val onB = BindReferences.bindReference(rightOn: Expression, right.output)
     val tieB = BindReferences.bindReference(rightTie: Expression, right.output)
-    // null key/time rows can never be an as-of match — drop at build
-    val built: Map[Long, (Array[Long], Array[InternalRow])] =
-      right.executeCollect().flatMap { r =>
-        val k = byB.eval(r); val t = onB.eval(r); val tb = tieB.eval(r)
-        if (k == null || t == null) None
-        else Some((k.asInstanceOf[Long], t.asInstanceOf[Long],
+    // The build collects the right side to the driver. Stream it
+    // partition-at-a-time with a hard row ceiling so an oversized right
+    // side fails loudly (pointing at the shuffle-friendly aggregate
+    // form) instead of OOMing the driver mid-executeCollect.
+    val maxBuildRows = conf
+      .getConfString("spark.graft.asof.maxBuildRows", "5000000").toLong
+    val rowsIt =
+      org.apache.spark.sql.graftinternal.Bridge.executeToIterator(right)
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, InternalRow)]
+    var seen = 0L
+    while (rowsIt.hasNext) {
+      val r = rowsIt.next()
+      seen += 1
+      if (seen > maxBuildRows) throw new IllegalStateException(
+        s"as-of join: build (right) side exceeds " +
+          s"spark.graft.asof.maxBuildRows=$maxBuildRows rows. The broadcast " +
+          "as-of form collects the right side to the driver; for a large " +
+          "right side use the aggregate as-of formulation (min-of-struct " +
+          "argmin, see q_join_asof) or raise the ceiling.")
+      // null key/time rows can never be an as-of match — drop at build
+      val k = byB.eval(r); val t = onB.eval(r); val tb = tieB.eval(r)
+      if (k != null && t != null)
+        buf += ((k.asInstanceOf[Long], t.asInstanceOf[Long],
           if (tb == null) Long.MinValue else tb.asInstanceOf[Long], r.copy()))
-      }
-        .groupBy(_._1)
+    }
+    val built: Map[Long, (Array[Long], Array[InternalRow])] =
+      buf.groupBy(_._1)
         .map { case (k, rows) =>
           val sorted = rows.sortBy(x => (x._2, x._3))
-          k -> (sorted.map(_._2), sorted.map(_._4))
+          k -> (sorted.map(_._2).toArray, sorted.map(_._4).toArray)
         }
     longMetric("numBuildRows").add(built.valuesIterator.map(_._1.length).sum)
     val bc = sparkContext.broadcast(built)

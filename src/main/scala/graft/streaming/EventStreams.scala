@@ -73,6 +73,9 @@ final class SessionTimeoutProcessor
       user: Long, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[(Long, Int, Long)] = {
+    // A timer can outlive its state (batch retry, duplicate-timer
+    // delivery): no-op instead of NPEing the stream.
+    if (!state.exists()) return Iterator.empty
     val st = state.get()
     state.clear()
     Iterator.single((user, st.cur_len, st.last_ts))

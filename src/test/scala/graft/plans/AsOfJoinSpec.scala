@@ -82,6 +82,25 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     viaExec(l, r) shouldBe relational(l, r)
   }
 
+  test("build side over the row ceiling fails loudly, not with an OOM") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("lid", "k", "t")
+    val r = spark.range(100)
+      .select(col("id").as("rid"), lit(10L).as("rk"), col("id").as("rt"),
+        lit(1.0).as("rv"))
+    spark.conf.set("spark.graft.asof.maxBuildRows", "10")
+    try {
+      val ex = intercept[Exception] {
+        AsOfJoin.join(l, r, "k", "t", "rk", "rt", "rid").collect()
+      }
+      // the IllegalStateException may arrive wrapped by the executor
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      msgs should include ("maxBuildRows")
+      msgs should include ("q_join_asof")
+    } finally spark.conf.unset("spark.graft.asof.maxBuildRows")
+  }
+
   test("plans as AsOfJoinExec with the probe side unshuffled") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("lid", "k", "t")
