@@ -14,6 +14,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Aggregates,
     operators.Joins,
+    operators.TpchExtras,
     operators.Windows,
     operators.Reshape,
     operators.Dedup,
