@@ -575,17 +575,29 @@ object Dedup extends QueryPack {
           // prop self-joins: persist it for the round or the propagation
           // aggregate (the round's most expensive stage) runs twice
           prop.persist()
-          val next = prop.as("a")
-            .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_id"),
-              col("b.canonical_id").as("canonical_id"))
-          next.persist()
-          val nextSum = labelSum(next)
-          changed = nextSum.compareTo(prevSum) != 0
-          prevSum = nextSum
-          prop.unpersist() // consumed by next's materialization above
-          labels.unpersist() // superseded generation
-          labels = next
+          // Probe convergence on prop BEFORE pointer jumping: if the
+          // propagation round changed nothing we are at the fixpoint and
+          // the jump join (a full label-map self-join) is pure overhead.
+          // Near-dup families have tiny diameters, so the common case is
+          // "init already converged, one confirmation round" — this skips
+          // that round's self-join entirely. Deeper graphs pay one extra
+          // cached-side aggregate per round, nothing more.
+          val propSum = labelSum(prop)
+          if (propSum.compareTo(prevSum) == 0) {
+            changed = false
+            labels.unpersist() // superseded generation
+            labels = prop
+          } else {
+            val next = prop.as("a")
+              .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
+              .select(col("a.doc_id").as("doc_id"),
+                col("b.canonical_id").as("canonical_id"))
+            next.persist()
+            prevSum = labelSum(next)
+            prop.unpersist() // consumed by next's materialization above
+            labels.unpersist() // superseded generation
+            labels = next
+          }
           if (sys.env.contains("GRAFT_CC_TRACE"))
             println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
         }

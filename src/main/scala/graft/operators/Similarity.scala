@@ -637,10 +637,15 @@ object Similarity extends QueryPack {
               .otherwise(0)) +
             max(when(expr("i % 8 = 1") && col("r") > 0, 1).otherwise(0)))
             .as("code"))
+        // the codebook feeds two consumers (code selection + the query
+        // ADC tables); it is tiny (lists·subs·codes·dims rows) but its
+        // lineage re-runs the quad groupBy over the full residual stream
+        // — persist the result, not the recompute
         val cb = resid
           .join(quad, Seq("vec_id", "sub"))
           .groupBy("list", "sub", "code", "i")
           .agg(expr("sum(r) div count(1)").as("cmean"))
+          .persist()
         val sel = resid.join(broadcast(cb.withColumnRenamed("i", "cbi")),
             Seq("list", "sub")).filter(col("i") === col("cbi"))
           .groupBy(col("vec_id"), col("sub"), col("code"))
