@@ -725,6 +725,37 @@ object Dedup extends QueryPack {
         SELECT a.n AS n1, b.n AS n2, levenshtein(a.n, b.n) AS lev
         FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
         WHERE levenshtein(a.n, b.n) <= 3
-        ORDER BY n1, n2"""))
+        ORDER BY n1, n2""")),
+
+    // ------------------------------------------------------- soft dedup
+    // SoftDeDup-style duplicate DOWN-WEIGHTING instead of dropping:
+    // documents sharing a 32-char prefix (template/boilerplate families
+    // — the cheap high-precision cluster key) keep ALL members but each
+    // carries sampling weight 1/n_copies, so the family contributes one
+    // document's worth of probability mass to training. Weights in
+    // exact ppm integers (1e6 div n). The cluster stage is the same
+    // digest-only shuffle as exact dedup — 32 bytes/doc — and the
+    // weight joins back via the md5 key, so full text never shuffles.
+    "q_dedup_soft" -> GraftQuery(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), md5(substring(col("text"), 1, 32)).as("pk"))
+        val fam = docs.groupBy("pk")
+          .agg(min(col("doc_id")).as("family_id"),
+            count(lit(1)).as("n_copies"))
+        docs.join(fam, Seq("pk"))
+          .select(col("doc_id"), col("family_id"), col("n_copies"),
+            expr("1000000 div n_copies").as("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH docs AS (SELECT doc_id, md5(substr(text, 1, 32)) AS pk
+                      FROM documents),
+        fam AS (SELECT pk, min(doc_id) AS family_id, count(*) AS n_copies
+                FROM docs GROUP BY pk)
+        SELECT doc_id, family_id, n_copies,
+               CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+        FROM docs JOIN fam USING (pk)
+        ORDER BY doc_id"""))
   )
 }

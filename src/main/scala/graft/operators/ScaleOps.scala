@@ -740,6 +740,158 @@ object ScaleOps extends QueryPack {
                  AS rows_released,
                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
                  AS rows_suppressed
-        FROM cells GROUP BY 1 ORDER BY 1"""))
+        FROM cells GROUP BY 1 ORDER BY 1""")),
+
+    // -------------------------------------------------- compaction planning
+    // The small-files problem: plan which files coalesce into which
+    // target-size output bin — per source, a running-sum window over the
+    // file listing assigns each file to bin ⌈cum/target⌉, then the plan
+    // is summarized per bin. This is the planning stage of an OPTIMIZE /
+    // compaction job: the window partitions by source (parallel across
+    // sources, which is how a 100 TB table's listing shards), and only
+    // the tiny (source, bin) summary leaves the shuffle. documents plays
+    // the file listing with n_chars as the file size.
+    "q_scale_compaction" -> GraftQuery(
+      run = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum(col("n_chars")).over(w))
+          .withColumn("bin", expr("(cum - 1) div 4096"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      oracle = Some("""
+        WITH listing AS (
+          SELECT source, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT source, CAST((cum - 1) // 4096 AS BIGINT) AS bin,
+               count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM listing GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -------------------------------------------------- range partitioning
+    // Range-partitioner boundary planning, the way RangePartitioner
+    // actually works at scale: boundaries come from a SAMPLE (here an
+    // md5-deterministic ~2% of orders — the only global sort touches
+    // those few rows), then every row is assigned its range by a
+    // broadcast theta-join against the 15 split points (rng = number of
+    // boundaries below the key) and the per-range histogram validates
+    // the plan's balance. No full-data sort anywhere.
+    "q_scale_range_partition" -> GraftQuery(
+      run = (s, d) => {
+        val priced = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+              .as("price_c"))
+        val sample = priced.filter(
+          expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), " +
+            "16, 10) AS BIGINT) % 50 = 0"))
+        val bounds = sample
+          .withColumn("tile", ntile(16).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("price_c"), col("o_orderkey"))))
+          .filter(col("tile") < 16)
+          .groupBy("tile").agg(max(col("price_c")).as("hi"))
+        priced
+          .join(broadcast(bounds), col("price_c") > col("hi"), "left")
+          .groupBy("o_orderkey", "price_c")
+          .agg(count(col("hi")).as("rng"))
+          .groupBy("rng")
+          .agg(count(lit(1)).as("n_rows"), min(col("price_c")).as("lo_c"),
+            max(col("price_c")).as("hi_c"))
+          .orderBy("rng")
+      },
+      oracle = Some("""
+        WITH priced AS (
+          SELECT o_orderkey,
+                 floor(o_totalprice * 100.0 + 0.5)::BIGINT AS price_c
+          FROM orders),
+        sample AS (
+          SELECT * FROM priced
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                  % 50 = 0),
+        tiles AS (
+          SELECT price_c,
+                 ntile(16) OVER (ORDER BY price_c, o_orderkey) AS tile
+          FROM sample),
+        bounds AS (SELECT tile, max(price_c) AS hi FROM tiles
+                   WHERE tile < 16 GROUP BY tile),
+        assigned AS (
+          SELECT o_orderkey, price_c,
+                 (SELECT count(*) FROM bounds WHERE price_c > hi) AS rng
+          FROM priced)
+        SELECT rng, count(*) AS n_rows,
+               min(price_c) AS lo_c, max(price_c) AS hi_c
+        FROM assigned GROUP BY rng ORDER BY rng""")),
+
+    // -------------------------------------------------- KMV distinct sketch
+    // K-minimum-values cardinality sketch (the mergeable alternative to
+    // HLL with EXACT determinism — md5-derived 60-bit hashes, k = 8
+    // smallest per group): est = (k−1)·2⁶⁰ div h₍ₖ₎, all integer. The
+    // union sketch merges per-source sketches by taking the 8 smallest
+    // of the k·|sources| candidate values — sketch rows, not data rows,
+    // cross the final merge, which is why KMV survives a 100 TB
+    // GROUP BY: each group ships 8 longs. Exact distinct per group
+    // rides along for the error check.
+    "q_scale_kmv" -> GraftQuery(
+      run = (s, d) => {
+        val k = 8
+        val h = Tables.documents(s, d)
+          .select(col("source"),
+            expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h")
+        def sketch(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .groupBy("source")
+          .agg(max(col("h")).as("kth"), count(lit(1)).as("k_actual"))
+          .withColumn("est_distinct",
+            expr(s"(${k - 1} * 1152921504606846976) div kth"))
+        val perSource = sketch(h)
+          .join(Tables.documents(s, d).groupBy("source")
+              .agg(countDistinct(col("text")).as("exact_distinct")),
+            Seq("source"))
+        val merged = sketch(h.select(lit("__all__").as("source"), col("h"))
+            .distinct())
+          .join(Tables.documents(s, d)
+              .agg(countDistinct(col("text")).as("exact_distinct"))
+              .withColumn("source", lit("__all__")),
+            Seq("source"))
+        perSource.unionByName(merged)
+          .select("source", "kth", "k_actual", "est_distinct",
+            "exact_distinct")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH h AS (SELECT DISTINCT source,
+                          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                   FROM documents),
+        hall AS (SELECT DISTINCT '__all__' AS source, h FROM h),
+        ranked AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM (SELECT * FROM h UNION ALL SELECT * FROM hall)),
+        sk AS (SELECT source, max(h) AS kth, count(*) AS k_actual,
+                      CAST((7 * 1152921504606846976) // max(h) AS BIGINT)
+                        AS est_distinct
+               FROM ranked WHERE rn <= 8 GROUP BY source),
+        ex AS (SELECT source, count(DISTINCT text) AS exact_distinct
+               FROM documents GROUP BY source
+               UNION ALL
+               SELECT '__all__', count(DISTINCT text) FROM documents)
+        SELECT sk.source, kth, k_actual, est_distinct, exact_distinct
+        FROM sk JOIN ex ON ex.source = sk.source
+        ORDER BY sk.source"""))
   )
 }

@@ -1166,6 +1166,67 @@ object Similarity extends QueryPack {
                floor(d2_proj / (16e0 * d2_orig) * 1e4 + 5e-1) / 1e4
                  AS distortion
         FROM d2o JOIN d2p USING (qa, qb)
-        ORDER BY qa, qb"""))
+        ORDER BY qa, qb""")),
+
+    // ------------------------------------------------ MaxSim late interaction
+    // ColBERT-style late-interaction scoring: each vector is read as 8
+    // token sub-vectors of 8 dims; score(q, d) = Σ_t max_τ ⟨q_t, d_τ⟩ —
+    // per query token the best-matching doc token, summed. All dots on
+    // the 1e-6 integer grid so max/sum are exact in both engines. The
+    // query grid (5 vectors) broadcasts; the corpus explodes once and
+    // aggregates hierarchically (token-pair dot → max over doc tokens →
+    // sum over query tokens), each stage partial-aggregable — at 100 TB
+    // the corpus-side explode is a map-side transform and the only
+    // shuffle carries (q, d, token) partials.
+    "q_sim_maxsim" -> GraftQuery(
+      run = (s, d) => {
+        val g = vecs(s, d)
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+        val qg = g.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), expr("i div 8").as("qt"),
+            expr("i % 8").as("ii"), col("xq").as("qx"))
+        val dg = g.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("n_id"), expr("i div 8").as("dt"),
+            expr("i % 8").as("ii"), col("xq").as("dx"))
+        dg.join(broadcast(qg), Seq("ii"))
+          .groupBy(col("q_id"), col("n_id"), col("qt"), col("dt"))
+          .agg(sum(col("qx") * col("dx")).as("dot"))
+          .groupBy(col("q_id"), col("n_id"), col("qt"))
+          .agg(max(col("dot")).as("best"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(sum(col("best")).as("maxsim"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("maxsim").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"), col("maxsim"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT vec_id, i - 1 AS i,
+                 floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+          FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        qg AS (SELECT vec_id AS q_id, i // 8 AS qt, i % 8 AS ii, xq AS qx
+               FROM g WHERE vec_id < 5),
+        dg AS (SELECT vec_id AS n_id, i // 8 AS dt, i % 8 AS ii, xq AS dx
+               FROM g WHERE vec_id >= 5),
+        dots AS (SELECT q_id, n_id, qt, dt,
+                        CAST(sum(qx * dx) AS BIGINT) AS dot
+                 FROM dg JOIN qg USING (ii) GROUP BY 1, 2, 3, 4),
+        best AS (SELECT q_id, n_id, qt, max(dot) AS best
+                 FROM dots GROUP BY 1, 2, 3),
+        score AS (SELECT q_id, n_id, CAST(sum(best) AS BIGINT) AS maxsim
+                  FROM best GROUP BY 1, 2),
+        ranked AS (SELECT q_id, n_id, maxsim,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY maxsim DESC, n_id) AS rank
+                   FROM score)
+        SELECT q_id, rank, n_id, maxsim
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }
