@@ -159,6 +159,62 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     q22 should include regex "BroadcastHashJoin .*LeftAnti"
   }
 
+  test("TPC-H Q6 is a join-free aggregate with every filter at the scan") {
+    assume(haveData)
+    val p = plan("q_join_tpch_q6")
+    p should not include "Join"
+    // shipdate + discount + quantity must reach the parquet scan
+    p should include regex "PushedFilters: \\[[^\\]]*l_shipdate"
+    p should include regex "PushedFilters: \\[[^\\]]*l_discount"
+    p should include regex "PushedFilters: \\[[^\\]]*l_quantity"
+    // a 4-column projection over an 11-column table must prune the scan
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    scans should not be empty
+    scans.foreach(s => s.split(",").length should be <= 4)
+  }
+
+  test("new TPC-H shapes broadcast their dimension sides") {
+    assume(haveData)
+    // Q2/Q9/Q16/Q20: part/supplier/nation/region (and derived per-part
+    // minima / totals) all broadcast — the lineitem side only shuffles
+    // for its own groupBy keys, never to co-locate with a dimension
+    Seq("q_join_tpch_q2", "q_join_tpch_q9", "q_join_tpch_q16",
+      "q_join_tpch_q20").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include ("BroadcastHashJoin")
+        p should not include "NestedLoop"
+      }
+    }
+    // Q4's EXISTS and Q21's EXISTS/NOT-EXISTS plan as semi/anti hash
+    // joins — a nested loop on the l_orderkey correlation would be the
+    // O(orders·lines) trap
+    plan("q_join_tpch_q4") should include regex
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) .*LeftSemi"
+    val q21 = plan("q_join_tpch_q21")
+    q21 should include regex
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) .*LeftSemi"
+    q21 should include regex
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) .*LeftAnti"
+    q21 should not include "NestedLoop"
+  }
+
+  test("MaxSim broadcasts the query grid; compaction never joins") {
+    assume(haveData)
+    val ms = plan("q_sim_maxsim")
+    ms should include ("BroadcastHashJoin")
+    ms should not include "SortMergeJoin"
+    // compaction planning is one window + one aggregate over a pruned
+    // 3-column listing scan — any join here is a regression
+    val cp = plan("q_scale_compaction")
+    cp should not include "Join"
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(cp).map(_.group(1)).toSeq
+    scans should not be empty
+    scans.foreach(s => s.split(",").length should be <= 3)
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     assume(haveData)
     val p = plan("q_scale_partition_pruning")
