@@ -342,6 +342,42 @@ object Multimodal extends QueryPack {
                coalesce(max(max_run), 0) AS max_run
         FROM v LEFT JOIN agg ON agg.doc_id = v.doc_id
         GROUP BY v.doc_id
-        ORDER BY v.doc_id"""))
+        ORDER BY v.doc_id""")),
+
+    // ------------------------------------------------------- ViT patchify
+    // Patch-grid extraction, the ViT/CLIP preprocessing shape: the
+    // 128-byte payload is read as a 16×8 pixel plane and split into a
+    // 4×2 grid of 4×4 patches; per patch the kernel emits mean (exact
+    // milli-units: sum·1000 div 16), min and max — the stats a patch
+    // embedder would consume. Entirely map-side until the (doc, patch)
+    // aggregate; patch rows are 5 small integers, so at 100 TB the
+    // shuffle carries patch summaries, never pixels. Swap the byte
+    // plane for a real decoded raster to patchify real images.
+    "q_mm_patchify" -> GraftQuery(
+      run = (s, d) =>
+        synth(s, d)
+          .select(col("doc_id"), col("blob"),
+            explode(expr("sequence(1, 128)")).as("pos"))
+          .select(col("doc_id"),
+            expr("((pos - 1) div 8) div 4").as("patch_r"),
+            expr("((pos - 1) % 8) div 4").as("patch_c"),
+            expr(byteAt("blob", "pos")).as("b"))
+          .groupBy("doc_id", "patch_r", "patch_c")
+          .agg(expr("(sum(b) * 1000) div 16").as("mean_milli"),
+            min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+          .orderBy("doc_id", "patch_r", "patch_c"),
+      oracle = Some(s"""
+        WITH $synthCte,
+        px AS (SELECT doc_id, p.pos,
+                      ((p.pos - 1) // 8) // 4 AS patch_r,
+                      ((p.pos - 1) % 8) // 4 AS patch_c,
+                      ${byteAtDuck("p.pos")} AS b
+               FROM media, (SELECT unnest(generate_series(1, 128)) AS pos)
+                             AS p)
+        SELECT doc_id, patch_r, patch_c,
+               CAST((sum(b) * 1000) // 16 AS BIGINT) AS mean_milli,
+               min(b) AS min_b, max(b) AS max_b
+        FROM px GROUP BY 1, 2, 3
+        ORDER BY doc_id, patch_r, patch_c"""))
   )
 }

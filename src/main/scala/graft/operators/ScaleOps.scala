@@ -892,6 +892,99 @@ object ScaleOps extends QueryPack {
                SELECT '__all__', count(DISTINCT text) FROM documents)
         SELECT sk.source, kth, k_actual, est_distinct, exact_distinct
         FROM sk JOIN ex ON ex.source = sk.source
-        ORDER BY sk.source"""))
+        ORDER BY sk.source""")),
+
+    // ------------------------------------------------ Bloom semi-join filter
+    // Semi-join reduction via a compact broadcast Bloom filter — the
+    // pattern that turns "shuffle 100 TB of fact rows to probe a
+    // selective dimension" into "drop most of them map-side first": the
+    // dimension's keys (NATION_3 customers) hash twice (md5-derived,
+    // 1024-bit filter) into an 18-word bitset built with one bit_or
+    // aggregate; the fact side tests both bits against the broadcast
+    // bitset BEFORE any shuffle, and only survivors reach the exact
+    // semi join. Bits stay below 2⁶⁰ (word = pos div 60) so no engine
+    // touches the sign bit. The query reports the funnel — total,
+    // bloom-pass, exact-match, false positives in ppm — because a
+    // filter you don't measure is a filter you can't size.
+    "q_scale_bloom_join" -> GraftQuery(
+      run = (s, d) => {
+        def h(col0: String, tag: String) =
+          expr(s"CAST(conv(substr(md5(concat(CAST($col0 AS STRING), " +
+            s"'_$tag')), 1, 8), 16, 10) AS BIGINT) % 1024")
+        val dimKeys = Tables.customer(s, d)
+          .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+        val bits = dimKeys
+          .select(explode(array(h("c_custkey", "a"), h("c_custkey", "b")))
+            .as("pos"))
+          .select(expr("pos div 60").as("word"),
+            expr("CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)").as("mask"))
+          .groupBy("word").agg(expr("bit_or(mask)").as("bset"))
+        // both hash tests stay on the SAME fact row (no explode → no
+        // regroup): two broadcast left joins against the 18-word bitset,
+        // so the bloom test is genuinely map-side — zero fact shuffles
+        // before the survivors' counts
+        val b1 = bits.select(col("word").as("w1"), col("bset").as("s1"))
+        val b2 = bits.select(col("word").as("w2"), col("bset").as("s2"))
+        val passed = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            h("o_custkey", "a").as("pa"), h("o_custkey", "b").as("pb"))
+          .join(broadcast(b1), expr("pa div 60") === col("w1"), "left")
+          .join(broadcast(b2), expr("pb div 60") === col("w2"), "left")
+          .filter(
+            expr("coalesce(s1, CAST(0 AS BIGINT)) & " +
+              "(CAST(1 AS BIGINT) << CAST(pa % 60 AS INT))") =!= 0L &&
+            expr("coalesce(s2, CAST(0 AS BIGINT)) & " +
+              "(CAST(1 AS BIGINT) << CAST(pb % 60 AS INT))") =!= 0L)
+          .select("o_orderkey", "o_custkey")
+        val exact = passed
+          .join(broadcast(dimKeys), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+        val total = Tables.orders(s, d).agg(count(lit(1)).as("total_orders"))
+        val np = passed.agg(count(lit(1)).as("bloom_pass"))
+        val ne = exact.agg(count(lit(1)).as("exact_match"))
+        total.crossJoin(np).crossJoin(ne)
+          .select(col("total_orders"), col("bloom_pass"), col("exact_match"),
+            expr("((bloom_pass - exact_match) * 1000000) div bloom_pass")
+              .as("fp_ppm"))
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+        hs AS (SELECT c_custkey,
+                      ('0x' || substr(md5(c_custkey::VARCHAR || '_a'), 1, 8))
+                        ::BIGINT % 1024 AS pa,
+                      ('0x' || substr(md5(c_custkey::VARCHAR || '_b'), 1, 8))
+                        ::BIGINT % 1024 AS pb
+               FROM dim),
+        pos AS (SELECT pa AS pos FROM hs UNION ALL SELECT pb FROM hs),
+        bits AS (SELECT pos // 60 AS word,
+                        bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER))
+                          AS bset
+                 FROM pos GROUP BY 1),
+        probes AS (
+          SELECT o_orderkey, o_custkey, pos
+          FROM (SELECT o_orderkey, o_custkey,
+                       ('0x' || substr(md5(o_custkey::VARCHAR || '_a'), 1, 8))
+                         ::BIGINT % 1024 AS pa,
+                       ('0x' || substr(md5(o_custkey::VARCHAR || '_b'), 1, 8))
+                         ::BIGINT % 1024 AS pb
+                FROM orders) o,
+               LATERAL (SELECT unnest([o.pa, o.pb]) AS pos) u),
+        passed AS (
+          SELECT o_orderkey, o_custkey
+          FROM (SELECT p.o_orderkey, p.o_custkey,
+                       CASE WHEN coalesce(b.bset, 0::BIGINT) &
+                                 (1::BIGINT << CAST(p.pos % 60 AS INTEGER))
+                                 <> 0 THEN 1 ELSE 0 END AS hit
+                FROM probes p
+                LEFT JOIN bits b ON b.word = p.pos // 60) t
+          GROUP BY 1, 2 HAVING sum(hit) = 2),
+        ex AS (SELECT count(*) AS exact_match FROM passed
+               WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+        np AS (SELECT count(*) AS bloom_pass FROM passed),
+        tot AS (SELECT count(*) AS total_orders FROM orders)
+        SELECT total_orders, bloom_pass, exact_match,
+               CAST(((bloom_pass - exact_match) * 1000000) // bloom_pass
+                    AS BIGINT) AS fp_ppm
+        FROM tot, np, ex"""))
   )
 }

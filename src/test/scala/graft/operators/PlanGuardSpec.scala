@@ -215,6 +215,15 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     scans.foreach(s => s.split(",").length should be <= 3)
   }
 
+  test("bloom semi-join tests both hashes via broadcast, no fact shuffle") {
+    assume(haveData)
+    val p = plan("q_scale_bloom_join")
+    // the bitset joins must both broadcast; a sort-merge join anywhere
+    // means the fact side shuffled before the bloom filter could drop it
+    p should include ("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     assume(haveData)
     val p = plan("q_scale_partition_pruning")
