@@ -985,6 +985,44 @@ object ScaleOps extends QueryPack {
         SELECT total_orders, bloom_pass, exact_match,
                CAST(((bloom_pass - exact_match) * 1000000) // bloom_pass
                     AS BIGINT) AS fp_ppm
-        FROM tot, np, ex"""))
+        FROM tot, np, ex""")),
+
+    // --------------------------------------------- dynamic partition pruning
+    // DPP: the fact is laid out partitioned on the join key and the
+    // dimension's qualifying keys are only known at RUNTIME (an
+    // aggregate decides them), so static pruning can't help — Spark
+    // instead injects a dynamicpruningexpression subquery into the fact
+    // scan's PartitionFilters and reads only the partitions the dim
+    // survived. At 100 TB this is the difference between scanning every
+    // date/type partition and scanning three. The plan guard pins the
+    // dynamic filter's presence; the "odd total count" dim predicate is
+    // arbitrary but deterministic, and NOT constant-foldable.
+    "q_scale_dpp" -> GraftQuery(
+      run = (s, d) => {
+        val layout = s"${sys.props("java.io.tmpdir")}/graft_dpp_" +
+          s.sparkContext.applicationId
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(layout)
+        val dim = Tables.events(s, d)
+          .groupBy(col("event_type").as("dt"))
+          .agg(count(lit(1)).as("n_dim"))
+          .filter(expr("n_dim % 2 = 1"))
+        s.read.parquet(layout)
+          .join(broadcast(dim), col("event_type") === col("dt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)"))
+              .as("sum_value_e4"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT event_type AS dt, count(*) AS n_dim
+                     FROM events GROUP BY 1 HAVING count(*) % 2 = 1)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(floor(value * 10000.0 + 0.5)::BIGINT) AS BIGINT)
+                 AS sum_value_e4
+        FROM events JOIN dim ON dt = event_type
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

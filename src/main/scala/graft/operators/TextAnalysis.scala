@@ -923,6 +923,74 @@ object TextAnalysis extends QueryPack {
         val merges = BpeTrainer.trainCached(s, d, Tables.documents(s, d), 8)
           .map(m => (m.left, m.right))
         BpeTrainer.encode(s, Tables.documents(s, d), merges)
-      })
+      }),
+
+    // --------------------------------------- content-defined chunking
+    // Rabin-style content-defined chunk boundaries (the storage-dedup /
+    // incremental-sync primitive: boundaries move WITH the content, so
+    // an insertion only re-chunks its neighborhood): a 4-byte rolling
+    // hash over the character stream cuts where hash % 64 == 0, and the
+    // query reports per-document chunk statistics. Everything runs
+    // inside higher-order array functions ON THE ROW — per-character
+    // data never leaves the map side, only (doc, 4-int stats) rows
+    // shuffle, which is what lets this chunk a 100 TB corpus. The
+    // oracle states the same boundaries relationally (explode + window)
+    // — fine for DuckDB, the wrong shape for a cluster.
+    "q_text_cdc" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+          .withColumn("n", size(col("cs")))
+          // boundary AFTER 0-based position i (i ≥ 3) when the 4-gram
+          // rolling hash a[i-3]·31³ + a[i-2]·31² + a[i-1]·31 + a[i]
+          // lands on the cut grid; the document end is always an end
+          .withColumn("ends",
+            expr("""array_distinct(concat(
+                      filter(transform(sequence(3, n - 1),
+                        i -> CASE WHEN (element_at(cs, i - 2) * 29791 +
+                                        element_at(cs, i - 1) * 961 +
+                                        element_at(cs, i) * 31 +
+                                        element_at(cs, i + 1)) % 64 = 0
+                                  THEN i END),
+                        x -> x IS NOT NULL),
+                      array(n - 1)))"""))
+          .withColumn("lens",
+            expr("""transform(sequence(0, size(ends) - 1),
+                      k -> CASE WHEN k = 0 THEN element_at(ends, 1) + 1
+                           ELSE element_at(ends, k + 1) -
+                                element_at(ends, k) END)"""))
+          .select(col("doc_id"), col("n").as("n_chars"),
+            size(col("ends")).as("n_chunks"),
+            expr("CAST(array_min(lens) AS BIGINT)").as("min_len"),
+            expr("CAST(array_max(lens) AS BIGINT)").as("max_len"),
+            expr("(CAST(n AS BIGINT) * 1000) div size(ends)")
+              .as("mean_len_milli"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH ch AS (
+          SELECT doc_id, length(text) AS n, p.i,
+                 ascii(substr(text, p.i, 1)) AS a
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(1, length(text)))
+                          AS i) p),
+        r AS (SELECT doc_id, n, i, a,
+                     lag(a, 3) OVER w * 29791 + lag(a, 2) OVER w * 961 +
+                     lag(a, 1) OVER w * 31 + a AS h
+              FROM ch
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        ends AS (SELECT DISTINCT doc_id, n, i FROM r
+                 WHERE (i >= 4 AND h % 64 = 0) OR i = n),
+        lens AS (SELECT doc_id, n,
+                        i - coalesce(lag(i) OVER (PARTITION BY doc_id
+                                                  ORDER BY i), 0) AS len
+                 FROM ends)
+        SELECT doc_id, CAST(max(n) AS INTEGER) AS n_chars,
+               CAST(count(*) AS INTEGER) AS n_chunks,
+               CAST(min(len) AS BIGINT) AS min_len,
+               CAST(max(len) AS BIGINT) AS max_len,
+               CAST((max(n) * 1000) // count(*) AS BIGINT)
+                 AS mean_len_milli
+        FROM lens GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

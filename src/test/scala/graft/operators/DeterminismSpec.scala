@@ -47,7 +47,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_scale_time_split", "q_window_scd2", "q_window_rfm",
     "q_scale_k_anon", "q_mm_audio_vad",
     "q_join_tpch_q2", "q_join_tpch_q21", "q_scale_range_partition",
-    "q_scale_kmv", "q_scale_compaction", "q_sim_maxsim", "q_dedup_soft")
+    "q_scale_kmv", "q_scale_compaction", "q_sim_maxsim", "q_dedup_soft",
+    "q_text_cdc", "q_scale_bloom_join")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

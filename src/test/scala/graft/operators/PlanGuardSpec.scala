@@ -224,6 +224,12 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should not include "SortMergeJoin"
   }
 
+  test("runtime-derived dim injects a dynamic partition-pruning filter") {
+    assume(haveData)
+    val p = plan("q_scale_dpp")
+    p.toLowerCase should include ("dynamicpruning")
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     assume(haveData)
     val p = plan("q_scale_partition_pruning")
