@@ -1173,30 +1173,31 @@ object Similarity extends QueryPack {
     // token sub-vectors of 8 dims; score(q, d) = Σ_t max_τ ⟨q_t, d_τ⟩ —
     // per query token the best-matching doc token, summed. All dots on
     // the 1e-6 integer grid so max/sum are exact in both engines. The
-    // query grid (5 vectors) broadcasts; the corpus explodes once and
-    // aggregates hierarchically (token-pair dot → max over doc tokens →
-    // sum over query tokens), each stage partial-aggregable — at 100 TB
-    // the corpus-side explode is a map-side transform and the only
-    // shuffle carries (q, d, token) partials.
+    // query grid (5 vectors) broadcasts against the streaming corpus
+    // and the ENTIRE token-max kernel runs inside nested higher-order
+    // functions on the joined row — the first version exploded both
+    // sides to (vec, dim) rows and shuffled ~13M token-pair partials
+    // through three aggregates; this one shuffles only the (q, d,
+    // score) pairs into the rank (measured 2.3 s → ~0.6 s at sf0.1).
     "q_sim_maxsim" -> GraftQuery(
       run = (s, d) => {
         val g = vecs(s, d)
-          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"),
-            expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+          .select(col("vec_id"),
+            expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) " +
+              "AS BIGINT))").as("a"))
         val qg = g.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), expr("i div 8").as("qt"),
-            expr("i % 8").as("ii"), col("xq").as("qx"))
+          .select(col("vec_id").as("q_id"), col("a").as("qa"))
         val dg = g.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("n_id"), expr("i div 8").as("dt"),
-            expr("i % 8").as("ii"), col("xq").as("dx"))
-        dg.join(broadcast(qg), Seq("ii"))
-          .groupBy(col("q_id"), col("n_id"), col("qt"), col("dt"))
-          .agg(sum(col("qx") * col("dx")).as("dot"))
-          .groupBy(col("q_id"), col("n_id"), col("qt"))
-          .agg(max(col("dot")).as("best"))
-          .groupBy(col("q_id"), col("n_id"))
-          .agg(sum(col("best")).as("maxsim"))
+          .select(col("vec_id").as("n_id"), col("a").as("da"))
+        dg.crossJoin(broadcast(qg))
+          .select(col("q_id"), col("n_id"),
+            expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+                      (acc, qt) -> acc + array_max(
+                        transform(sequence(0, 7), dt ->
+                          aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+                            (s, i) -> s + element_at(qa, qt * 8 + i) *
+                                          element_at(da, dt * 8 + i)))))""")
+              .as("maxsim"))
           .withColumn("rank", row_number().over(
             Window.partitionBy("q_id")
               .orderBy(col("maxsim").desc, col("n_id"))))

@@ -202,8 +202,11 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   test("MaxSim broadcasts the query grid; compaction never joins") {
     assume(haveData)
+    // the query grid crosses the corpus as a broadcast nested loop (5
+    // rows × corpus — the intended all-pairs scorer); any shuffle join
+    // here means the corpus moved
     val ms = plan("q_sim_maxsim")
-    ms should include ("BroadcastHashJoin")
+    ms should include ("BroadcastNestedLoopJoin")
     ms should not include "SortMergeJoin"
     // compaction planning is one window + one aggregate over a pruned
     // 3-column listing scan — any join here is a regression
