@@ -894,6 +894,71 @@ object ScaleOps extends QueryPack {
         FROM sk JOIN ex ON ex.source = sk.source
         ORDER BY sk.source""")),
 
+    // ------------------------------------------- Merkle dataset fingerprint
+    // Hierarchical content hash of the corpus — the data-versioning
+    // primitive: two copies of a 100 TB dataset are compared by
+    // exchanging 16 level-1 hashes and descending ONLY into buckets
+    // whose hashes differ, never by moving data. Leaves are md5(text),
+    // content-addressed into 256 level-2 buckets by their first two hex
+    // chars; each node hashes the concatenation of its children in
+    // canonical order (leaves by hash — multiset semantics, insertion-
+    // order independent; inner nodes by child bucket id), so the root
+    // is a pure function of document CONTENT. Leaf hashing is map-side;
+    // the level-2 rollup shuffles 32-byte digests, not documents; the
+    // two upper levels reduce ≤256 rows. Production depth grows
+    // log_fanout(files) levels with the same per-level shape — the
+    // fan-in stays bounded, so no node ever concatenates an unbounded
+    // child list.
+    "q_scale_merkle" -> GraftQuery(
+      run = (s, d) => {
+        val leaves = Tables.documents(s, d)
+          .select(md5(col("text")).as("leaf"))
+          .withColumn("b2", expr("substr(leaf, 1, 2)"))
+        val l2 = leaves.groupBy("b2")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("md5(concat_ws('', sort_array(collect_list(leaf))))")
+              .as("hash"))
+        val l1 = l2.withColumn("b1", expr("substr(b2, 1, 1)"))
+          .groupBy("b1")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            expr("""md5(concat_ws('', transform(
+                      sort_array(collect_list(struct(b2, hash))),
+                      x -> x.hash)))""").as("hash"))
+        val root = l1
+          .agg(sum(col("n_docs")).as("n_docs"),
+            expr("""md5(concat_ws('', transform(
+                      sort_array(collect_list(struct(b1, hash))),
+                      x -> x.hash)))""").as("hash"))
+          .select(lit(0).as("level"), lit("root").as("node"),
+            col("n_docs"), col("hash"))
+        root
+          .unionByName(l1.select(lit(1).as("level"), col("b1").as("node"),
+            col("n_docs"), col("hash")))
+          .unionByName(l2.select(lit(2).as("level"), col("b2").as("node"),
+            col("n_docs"), col("hash")))
+          .orderBy("level", "node")
+      },
+      oracle = Some("""
+        WITH leaves AS (
+          SELECT md5(text) AS leaf, substr(md5(text), 1, 2) AS b2
+          FROM documents),
+        l2 AS (SELECT b2, count(*) AS n_docs,
+                      md5(string_agg(leaf, '' ORDER BY leaf)) AS hash
+               FROM leaves GROUP BY b2),
+        l1 AS (SELECT substr(b2, 1, 1) AS b1, sum(n_docs) AS n_docs,
+                      md5(string_agg(hash, '' ORDER BY b2)) AS hash
+               FROM l2 GROUP BY 1),
+        root AS (SELECT sum(n_docs) AS n_docs,
+                        md5(string_agg(hash, '' ORDER BY b1)) AS hash
+                 FROM l1)
+        SELECT 0 AS level, 'root' AS node, CAST(n_docs AS BIGINT) AS n_docs,
+               hash FROM root
+        UNION ALL
+        SELECT 1, b1, CAST(n_docs AS BIGINT), hash FROM l1
+        UNION ALL
+        SELECT 2, b2, CAST(n_docs AS BIGINT), hash FROM l2
+        ORDER BY level, node""")),
+
     // ------------------------------------------------ Bloom semi-join filter
     // Semi-join reduction via a compact broadcast Bloom filter — the
     // pattern that turns "shuffle 100 TB of fact rows to probe a

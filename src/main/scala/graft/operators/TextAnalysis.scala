@@ -904,6 +904,75 @@ object TextAnalysis extends QueryPack {
           FROM scored)
         WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ----------------------------------------------- BM25 ranked retrieval
+    // Full BM25 over a 3-term query ("spark join hash") — the lexical
+    // ranking standard TF-IDF approximates: saturating tf with document-
+    // length normalization, k1 = 1.2 and b = 0.75 carried in milli-units
+    // so every step is integer `div` and the ranking hash-compares
+    // exactly. The idf sits on the same (1e6·N) div df grid as
+    // q_text_tfidf (a monotone surrogate for log-idf — rank-preserving
+    // for any single-term contribution, and documented as the engine's
+    // deterministic-idf convention). Per-term scores are integers, so
+    // the final per-doc sum is order-free.
+    // Scale shape: the 3 query terms broadcast as an isin filter BEFORE
+    // any shuffle, so tf aggregates only matching (doc, term) pairs;
+    // doc length is a map-side-combinable count; N and avgdl are one
+    // broadcast row. At 100 TB the corpus scan streams map-side and the
+    // shuffles carry only matched postings and (doc, len) pairs.
+    "q_text_bm25" -> GraftQuery(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        val terms = Seq("spark", "join", "hash")
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val posts = words.filter(col("w").isInCollection(terms))
+        val tf = posts.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = posts.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          expr("(1000 * sum(dl)) div count(1)").as("avgdl_milli"))
+        tf.join(broadcast(df), "w").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_micro", expr("(1000000L * n_docs) div df"))
+          .withColumn("len_norm_milli",
+            expr("250L + (750L * ((dl * 1000000L) div avgdl_milli)) div 1000"))
+          .withColumn("tfn_micro",
+            expr("(tf * 2200L * 1000000L) div " +
+              "(tf * 1000L + (1200L * len_norm_milli) div 1000)"))
+          .withColumn("term_score", expr("(idf_micro * tfn_micro) div 1000000"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("term_score")).as("bm25_micro"))
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+        posts AS (SELECT doc_id, w FROM words
+                  WHERE w IN ('spark', 'join', 'hash')),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM posts GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM posts GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         (1000 * sum(dl)) // count(*) AS avgdl_milli
+                  FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 ((1000000 * n_docs) // df.df) *
+                 ((tf.tf * 2200 * 1000000) //
+                  (tf.tf * 1000 +
+                   (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_milli))
+                            // 1000)) // 1000)) // 1000000 AS term_score
+          FROM tf JOIN df ON df.w = tf.w
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN stats)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(term_score) AS BIGINT) AS bm25_micro
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_micro DESC, doc_id LIMIT 10""")),
+
     // ------------------------------------ BPE merge training (rows-only)
     // 8 learned merges over the corpus vocabulary — see [[BpeTrainer]];
     // sequentially-greedy, so no SQL oracle (golden spec instead).
