@@ -450,6 +450,85 @@ object Dedup extends QueryPack {
         WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5
         ORDER BY d1, d2""")),
 
+    // ------------------------------------------------- incremental ingestion
+    // The daily-crawl admission gate: dedup a NEW batch (doc_id % 5 = 4
+    // stands in for today's arrivals) against the EXISTING corpus
+    // without ever re-processing corpus-vs-corpus pairs — the property
+    // that makes ingestion O(batch), not O(corpus), per day. Stage 1:
+    // batch digests probe the corpus digest set (exact). Stage 2: the
+    // survivors' minhash bands probe the corpus band index — at 100 TB
+    // that index is a precomputed bucketed table, so the probe touches
+    // only the batch's buckets — and candidates verify by exact
+    // Jaccard ≥ 0.5. Batch-internal duplicates are out of scope here
+    // by design (q_dedup_exact / q_dedup_minhash_lsh is the intra-batch
+    // pass); each batch doc gets a disposition and its matched corpus
+    // doc. Only digests, band keys, and candidate shingles shuffle.
+    "q_dedup_incremental" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+        val cdig = corpus.groupBy(md5(col("text")).as("dig"))
+          .agg(min(col("doc_id")).as("exact_id"))
+        val ex = batch.select(col("doc_id"), md5(col("text")).as("dig"))
+          .join(cdig, Seq("dig"), "left").select("doc_id", "exact_id")
+        val survivors = batch.join(
+          ex.filter(col("exact_id").isNotNull).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val bBands = minhashBandRows(
+          shingleSets(survivors).as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+        val cBands = minhashBandRows(
+          shingleSets(corpus).as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+        val cand = bBands.as("x").join(cBands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val near = jaccardVerify(shingles(s, d), cand)
+          .filter(col("jaccard") >= 0.5)
+          .groupBy("d1").agg(min(col("d2")).as("near_id"))
+          .withColumnRenamed("d1", "doc_id")
+        batch.select(col("doc_id"))
+          .join(ex, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_id").isNotNull, lit("duplicate_exact"))
+              .when(col("near_id").isNotNull, lit("duplicate_near"))
+              .otherwise(lit("admitted")).as("status"),
+            coalesce(col("exact_id"), col("near_id")).as("match_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $minhashBandsCte,
+        cdig AS (SELECT md5(text) AS dig, min(doc_id) AS exact_id
+                 FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
+        ex AS (SELECT b.doc_id, cdig.exact_id
+               FROM documents b LEFT JOIN cdig ON cdig.dig = md5(b.text)
+               WHERE b.doc_id % 5 = 4),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                 WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+                   AND a.doc_id NOT IN (SELECT doc_id FROM ex
+                                        WHERE exact_id IS NOT NULL)),
+        $jaccardVerifySql,
+        near AS (SELECT d1 AS doc_id, min(d2) AS near_id
+                 FROM common
+                 JOIN ns na ON na.doc_id = common.d1
+                 JOIN ns nb ON nb.doc_id = common.d2
+                 WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5
+                 GROUP BY d1)
+        SELECT ex.doc_id,
+               CASE WHEN ex.exact_id IS NOT NULL THEN 'duplicate_exact'
+                    WHEN near.near_id IS NOT NULL THEN 'duplicate_near'
+                    ELSE 'admitted' END AS status,
+               coalesce(ex.exact_id, near.near_id) AS match_id
+        FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+        ORDER BY ex.doc_id""")),
+
     // -------------------------------------------------------------- SimHash
     // 32-bit count-weighted simhash; candidates share ≥1 of 4 bytes
     // (full recall for hamming ≤ 3); verified with popcount(xor).

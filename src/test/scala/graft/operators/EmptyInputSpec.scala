@@ -61,7 +61,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_join_tpch_q19", "q_join_tpch_q22", "q_sim_random_projection",
     "q_scale_priority_sample", "q_scale_time_split",
     "q_window_scd2", "q_window_rfm", "q_scale_k_anon",
-    "q_mm_audio_vad", "q_text_bm25", "q_scale_merkle")
+    "q_mm_audio_vad", "q_text_bm25", "q_scale_merkle",
+    "q_dedup_incremental")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
