@@ -99,6 +99,27 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("merkle fingerprint is a join-free aggregation over a text-only scan") {
+    assume(haveData)
+    // the whole tree is three stacked aggregations — a join anywhere
+    // means a rollup level started moving data it should only digest
+    val p = plan("q_scale_merkle")
+    p should not include "Join"
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    scans should not be empty
+    scans.foreach(s => s.split(",").length should be <= 1)
+  }
+
+  test("bm25 broadcasts document frequencies and corpus stats") {
+    assume(haveData)
+    // df (3 terms) and the 1-row stats must broadcast; a sort-merge
+    // join against either would shuffle the postings stream twice
+    val p = plan("q_text_bm25")
+    p should include ("BroadcastHashJoin")
+    p should include ("BroadcastNestedLoopJoin")
+  }
+
   test("interval-lookup join rewrites to a join-free probe") {
     assume(haveData)
     val p = plan("q_join_interval_lookup")
