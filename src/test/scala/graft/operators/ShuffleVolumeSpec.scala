@@ -77,6 +77,27 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     w should be < corpusBytes * 2
   }
 
+  test("the merkle tree shuffles digests, never documents") {
+    assume(haveData)
+    // the level-2 rollup carries (bucket, 32-char digest) rows and the
+    // upper levels reduce ≤ 256 digest rows — document text must stay
+    // in the map-side md5
+    val w = shuffleWrite("q_scale_merkle")
+    w should be > 0L
+    w should be < textBytes / 2
+  }
+
+  test("incremental ingestion shuffles digests, bands, and candidate shingles only") {
+    assume(haveData)
+    // exact stage: digest rows; near stage: 4 band keys per doc plus
+    // the shingles of verified CANDIDATE pairs (semi-filtered before
+    // the shuffle). Shipping the corpus shingle stream wholesale —
+    // ~3× the text volume — is the regression this bounds out.
+    val w = shuffleWrite("q_dedup_incremental")
+    w should be > 0L
+    w should be < textBytes
+  }
+
   test("the count-min sketch aggregates cells, not words") {
     assume(haveData)
     // the sketch side reduces to 4×64 (row, bucket) cells via partial
