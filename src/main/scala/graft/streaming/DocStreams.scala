@@ -99,6 +99,75 @@ object DocStreams extends QueryPack {
         SELECT b.doc_id AS doc_id, min(g.m) AS dup_of
         FROM bands b JOIN gm g ON g.band = b.band AND g.key = b.key
         WHERE b.doc_id > g.m
-        GROUP BY 1 ORDER BY doc_id"""))
+        GROUP BY 1 ORDER BY doc_id""")),
+
+    // ------------------------------------ streaming corpus admission gate
+    // The online form of [[graft.operators.Dedup]]'s q_dedup_incremental:
+    // arriving documents (doc_id % 5 = 4 replays today's batch) are
+    // dispositioned against a STATIC corpus index — digest set for exact
+    // duplicates, minhash band index for near-candidates — through two
+    // stateless stream-static broadcast joins, so the stream never
+    // shuffles against the corpus and the only stateful operator is the
+    // per-doc min aggregate combining the two probe branches. At 100 TB
+    // the corpus index is the precomputed bucketed table the batch op
+    // describes; the stream side touches only its own buckets. Near
+    // candidates are band collisions (unverified — the streaming
+    // analogue of q_stream_minhash_dedup; the batch gate adds the exact
+    // Jaccard verification).
+    "q_stream_admission" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val corpus = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 4)
+        val cdig = corpus.groupBy(md5(col("text")).as("dig"))
+          .agg(min(col("doc_id")).as("eid"))
+        val cBands = Dedup.minhashBandRows(
+            Dedup.shingleSets(corpus).as[(Long, Seq[String])])
+          .toDF("c_id", "band", "key")
+        def batchStream = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 5 === 4)
+        val exactProbe = batchStream
+          .select(col("doc_id"), md5(col("text")).as("dig"))
+          .join(broadcast(cdig), Seq("dig"), "left")
+          .select(col("doc_id"), col("eid"), lit(null).cast("long").as("nid"))
+        val bandProbe = Dedup.minhashBandRows(
+            Dedup.shingleSets(batchStream).as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+          .join(broadcast(cBands), Seq("band", "key"), "left")
+          .select(col("doc_id"), lit(null).cast("long").as("eid"),
+            col("c_id").as("nid"))
+        val agg = exactProbe.unionByName(bandProbe)
+          .groupBy("doc_id")
+          .agg(min(col("eid")).as("exact_id"), min(col("nid")).as("near_id"))
+        EventStreams.runToMemory(s, agg, "graft_stream_admission",
+            OutputMode.Update())
+          .select(col("doc_id"),
+            when(col("exact_id").isNotNull, lit("duplicate_exact"))
+              .when(col("near_id").isNotNull, lit("near_candidate"))
+              .otherwise(lit("admitted")).as("status"),
+            coalesce(col("exact_id"), col("near_id")).as("match_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH ${Dedup.docShinglesCte},
+        ${Dedup.minhashBandsCte},
+        cdig AS (SELECT md5(text) AS dig, min(doc_id) AS exact_id
+                 FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
+        ex AS (SELECT b.doc_id, cdig.exact_id
+               FROM documents b LEFT JOIN cdig ON cdig.dig = md5(b.text)
+               WHERE b.doc_id % 5 = 4),
+        near AS (SELECT a.doc_id, min(b.doc_id) AS near_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                 WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+                 GROUP BY 1)
+        SELECT ex.doc_id,
+               CASE WHEN ex.exact_id IS NOT NULL THEN 'duplicate_exact'
+                    WHEN near.near_id IS NOT NULL THEN 'near_candidate'
+                    ELSE 'admitted' END AS status,
+               coalesce(ex.exact_id, near.near_id) AS match_id
+        FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+        ORDER BY ex.doc_id"""))
   )
 }
