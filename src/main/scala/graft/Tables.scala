@@ -23,7 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** The `ts` contract every downstream operator (and every DuckDB
+    * oracle) is written against is a NANOSECOND epoch long on the µs
+    * grid (`ts div 1000` = epoch_us). The generator has shipped the
+    * column both ways — INT64 TIMESTAMP(NANOS) (read as long under
+    * `nanosAsLong`) and timestamp[us] — so normalize here: a
+    * timestamp-typed column becomes `unix_micros(ts) * 1000`, which is
+    * exactly the value the ns files carried (the data never had sub-µs
+    * precision). Sessions run with UTC session time, so the NTZ cast is
+    * the identity mapping DuckDB's `epoch_us` applies. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

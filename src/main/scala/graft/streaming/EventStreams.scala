@@ -107,6 +107,37 @@ object EventStreams extends QueryPack {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** File-source stream over an events directory with `ts` normalized
+    * to the ns-long contract (see [[graft.Tables.events]] — the
+    * generator has shipped ts both as INT64 nanos and as
+    * timestamp[us]). A file stream must declare its schema up front, so
+    * sniff the actual ts type with one batch footer read of the same
+    * glob, declare that, and project back to the ns grid. */
+  private[streaming] def eventStream(
+      s: SparkSession, dir: String,
+      globFilter: Option[String] = Some("events.parquet"),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = try {
+      var r = s.read
+      globFilter.foreach(g => r = r.option("pathGlobFilter", g))
+      r.parquet(dir).schema("ts").dataType
+    } catch {
+      // zero matching files (an empty landing directory): nothing to
+      // sniff and nothing to read — declare the historical ns-long
+      // contract so the stream starts (empty) exactly as before
+      case _: org.apache.spark.sql.AnalysisException => LongType
+    }
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    var reader = s.readStream.schema(schema)
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val df = reader.parquet(dir)
+    if (tsType == LongType) df
+    else df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+  }
+
   /** Streaming micro-batch plans are sized explicitly (AQE never
     * re-plans them): 8 state-store partitions instead of the session's
     * batch setting — every stateful operator initializes one state
@@ -194,11 +225,7 @@ object EventStreams extends QueryPack {
       globFilter: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
-    var reader = s.readStream.schema(eventSchema)
-    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
-    maxFilesPerTrigger.foreach(n =>
-      reader = reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(dir)
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
       .as[Event]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -220,11 +247,7 @@ object EventStreams extends QueryPack {
       globFilter: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
-    var reader = s.readStream.schema(eventSchema)
-    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
-    maxFilesPerTrigger.foreach(n =>
-      reader = reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(dir)
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor,
@@ -238,9 +261,7 @@ object EventStreams extends QueryPack {
     // ---------------------------- tumbling event-time window with watermark
     "q_stream_tumbling" -> GraftQuery(
       run = (s, d) => {
-        val stream = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val stream = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "10 minutes")
           .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -266,9 +287,7 @@ object EventStreams extends QueryPack {
     // containing windows per event via the slide grid.
     "q_stream_sliding" -> GraftQuery(
       run = (s, d) => {
-        val stream = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val stream = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "10 minutes")
           .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
@@ -299,9 +318,7 @@ object EventStreams extends QueryPack {
     "q_stream_join" -> GraftQuery(
       run = (s, d) => {
         def side(tpe: String, alias: String) =
-          s.readStream.schema(eventSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          eventStream(s, d)
             .filter(col("event_type") === tpe)
             .withColumn(s"${alias}_time", timestamp_micros(expr("ts div 1000")))
             .withWatermark(s"${alias}_time", "10 minutes")
@@ -340,9 +357,7 @@ object EventStreams extends QueryPack {
     "q_stream_outer_join" -> GraftQuery(
       run = (s, d) => {
         def side(tpe: String, alias: String) =
-          s.readStream.schema(eventSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          eventStream(s, d)
             .filter(col("event_type") === tpe)
             .withColumn(s"${alias}_time", timestamp_micros(expr("ts div 1000")))
             .withWatermark(s"${alias}_time", "10 minutes")
@@ -387,9 +402,7 @@ object EventStreams extends QueryPack {
     // scale; here the single AvailableNow batch keeps it exact).
     "q_stream_dedup" -> GraftQuery(
       run = (s, d) => {
-        val deduped = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val deduped = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withColumn("copy", explode(array(lit(1), lit(2))))
           .withWatermark("event_time", "10 minutes")
@@ -421,9 +434,7 @@ object EventStreams extends QueryPack {
         // leaking a temp dir per invocation
         val out = s"${sys.props("java.io.tmpdir")}/graft_fb_" +
           s.sparkContext.applicationId
-        val stream = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val stream = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "10 minutes")
           .groupBy(col("event_type"))
@@ -456,9 +467,7 @@ object EventStreams extends QueryPack {
     // forever. Same single-batch result as exact dedup here.
     "q_stream_dedup_watermark" -> GraftQuery(
       run = (s, d) => {
-        val deduped = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val deduped = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withColumn("copy", explode(array(lit(1), lit(2))))
           .withWatermark("event_time", "1 hour")
@@ -484,9 +493,7 @@ object EventStreams extends QueryPack {
     // Same output contract as q_stream_sessionize → same oracle.
     "q_stream_session_window" -> GraftQuery(
       run = (s, d) => {
-        val sessions = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val sessions = eventStream(s, d)
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "10 minutes")
           .groupBy(col("user_id"),
@@ -558,9 +565,7 @@ object EventStreams extends QueryPack {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           import s.implicits._
-          val closed = s.readStream.schema(eventSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          val closed = eventStream(s, d)
             .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
             .withWatermark("event_time", "10 minutes")
             .as[Event]
@@ -618,9 +623,7 @@ object EventStreams extends QueryPack {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val stream = s.readStream.schema(eventSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          val stream = eventStream(s, d)
             .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
             .withWatermark("event_time", "10 minutes")
             .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -651,13 +654,10 @@ object EventStreams extends QueryPack {
     // never shuffles before the final aggregate.
     "q_stream_static_join" -> GraftQuery(
       run = (s, d) => {
-        val typeAvg = s.read.schema(eventSchema)
-          .parquet(s"$d/events.parquet")
+        val typeAvg = graft.Tables.events(s, d)
           .groupBy(col("event_type"))
           .agg(avg(col("value")).as("type_avg"))
-        val enriched = s.readStream.schema(eventSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val enriched = eventStream(s, d)
           .join(broadcast(typeAvg), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
