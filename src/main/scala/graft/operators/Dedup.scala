@@ -393,6 +393,99 @@ object Dedup extends QueryPack {
         FROM g LEFT JOIN c ON c.h = g.h
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // ------------------------------------- duplicated-span REMOVAL plan
+    // The second half of exact substring dedup (Lee et al. 2022): where
+    // q_dedup_spans MEASURES the duplicated fraction, this emits the
+    // actual removal plan — corpus-duplicated 8-word shingle positions
+    // merged into maximal word intervals (gaps-and-islands over the
+    // covered ranges), with the per-document span count, words removed,
+    // and retained fraction. Scale shape: the only corpus-wide exchange
+    // carries (digest, partial count); the island merge is a window over
+    // each document's OWN duplicated positions (partitioned by doc_id,
+    // Zipf-small), never cross-document. All integers until the final
+    // ratio, which both engines compute with the same IEEE op sequence.
+    "q_dedup_span_removal" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .select(col("doc_id"), col("ws"),
+            size(col("ws")).cast("long").as("n_words"))
+        val sh = t.filter(col("n_words") >= 8)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(ws) - 7), i -> " +
+              "struct(i AS i, md5(array_join(slice(ws, i, 8), ' ')) AS h))"))
+              .as("x"))
+          .select(col("doc_id"), col("x.i").as("st"),
+            (col("x.i") + 7).as("en"), col("x.h").as("h"))
+        val dup = sh.groupBy("h").agg(count(lit(1)).as("tot"))
+          .filter(col("tot") > 1)
+        val w = Window.partitionBy("doc_id").orderBy("st")
+        val spans = sh.join(dup, "h")
+          .select(col("doc_id"), col("st"), col("en"))
+          .withColumn("pmax", max(col("en"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("pmax").isNull || col("st") > col("pmax") + 1, 1)
+              .otherwise(0))
+          .withColumn("isl",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "isl")
+          .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e0") - col("s0") + 1).as("words_removed"))
+        t.select("doc_id", "n_words").join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("words_removed"), lit(0L)).as("words_removed"),
+            (col("n_words") - coalesce(col("words_removed"), lit(0L)))
+              .as("words_kept"),
+            // same floor-half-up form as q_dedup_semantic: identical
+            // IEEE ops on exact-integer operands in both engines
+            when(col("n_words") === 0, lit(1.0d)).otherwise(
+              expr("floor((n_words - coalesce(words_removed, 0L)) * 1e4" +
+                " / n_words + 5e-1) / 1e4")).as("kept_frac"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM t),
+        g AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS h
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                    FROM t WHERE len(ws) >= 8)),
+        c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        pos AS (SELECT g.doc_id, g.i AS st, g.i + 7 AS en
+                FROM g JOIN c ON c.h = g.h),
+        m AS (SELECT doc_id, st, en,
+                     max(en) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pmax
+              FROM pos),
+        isl AS (SELECT doc_id, st, en,
+                       sum(CASE WHEN pmax IS NULL OR st > pmax + 1
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY st
+                               ROWS UNBOUNDED PRECEDING) AS g_id
+                FROM m),
+        sp AS (SELECT doc_id, g_id, min(st) AS s0, max(en) AS e0
+               FROM isl GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(e0 - s0 + 1) AS BIGINT) AS words_removed
+                FROM sp GROUP BY 1)
+        SELECT n.doc_id AS doc_id, n.n_words AS n_words,
+               coalesce(agg.n_spans, 0) AS n_spans,
+               coalesce(agg.words_removed, 0) AS words_removed,
+               n.n_words - coalesce(agg.words_removed, 0) AS words_kept,
+               CASE WHEN n.n_words = 0 THEN 1.0 ELSE
+                 floor((n.n_words - coalesce(agg.words_removed, 0)) * 1e4
+                       / n.n_words + 5e-1) / 1e4 END AS kept_frac
+        FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+        ORDER BY n.doc_id""")),
+
     // ------------------------------------------------- exact n-gram Jaccard
     // Inverted-index pair generation over the stop-shingle-removed
     // stream: group by shingle, emit co-occurring doc pairs from each

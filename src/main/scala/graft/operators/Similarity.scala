@@ -891,6 +891,100 @@ object Similarity extends QueryPack {
         FROM asg LEFT JOIN agg ON agg.vec_id = asg.vec_id
         ORDER BY asg.vec_id""")),
 
+    // --------------------------------- hybrid retrieval (RRF fusion)
+    // Reciprocal-rank fusion of a SPARSE (lexical BM25, resolved from
+    // the registry so the two retrievers cannot drift) and a DENSE
+    // (quantized-cosine top-k against document 0's embedding) ranking —
+    // the standard hybrid-search shape for RAG/retrieval pipelines.
+    // Each leg is a top-10 via TakeOrderedAndProject (no global window
+    // over the corpus); rank assignment runs over ≤10 rows. Fusion is
+    // pure integer arithmetic (1e6 div (60 + rank)) so the oracle is an
+    // exact hash match. Docs appearing in only one leg contribute one
+    // reciprocal term — the canonical RRF treatment.
+    "q_sim_hybrid_rrf" -> GraftQuery(
+      run = (s, d) => {
+        val sparse = graft.SparkEntry.queries("q_text_bm25")(s, d)
+          .select(col("doc_id"), col("bm25_micro"))
+          .withColumn("s_rank", row_number().over(
+            Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("s_rank"))
+        val all = vecs(s, d).withColumn("vq",
+          expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+        val qv = all.filter(col("vec_id") === 0).select(col("vq").as("qv"))
+        val dense = all.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            expr("graft_qcos(vq, qv)").as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(10)
+          .withColumn("d_rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("doc_id"), col("d_rank"))
+        sparse.join(dense, Seq("doc_id"), "outer")
+          .select(col("doc_id"), col("s_rank"), col("d_rank"),
+            (coalesce(expr("1000000 div (60 + s_rank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + d_rank)"), lit(0L)))
+              .as("rrf_micro"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        words AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+        posts AS (SELECT doc_id, w FROM words
+                  WHERE w IN ('spark', 'join', 'hash')),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM posts GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM posts GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         (1000 * sum(dl)) // count(*) AS avgdl_milli
+                  FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 ((1000000 * n_docs) // df.df) *
+                 ((tf.tf * 2200 * 1000000) //
+                  (tf.tf * 1000 +
+                   (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_milli))
+                            // 1000)) // 1000)) // 1000000 AS term_score
+          FROM tf JOIN df ON df.w = tf.w
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN stats),
+        bm AS (SELECT doc_id, sum(term_score) AS bm25_micro
+               FROM scored GROUP BY doc_id
+               ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+        sparse AS (SELECT doc_id,
+                          CAST(row_number() OVER (
+                            ORDER BY bm25_micro DESC, doc_id) AS INT)
+                            AS s_rank
+                   FROM bm),
+        xq AS (SELECT vec_id, i,
+                      CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+               FROM u),
+        sq AS (SELECT vec_id, sum(xq*xq) AS s2 FROM xq GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS doc_id,
+                        CAST(sum(a.xq * b.xq) AS DOUBLE) AS dot
+                 FROM xq a JOIN xq b ON b.i = a.i AND b.vec_id = 0
+                 WHERE a.vec_id <> 0 GROUP BY 1),
+        cosv AS (SELECT dots.doc_id,
+                        dot / (sqrt(CAST(sa.s2 AS DOUBLE))
+                               * sqrt(CAST(sb.s2 AS DOUBLE))) AS cos
+                 FROM dots JOIN sq sa ON sa.vec_id = dots.doc_id
+                           JOIN sq sb ON sb.vec_id = 0),
+        dtop AS (SELECT doc_id, cos FROM cosv
+                 ORDER BY cos DESC, doc_id LIMIT 10),
+        dense AS (SELECT doc_id,
+                         CAST(row_number() OVER (
+                           ORDER BY cos DESC, doc_id) AS INT) AS d_rank
+                  FROM dtop)
+        SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+               s_rank, d_rank,
+               CAST(coalesce(1000000 // (60 + s_rank), 0) +
+                    coalesce(1000000 // (60 + d_rank), 0) AS BIGINT)
+                 AS rrf_micro
+        FROM sparse FULL OUTER JOIN dense ON dense.doc_id = sparse.doc_id
+        ORDER BY rrf_micro DESC, doc_id""")),
+
     // ----------------------------------------------- measured ANN recall
     // Recall@3 of the IVF and LSH tiers against the brute-force ground
     // truth — ANN quality is measured, not assumed. Composes the three
