@@ -120,6 +120,33 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include ("BroadcastNestedLoopJoin")
   }
 
+  test("span removal windows per-document and scans only (doc_id, text)") {
+    assume(haveData)
+    // the island merge must partition by doc_id (never a global
+    // window), and the documents scan must prune to the two columns
+    // the operator reads
+    val p = plan("q_dedup_span_removal")
+    // every window line must carry a doc_id partition spec — an empty
+    // partition list would funnel the corpus through one task
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    windows should not be empty
+    windows.foreach(w => w should include ("[doc_id"))
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1))
+      .filter(_.contains("text")).foreach { s =>
+        s.split(",").length should be <= 2
+      }
+  }
+
+  test("hybrid RRF takes top-10 per leg without a corpus-wide window") {
+    assume(haveData)
+    // each leg must reduce via TakeOrderedAndProject before the
+    // 10-row rank window; a global row_number over the corpus would
+    // single-partition the exchange
+    val p = plan("q_sim_hybrid_rrf")
+    p should include ("TakeOrderedAndProject")
+    p should include ("BroadcastNestedLoopJoin") // 1-row query vector
+  }
+
   test("interval-lookup join rewrites to a join-free probe") {
     assume(haveData)
     val p = plan("q_join_interval_lookup")
