@@ -891,6 +891,58 @@ object Similarity extends QueryPack {
         FROM asg LEFT JOIN agg ON agg.vec_id = asg.vec_id
         ORDER BY asg.vec_id""")),
 
+    // --------------------------------- hard-negative mining
+    // Contrastive-training data prep: for each anchor vector, the
+    // hardest negatives are the most-similar vectors of a DIFFERENT
+    // label — the examples a contrastive loss learns most from
+    // (easy negatives contribute ~zero gradient). Top-3 cross-label
+    // neighbors per anchor on the 1e-6 integer grid (bit-identical
+    // cosines in both engines), anchors broadcast, ties → lowest id.
+    // At 100 TB the anchor set is a sampled minibatch stream and the
+    // candidate side routes through the IVF lists exactly like
+    // q_sim_ivf_topk — the per-pair scoring shape is unchanged.
+    "q_sim_hard_negatives" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d).withColumn("vq",
+          expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+          .select(col("vec_id"), col("label"), col("vq"))
+        val anchors = broadcast(all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+            col("vq").as("aq")))
+        anchors.join(all.as("c"), col("label") =!= col("a_label"))
+          .select(col("a_id"), col("vec_id").as("n_id"),
+            expr("graft_qcos(aq, vq)").as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("a_id")
+              .orderBy(col("cos").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("a_id"), col("rank"), col("n_id"),
+            expr("floor(cos * 1e4 + 5e-1) / 1e4").as("cos"))
+          .orderBy("a_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        xq AS (SELECT vec_id, label, i,
+                      CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+               FROM u),
+        sq AS (SELECT vec_id, sum(xq*xq) AS s2 FROM xq GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS a_id, b.vec_id AS n_id,
+                        CAST(sum(a.xq * b.xq) AS DOUBLE) AS dot
+                 FROM xq a JOIN xq b ON b.i = a.i AND b.label <> a.label
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+        cosv AS (SELECT a_id, n_id,
+                        dot / (sqrt(CAST(sa.s2 AS DOUBLE))
+                               * sqrt(CAST(sb.s2 AS DOUBLE))) AS cos
+                 FROM dots JOIN sq sa ON sa.vec_id = a_id
+                           JOIN sq sb ON sb.vec_id = n_id),
+        ranked AS (SELECT a_id, n_id, cos,
+                          CAST(row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos DESC, n_id) AS INT) AS rank
+                   FROM cosv)
+        SELECT a_id, rank, n_id,
+               floor(cos * 1e4 + 5e-1) / 1e4 AS cos
+        FROM ranked WHERE rank <= 3 ORDER BY a_id, rank""")),
+
     // --------------------------------- hybrid retrieval (RRF fusion)
     // Reciprocal-rank fusion of a SPARSE (lexical BM25, resolved from
     // the registry so the two retrievers cannot drift) and a DENSE
