@@ -106,14 +106,15 @@ object Dedup extends QueryPack {
     * quadratic blow-up that kills inverted-index dedup at 100 TB. */
   private[operators] val MaxShingleDf = 1000
 
-  /** All (d1 < d2) pairs with Jaccard ≥ `threshold` over the df-capped
-    * shingle space, via inverted-list pair generation (one pass over the
-    * capped shingle stream). The hot set (df > maxDf) is tiny by
-    * definition, so removing it is a broadcast anti-join — the shingle
-    * stream itself never shuffles for the filter; pair emission per
-    * posting list is then provably ≤ maxDf² and in practice Zipf-small. */
-  private[operators] def jaccardPairs(
-      s: SparkSession, sh: DataFrame, threshold: Double,
+  /** Shared-shingle pair counts (d1 < d2, c, nsh1, nsh2) over the
+    * df-capped shingle space, via inverted-list pair generation (one
+    * pass over the capped shingle stream). The hot set (df > maxDf) is
+    * tiny by definition, so removing it is a broadcast anti-join — the
+    * shingle stream itself never shuffles for the filter; pair emission
+    * per posting list is then provably ≤ maxDf² and in practice
+    * Zipf-small. Feeds both the Jaccard and the containment scorers. */
+  private[operators] def pairCounts(
+      s: SparkSession, sh: DataFrame,
       maxDf: Int = MaxShingleDf): DataFrame = {
     import s.implicits._
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -136,11 +137,20 @@ object Dedup extends QueryPack {
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
       .join(ns.as("na"), col("na.doc_id") === col("d1"))
       .join(ns.as("nb"), col("nb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), col("c"),
+        col("na.nsh").as("nsh1"), col("nb.nsh").as("nsh2"))
+  }
+
+  /** All (d1 < d2) pairs with Jaccard ≥ `threshold` over the df-capped
+    * shingle space — see [[pairCounts]] for the kernel. */
+  private[operators] def jaccardPairs(
+      s: SparkSession, sh: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    pairCounts(s, sh, maxDf)
       .withColumn("jaccard",
-        col("c").cast("double") / (col("na.nsh") + col("nb.nsh") - col("c")))
+        col("c").cast("double") / (col("nsh1") + col("nsh2") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-  }
 
   /** DuckDB mirror of the stop-shingle removal: the capped shingle
     * stream `shc` feeds ns/common in the capped-Jaccard oracles. */
@@ -529,6 +539,47 @@ object Dedup extends QueryPack {
                round(CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c), 6) AS jaccard
         FROM common JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
         WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5
+        ORDER BY d1, d2""")),
+
+    // ------------------------------------------- containment dedup
+    // One-sided shingle containment c / min(|A|, |B|): the symmetric
+    // Jaccard score misses the short-document-inside-long-document
+    // case (a quoted article, a boilerplate-wrapped reprint — Jaccard
+    // dilutes toward the LONG doc's size, containment of the short doc
+    // stays ≈ 1). Same df-capped inverted-index kernel as the Jaccard
+    // pass (one pair-count computation feeds both scorers), threshold
+    // on the max directional containment.
+    "q_dedup_containment" -> GraftQuery(
+      run = (s, d) =>
+        pairCounts(s, shingles(s, d))
+          .withColumn("cont1",
+            col("c").cast("double") / col("nsh1"))
+          .withColumn("cont2",
+            col("c").cast("double") / col("nsh2"))
+          .filter(greatest(col("cont1"), col("cont2")) >= 0.8)
+          .select(col("d1"), col("d2"), col("c").as("shared"),
+            col("nsh1"), col("nsh2"),
+            round(col("cont1"), 6).as("cont1"),
+            round(col("cont2"), 6).as("cont2"),
+            when(col("nsh1") <= col("nsh2"), col("d1")).otherwise(col("d2"))
+              .as("contained_doc"))
+          .orderBy("d1", "d2"),
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, c AS shared, na.nsh AS nsh1, nb.nsh AS nsh2,
+               round(CAST(c AS DOUBLE)/na.nsh, 6) AS cont1,
+               round(CAST(c AS DOUBLE)/nb.nsh, 6) AS cont2,
+               CASE WHEN na.nsh <= nb.nsh THEN d1 ELSE d2 END
+                 AS contained_doc
+        FROM common JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+        WHERE greatest(CAST(c AS DOUBLE)/na.nsh, CAST(c AS DOUBLE)/nb.nsh)
+              >= 0.8
         ORDER BY d1, d2""")),
 
     // ---------------------------------------------------------- MinHash+LSH
