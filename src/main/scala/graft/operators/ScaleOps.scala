@@ -894,6 +894,74 @@ object ScaleOps extends QueryPack {
         FROM sk JOIN ex ON ex.source = sk.source
         ORDER BY sk.source""")),
 
+    // ----------------------------------- KMV set-operation estimates
+    // How much does a new crawl overlap the standing corpus? KMV
+    // sketches support set algebra HLL can't do without bias hacks:
+    // the k smallest hashes of A ∪ B are a uniform sample of the union,
+    // so |A ∩ B| ≈ (overlap-in-sketch / k) · |A ∪ B|, all in exact
+    // integer arithmetic (md5-derived 60-bit hashes, same estimator
+    // family as q_scale_kmv). Only sketch rows (k longs) cross the
+    // merge; membership flags come from broadcast-joining the k-row
+    // sketch back against the two sides. The exact intersection rides
+    // along for the error check. A = doc_id % 3 ≠ 0 (standing corpus),
+    // B = doc_id % 2 = 0 (new crawl) — text-hash identity, so shared
+    // content in both slices is the overlap.
+    "q_scale_kmv_intersect" -> GraftQuery(
+      run = (s, d) => {
+        val k = 8
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        val a = hashed.filter(col("doc_id") % 3 =!= 0).select("h").distinct()
+        val b = hashed.filter(col("doc_id") % 2 === 0).select("h").distinct()
+        val sketch = a.unionByName(b).distinct().orderBy("h").limit(k)
+        val flagged = broadcast(sketch)
+          .join(a.withColumn("in_a", lit(1L)), Seq("h"), "left")
+          .join(b.withColumn("in_b", lit(1L)), Seq("h"), "left")
+          .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth"),
+            sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+              .as("overlap_k"))
+          .withColumn("est_union",
+            expr(s"((k_actual - 1) * 1152921504606846976) div kth"))
+          .withColumn("est_intersect",
+            expr("(overlap_k * est_union) div k_actual"))
+        val exact = a.intersect(b).agg(count(lit(1)).as("exact_intersect"))
+          .crossJoin(a.unionByName(b).distinct()
+            .agg(count(lit(1)).as("exact_union")))
+        flagged.crossJoin(exact)
+          .select("k_actual", "kth", "overlap_k", "est_union",
+            "est_intersect", "exact_union", "exact_intersect")
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+          FROM documents),
+        a AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 3 <> 0),
+        b AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM a
+                                      UNION ALL SELECT h FROM b)),
+        sketch AS (SELECT h FROM u ORDER BY h LIMIT 8),
+        flagged AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_actual, max(s.h) AS kth,
+                 CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS overlap_k
+          FROM sketch s LEFT JOIN a ON a.h = s.h LEFT JOIN b ON b.h = s.h),
+        est AS (
+          SELECT k_actual, kth, overlap_k,
+                 CAST(((k_actual - 1) * 1152921504606846976) // kth
+                      AS BIGINT) AS est_union
+          FROM flagged),
+        ex AS (SELECT (SELECT CAST(count(*) AS BIGINT)
+                       FROM a JOIN b ON b.h = a.h) AS exact_intersect,
+                      (SELECT CAST(count(*) AS BIGINT) FROM u)
+                        AS exact_union)
+        SELECT k_actual, kth, overlap_k, est_union,
+               CAST((overlap_k * est_union) // k_actual AS BIGINT)
+                 AS est_intersect,
+               exact_union, exact_intersect
+        FROM est CROSS JOIN ex""")),
+
     // ------------------------------------------- Merkle dataset fingerprint
     // Hierarchical content hash of the corpus — the data-versioning
     // primitive: two copies of a 100 TB dataset are compared by
