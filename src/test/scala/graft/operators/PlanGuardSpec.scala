@@ -147,6 +147,17 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include ("BroadcastNestedLoopJoin") // 1-row query vector
   }
 
+  test("hard negatives broadcast the anchors; KMV sketch is a top-k take") {
+    assume(haveData)
+    // anchors are the tiny side of the non-equi label join — the corpus
+    // must stream past them, never the reverse; the KMV sketch must
+    // come from TakeOrderedAndProject, not a global sort
+    val hn = plan("q_sim_hard_negatives")
+    hn should include ("BroadcastNestedLoopJoin")
+    val kmv = plan("q_scale_kmv_intersect")
+    kmv should include ("TakeOrderedAndProject")
+  }
+
   test("interval-lookup join rewrites to a join-free probe") {
     assume(haveData)
     val p = plan("q_join_interval_lookup")

@@ -98,6 +98,21 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     w should be < textBytes
   }
 
+  test("span removal and containment shuffle linearly in positions, never pairs") {
+    assume(haveData)
+    // both shuffle the per-position digest stream (inherently ~a few ×
+    // the text volume: every word starts a shingle) — LINEAR in corpus
+    // size. The failure mode this bounds out is quadratic: pair
+    // emission over uncapped posting lists, or the island join
+    // fanning out, either of which blows through the bound at once.
+    val wSpan = shuffleWrite("q_dedup_span_removal")
+    wSpan should be > 0L
+    wSpan should be < textBytes * 10
+    val wCont = shuffleWrite("q_dedup_containment")
+    wCont should be > 0L
+    wCont should be < textBytes * 10
+  }
+
   test("the count-min sketch aggregates cells, not words") {
     assume(haveData)
     // the sketch side reduces to 4×64 (row, bucket) cells via partial
