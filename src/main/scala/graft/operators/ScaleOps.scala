@@ -894,6 +894,62 @@ object ScaleOps extends QueryPack {
         FROM sk JOIN ex ON ex.source = sk.source
         ORDER BY sk.source""")),
 
+    // ----------------------------------- token-budget mixture allocator
+    // The pretraining data-mix table: given each source's token SUPPLY
+    // and a quality-derived mixture WEIGHT, allocate a fixed token
+    // budget — target tokens, sampling rate, and epoch count per source
+    // (rate > 1e6 ppm ⇔ epochs > 1 ⇔ the source repeats, the
+    // LLaMA-style up-sampling of small high-quality sources). Weights
+    // here are the count of docs passing a simple quality gate, so the
+    // whole allocation is exact integer arithmetic: one aggregate per
+    // source + one broadcast total, no second pass over text.
+    "q_scale_token_budget" -> GraftQuery(
+      run = (s, d) => {
+        val budget = 1000000L
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("toks"),
+            col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("avail_tokens"),
+            sum(when(col("n_chars") >= 200L && col("toks") >= 30L, 1L)
+              .otherwise(0L)).as("weight"))
+        val tot = perSrc.agg(sum(col("weight")).as("w_total"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("avail_tokens"),
+            col("weight"),
+            expr(s"($budget * weight) div w_total").as("target_tokens"),
+            expr(s"(($budget * weight) div w_total) * 1000000 " +
+              "div avail_tokens").as("rate_ppm"),
+            expr(s"(($budget * weight) div w_total) * 1000 " +
+              "div avail_tokens").as("epochs_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) AS toks,
+                 n_chars
+          FROM documents),
+        per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS avail_tokens,
+                 CAST(sum(CASE WHEN n_chars >= 200 AND toks >= 30
+                               THEN 1 ELSE 0 END) AS BIGINT) AS weight
+          FROM t GROUP BY source),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per_src)
+        SELECT source, n_docs, avail_tokens, weight,
+               CAST((1000000 * weight) // w_total AS BIGINT)
+                 AS target_tokens,
+               CAST(((1000000 * weight) // w_total) * 1000000
+                    // avail_tokens AS BIGINT) AS rate_ppm,
+               CAST(((1000000 * weight) // w_total) * 1000
+                    // avail_tokens AS BIGINT) AS epochs_milli
+        FROM per_src CROSS JOIN tot ORDER BY source""")),
+
     // ----------------------------------- KMV set-operation estimates
     // How much does a new crawl overlap the standing corpus? KMV
     // sketches support set algebra HLL can't do without bias hacks:
