@@ -894,6 +894,57 @@ object ScaleOps extends QueryPack {
         FROM sk JOIN ex ON ex.source = sk.source
         ORDER BY sk.source""")),
 
+    // ----------------------------------- partition completeness audit
+    // Backfill planning: against the expected (event_type × hour)
+    // calendar grid spanning the observed range, which cells are
+    // MISSING? An ingestion gap (a dead upstream, a dropped batch)
+    // shows up as holes a downstream consumer silently averages over.
+    // The grid is generated (sequence over integer hour indices — no
+    // data shuffled to build it), observed cells reduce to distinct
+    // (type, hour) pairs map-side, and the audit reports per type the
+    // expected/observed/missing counts and the first hole to backfill.
+    // Integer hour indices (epoch_us div 3600e6) on both engines.
+    "q_scale_partition_audit" -> GraftQuery(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("h"))
+        val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val expected = ev.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+        val observed = ev.distinct().withColumn("seen", lit(1L))
+        expected.join(observed, Seq("event_type", "h"), "left")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("expected_hours"),
+            sum(coalesce(col("seen"), lit(0L))).as("observed_hours"),
+            (count(lit(1)) - sum(coalesce(col("seen"), lit(0L))))
+              .as("missing_hours"),
+            min(when(col("seen").isNull, col("h")))
+              .as("first_missing_hour"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                    FROM events),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        expected AS (
+          SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                      FROM bounds) g),
+        observed AS (SELECT DISTINCT event_type, h, 1 AS seen FROM ev)
+        SELECT e.event_type AS event_type,
+               CAST(count(*) AS BIGINT) AS expected_hours,
+               CAST(sum(coalesce(seen, 0)) AS BIGINT) AS observed_hours,
+               CAST(count(*) - sum(coalesce(seen, 0)) AS BIGINT)
+                 AS missing_hours,
+               min(CASE WHEN seen IS NULL THEN e.h END)
+                 AS first_missing_hour
+        FROM expected e LEFT JOIN observed o
+          ON o.event_type = e.event_type AND o.h = e.h
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
     // ----------------------------------- token-budget mixture allocator
     // The pretraining data-mix table: given each source's token SUPPLY
     // and a quality-derived mixture WEIGHT, allocate a fixed token

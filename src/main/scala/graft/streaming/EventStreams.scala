@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
-/** Event record as read from the stream (ts = nanos since epoch; the
-  * testdata parquet stores TIMESTAMP(NANOS), read as long). */
+/** Event record as read from the stream (ts = nanos since epoch — the
+  * normalized contract [[EventStreams.eventStream]] produces whatever
+  * physical type the parquet carries). */
 final case class Event(
     event_id: Long, ts: Long, user_id: Long, event_type: String,
     value: Double, props: String)
