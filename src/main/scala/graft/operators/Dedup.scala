@@ -615,6 +615,65 @@ object Dedup extends QueryPack {
         WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5
         ORDER BY d1, d2""")),
 
+    // ------------------------------------- LSH banding quality, measured
+    // Precision/recall of the MinHash band CANDIDATE set against the
+    // exact df-capped Jaccard ≥ 0.5 ground truth — the dedup analogue
+    // of q_sim_recall: banding quality is measured, not assumed. Recall
+    // misses are pairs no band caught (the 4×4 banding's S-curve tail);
+    // precision misses are band collisions the verification step
+    // discards — this query quantifies how much verification work the
+    // banding actually saves. Single-row integer ppm output.
+    "q_dedup_lsh_eval" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val truth = jaccardPairs(s, shingles(s, d), 0.5)
+          .select(col("d1"), col("d2"))
+        val bands = minhashBandRows(
+            shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val hits = cand.join(truth, Seq("d1", "d2"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+            expr("n_hits * 1000000 div n_truth").as("recall_ppm"),
+            expr("n_hits * 1000000 div n_candidates").as("precision_ppm"))
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $minhashBandsCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT d1, d2 FROM common
+          JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+          WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id),
+        sel AS (SELECT (SELECT count(*) FROM truth) AS t,
+                       (SELECT count(*) FROM cand) AS c,
+                       (SELECT count(*)
+                        FROM cand JOIN truth
+                          ON truth.d1 = cand.d1 AND truth.d2 = cand.d2)
+                         AS h)
+        SELECT CAST(t AS BIGINT) AS n_truth,
+               CAST(c AS BIGINT) AS n_candidates,
+               CAST(h AS BIGINT) AS n_hits,
+               CAST(h * 1000000 // t AS BIGINT) AS recall_ppm,
+               CAST(h * 1000000 // c AS BIGINT) AS precision_ppm
+        FROM sel""")),
+
     // ------------------------------------------------- incremental ingestion
     // The daily-crawl admission gate: dedup a NEW batch (doc_id % 5 = 4
     // stands in for today's arrivals) against the EXISTING corpus
