@@ -378,6 +378,81 @@ object Multimodal extends QueryPack {
                CAST((sum(b) * 1000) // 16 AS BIGINT) AS mean_milli,
                min(b) AS min_b, max(b) AS max_b
         FROM px GROUP BY 1, 2, 3
-        ORDER BY doc_id, patch_r, patch_c"""))
+        ORDER BY doc_id, patch_r, patch_c""")),
+
+    // ------------------------------------------- cross-modal dedup union
+    // A multimodal corpus duplicates along EITHER axis: same caption on
+    // different videos (text near-dup), same video re-captioned (frame
+    // near-dup). Each modality's candidate generator runs its own
+    // bounded index (MinHash bands / frame-fingerprint postings — the
+    // two packs this composes), and the dispositions union on the pair
+    // key, labeling which modality flagged it — the curation decision
+    // differs per label (text_only → keep one caption; frames_only →
+    // keep one video; both → exact re-upload).
+    "q_mm_cross_modal_dedup" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val bands = graft.operators.Dedup.minhashBandRows(
+            graft.operators.Dedup.shingleSets(Tables.documents(s, d))
+              .as[(Long, Seq[String])])
+          .toDF("doc_id", "band", "key")
+        val textPairs = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .withColumn("in_text", lit(1L))
+        val sigs = synth(s, d)
+          .select(col("doc_id"), col("blob"),
+            explode(sequence(lit(0), lit(7))).as("f"))
+          .select(col("doc_id"),
+            expr(s"CAST(conv(hex(substring(blob, 1 + 17*f, 4)), 16, 10) " +
+              "AS BIGINT) % 1024").as("sig"))
+          .distinct()
+        val framePairs = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("d1"), col("d2"))
+          .withColumn("in_frames", lit(1L))
+        textPairs.join(framePairs, Seq("d1", "d2"), "outer")
+          .select(col("d1"), col("d2"),
+            coalesce(col("in_text"), lit(0L)).as("in_text"),
+            coalesce(col("in_frames"), lit(0L)).as("in_frames"),
+            when(col("in_text").isNotNull && col("in_frames").isNotNull,
+              lit("both"))
+              .when(col("in_text").isNotNull, lit("text_only"))
+              .otherwise(lit("frames_only")).as("modality"))
+          .orderBy("d1", "d2")
+      },
+      oracle = Some(s"""
+        WITH ${graft.operators.Dedup.docShinglesCte},
+        ${graft.operators.Dedup.minhashBandsCte},
+        $synthCte,
+        tp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+        sigs AS (
+          SELECT DISTINCT doc_id,
+                 ('0x'||substr(hx, 34*f + 1, 8))::BIGINT % 1024 AS sig
+          FROM media, generate_series(0, 7) t(f)),
+        fp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+               FROM sigs a JOIN sigs b
+                 ON a.sig = b.sig AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT coalesce(tp.d1, fp.d1) AS d1, coalesce(tp.d2, fp.d2) AS d2,
+               CAST(CASE WHEN tp.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS in_text,
+               CAST(CASE WHEN fp.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS in_frames,
+               CASE WHEN tp.d1 IS NOT NULL AND fp.d1 IS NOT NULL THEN 'both'
+                    WHEN tp.d1 IS NOT NULL THEN 'text_only'
+                    ELSE 'frames_only' END AS modality
+        FROM tp FULL OUTER JOIN fp ON fp.d1 = tp.d1 AND fp.d2 = tp.d2
+        ORDER BY d1, d2"""))
   )
 }

@@ -51,7 +51,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_text_cdc", "q_scale_bloom_join", "q_text_bm25", "q_scale_merkle",
     "q_dedup_incremental", "q_dedup_span_removal", "q_sim_hybrid_rrf",
     "q_sim_hard_negatives", "q_dedup_containment", "q_scale_kmv_intersect",
-    "q_scale_token_budget", "q_scale_partition_audit", "q_dedup_lsh_eval")
+    "q_scale_token_budget", "q_scale_partition_audit", "q_dedup_lsh_eval",
+    "q_mm_cross_modal_dedup")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
