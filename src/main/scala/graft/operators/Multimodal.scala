@@ -74,6 +74,88 @@ object Multimodal extends QueryPack {
       MediaFeatures(r.doc_id, n, bytes.sum.toDouble / n, bytes.max, entropy)
     }
 
+  /** Frame-fingerprint document-frequency ceiling — the frame-leg twin
+    * of [[Dedup.MaxShingleDf]]. A fingerprint shared by more docs than
+    * this (a black frame, an intro card) carries no near-dup signal and
+    * its posting list would emit O(df²) pairs; dropping it bounds pair
+    * emission per bucket at maxDf² regardless of corpus size. */
+  private[operators] val MaxFrameSigDf = 1000
+
+  /** Synthetic "video": 8 frames of 16 bytes, frame f = md5 digest of
+    * the 32-char text window starting at 32f. Near-dup documents (the
+    * corpus' shared-prefix docs) therefore share the frames covering
+    * their common windows — fingerprint collisions carry SIGNAL (same
+    * underlying content), not hash-fold load. `n_frames` counts only
+    * full windows so a short doc never emits the padded-tail digest
+    * every other short doc would also emit. */
+  private def vsynth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      unhex(concat((0 until 8).map(f =>
+        md5(substring(col("text"), 1 + 32 * f, 32))): _*)).as("vblob"),
+      least(floor(col("n_chars") / 32), lit(8)).cast("int").as("n_frames"))
+
+  /** Distinct (doc_id, sig) frame fingerprints: the full 32-bit leading
+    * word of each frame's digest, read back out of the binary payload.
+    * No modulus fold — a 1024-value space would make every bucket hold
+    * n/1024 docs at corpus scale (O(n²/1024) pairs); in the full 32-bit
+    * space equal signatures mean equal frames. */
+  private[operators] def frameSignatures(s: SparkSession, d: String): DataFrame =
+    vsynth(s, d)
+      .select(col("doc_id"), col("n_frames"), col("vblob"),
+        explode(sequence(lit(0), lit(7))).as("f"))
+      .filter(col("f") < col("n_frames"))
+      .select(col("doc_id"),
+        expr("CAST(conv(hex(substring(vblob, 1 + 16*f, 4)), 16, 10) " +
+          "AS BIGINT)").as("sig"))
+      .distinct()
+
+  /** Candidate pairs (d1 < d2, n_shared) from an inverted index on the
+    * frame fingerprint, mirroring [[Dedup.pairCounts]]: the hot set
+    * (df > maxDf) is removed by broadcast anti-join before any pair
+    * forms, and the typed pair generator re-checks the bound, so
+    * per-bucket emission is provably ≤ maxDf² even if a popular
+    * fingerprint dominates the corpus. Only (doc_id, sig) pairs ever
+    * shuffle — frame bytes stay in the scan stage. */
+  private[operators] def framePairs(
+      s: SparkSession, sigs: DataFrame,
+      maxDf: Int = MaxFrameSigDf): DataFrame = {
+    import s.implicits._
+    val hot = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sig")
+    val capped = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
+    capped.select(col("doc_id"), col("sig")).as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        if (ids.length > maxDf) Iterator.empty // hard bound; hot set is gone
+        else {
+          java.util.Arrays.sort(ids)
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+        }
+      }
+      .toDF("d1", "d2")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** DuckDB mirror of signatures → capped stream → pairs (n_shared≥2). */
+  private val vpairsCte = s"""
+    vsigs AS (
+      SELECT DISTINCT doc_id,
+             ('0x'||substr(md5(substr(text, 1 + 32*f, 32)), 1, 8))::BIGINT
+               AS sig
+      FROM documents, generate_series(0, 7) t(f)
+      WHERE n_chars >= 32*(f+1)),
+    vhot AS (SELECT sig FROM vsigs GROUP BY sig
+             HAVING count(*) > $MaxFrameSigDf),
+    vsc AS (SELECT doc_id, sig FROM vsigs
+            WHERE sig NOT IN (SELECT sig FROM vhot)),
+    vpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+               FROM vsc a JOIN vsc b
+                 ON a.sig = b.sig AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ---------------------------------------------- header decode → metadata
@@ -236,45 +318,20 @@ object Multimodal extends QueryPack {
     // ------------------------------------- video near-dup (frame overlap)
     // The standard video-dedup shape: per-frame fingerprints → inverted
     // index on fingerprint → candidate pairs by shared-frame count.
-    // Frames = the payload's 8×16-byte segments; fingerprint = leading
-    // 4 frame bytes folded to a 1024-bucket space (the synthetic
-    // analog of a coarse perceptual hash — collisions stand in for
-    // visually-identical frames). Only (doc_id, fingerprint) pairs
-    // shuffle — never frame bytes; posting lists are bounded by the
-    // fingerprint-space size exactly like the shingle df cap.
+    // Fingerprint = the full 32-bit leading word of each frame digest
+    // (no modulus fold — collisions mean equal frames, i.e. signal),
+    // and the posting list is df-capped before pair emission exactly
+    // like the shingle kernel, so a popular fingerprint can never
+    // trigger the O(n²/buckets) blow-up. Only (doc_id, sig) rows
+    // shuffle — frame bytes stay in the scan stage.
     "q_mm_video_neardup" -> GraftQuery(
-      run = (s, d) => {
-        val sigs = synth(s, d)
-          .select(col("doc_id"), col("blob"),
-            explode(sequence(lit(0), lit(7))).as("f"))
-          .select(col("doc_id"),
-            // stride 17, not 16: the synthetic payload is the 16-byte
-            // md5 repeated, so frame-aligned reads would give all 8
-            // frames ONE identical signature; the +f phase makes each
-            // frame sample a distinct window (a real codec's frames
-            // differ on their own)
-            expr(s"CAST(conv(hex(substring(blob, 1 + 17*f, 4)), 16, 10) " +
-              "AS BIGINT) % 1024").as("sig"))
-          .distinct()
-        sigs.as("a")
-          .join(sigs.as("b"),
-            col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("n_shared"))
+      run = (s, d) =>
+        framePairs(s, frameSignatures(s, d))
           .filter(col("n_shared") >= 2)
-          .orderBy("d1", "d2")
-      },
+          .orderBy("d1", "d2"),
       oracle = Some(s"""
-        WITH $synthCte,
-        sigs AS (
-          SELECT DISTINCT doc_id,
-                 ('0x'||substr(hx, 34*f + 1, 8))::BIGINT % 1024 AS sig
-          FROM media, generate_series(0, 7) t(f))
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
-        FROM sigs a JOIN sigs b
-          ON a.sig = b.sig AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2
+        WITH $vpairsCte
+        SELECT d1, d2, n_shared FROM vpairs
         ORDER BY d1, d2""")),
 
     // --------------------- audio energy segmentation (VAD shape)
@@ -402,48 +459,32 @@ object Multimodal extends QueryPack {
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
           .withColumn("in_text", lit(1L))
-        val sigs = synth(s, d)
-          .select(col("doc_id"), col("blob"),
-            explode(sequence(lit(0), lit(7))).as("f"))
-          .select(col("doc_id"),
-            expr(s"CAST(conv(hex(substring(blob, 1 + 17*f, 4)), 16, 10) " +
-              "AS BIGINT) % 1024").as("sig"))
-          .distinct()
-        val framePairs = sigs.as("a")
-          .join(sigs.as("b"),
-            col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("n_shared"))
+        val frameLeg = framePairs(s, frameSignatures(s, d))
           .filter(col("n_shared") >= 2)
           .select(col("d1"), col("d2"))
           .withColumn("in_frames", lit(1L))
-        textPairs.join(framePairs, Seq("d1", "d2"), "outer")
+        // coalesce the flags first, then derive the label from the
+        // coalesced values — no name shadowing between the two selects
+        textPairs.join(frameLeg, Seq("d1", "d2"), "outer")
           .select(col("d1"), col("d2"),
             coalesce(col("in_text"), lit(0L)).as("in_text"),
-            coalesce(col("in_frames"), lit(0L)).as("in_frames"),
-            when(col("in_text").isNotNull && col("in_frames").isNotNull,
+            coalesce(col("in_frames"), lit(0L)).as("in_frames"))
+          .select(col("d1"), col("d2"), col("in_text"), col("in_frames"),
+            when(col("in_text") === 1L && col("in_frames") === 1L,
               lit("both"))
-              .when(col("in_text").isNotNull, lit("text_only"))
+              .when(col("in_text") === 1L, lit("text_only"))
               .otherwise(lit("frames_only")).as("modality"))
           .orderBy("d1", "d2")
       },
       oracle = Some(s"""
         WITH ${graft.operators.Dedup.docShinglesCte},
         ${graft.operators.Dedup.minhashBandsCte},
-        $synthCte,
+        $vpairsCte,
         tp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id),
-        sigs AS (
-          SELECT DISTINCT doc_id,
-                 ('0x'||substr(hx, 34*f + 1, 8))::BIGINT % 1024 AS sig
-          FROM media, generate_series(0, 7) t(f)),
-        fp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-               FROM sigs a JOIN sigs b
-                 ON a.sig = b.sig AND a.doc_id < b.doc_id
-               GROUP BY 1, 2 HAVING count(*) >= 2)
+        fp AS (SELECT d1, d2 FROM vpairs)
         SELECT coalesce(tp.d1, fp.d1) AS d1, coalesce(tp.d2, fp.d2) AS d2,
                CAST(CASE WHEN tp.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
                  AS in_text,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.ShuffleMeter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Hot-key stress: drive the two inverted-index pair kernels with a
+  * single key at 100× the df cap and prove — as a failing test, not
+  * prose — that (a) the hot posting list emits ZERO pairs while normal
+  * buckets still pair, and (b) shuffle volume stays orders of magnitude
+  * under the O(df²) emission an uncapped kernel would produce. This is
+  * the 100 TB claim for `Dedup.pairCounts` and `Multimodal.framePairs`
+  * in executable form.
+  */
+class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("hotkey-stress")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // one shingle/fingerprint shared by 100×cap docs + two rare pairs
+  private val Cap = 20
+  private val HotDf = Cap * 100
+
+  test("pairCounts drops the hot shingle and keeps rare-pair signal") {
+    import spark.implicits._
+    val hot = (0L until HotDf).map(i => (i, "the quick fox"))
+    val rare = Seq((1L, "rare shingle one"), (3L, "rare shingle one"),
+      (5L, "rare shingle two"), (7L, "rare shingle two"),
+      (9L, "solo shingle"))
+    val sh = (hot ++ rare).toDF("doc_id", "s")
+
+    var pairs: Array[(Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      pairs = Dedup.pairCounts(spark, sh, maxDf = Cap)
+        .select("d1", "d2").as[(Long, Long)].collect().sorted
+    }
+    // only the two rare co-occurrences survive; none of the ~2M
+    // hot-bucket pairs exist
+    pairs shouldBe Array((1L, 3L), (5L, 7L))
+    // an uncapped kernel would shuffle HotDf²/2 = 2M pair rows
+    // (≥ 32 MB of (long, long) tuples); the capped kernel's whole run
+    // — posting lists + df agg + pair agg — stays under 1 MB
+    m.shuffleWrite should be < (1L << 20)
+  }
+
+  test("framePairs drops the hot fingerprint and keeps rare-pair signal") {
+    import spark.implicits._
+    val hotSig = 0xDEADL
+    val hot = (0L until HotDf).map(i => (i, hotSig))
+    val rare = Seq((2L, 7001L), (4L, 7001L), (2L, 7002L), (4L, 7002L),
+      (6L, 8001L), (8L, 8001L))
+    val sigs = (hot ++ rare).toDF("doc_id", "sig")
+
+    var pairs: Array[(Long, Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      pairs = Multimodal.framePairs(spark, sigs, maxDf = Cap)
+        .select("d1", "d2", "n_shared").as[(Long, Long, Long)]
+        .collect().sorted
+    }
+    pairs shouldBe Array((2L, 4L, 2L), (6L, 8L, 1L))
+    m.shuffleWrite should be < (1L << 20)
+  }
+
+  test("pair emission is bounded by cap² per bucket, not df²") {
+    import spark.implicits._
+    // every bucket exactly at the cap: emission = buckets · cap·(cap−1)/2
+    val atCap = (0 until 10).flatMap { b =>
+      (0 until Cap).map(i => (b * 1000L + i, b.toLong))
+    }.toDF("doc_id", "sig")
+    val n = Multimodal.framePairs(spark, atCap, maxDf = Cap)
+      .agg(sum(lit(1L))).head().getLong(0)
+    n shouldBe 10L * Cap * (Cap - 1) / 2
+  }
+}
