@@ -668,7 +668,7 @@ object Similarity extends QueryPack {
             col("probe") === col("list") && col("i") === col("cbi"))
           .groupBy(col("q_id"), col("probe"), col("sub"), col("code"))
           .agg(sum(col("xq") * col("cmean")).as("t"))
-        sel.join(assign, "vec_id")
+        val out = sel.join(assign, "vec_id")
           .join(broadcast(qtab),
             col("list") === qtab("probe") &&
               sel("sub") === qtab("sub") && sel("code") === qtab("code") &&
@@ -696,6 +696,14 @@ object Similarity extends QueryPack {
           .filter(col("rank") <= 3)
           .select("q_id", "rank", "n_id", "approx_dot")
           .orderBy("q_id", "rank")
+        // materialize the ≤ k·queries result rows, then RELEASE both
+        // caches — returning the lazy plan instead would pin resid+cb
+        // in executor storage for the session (every re-invocation,
+        // e.g. by q_sim_ivfpq_recall, stacking another copy)
+        val rows = out.collect()
+        resid.unpersist()
+        cb.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some(s"""
         WITH $unnestCte,

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Registry queries that persist intermediates must release them before
+  * returning: a pipeline invoking a query repeatedly (as
+  * q_sim_ivfpq_recall composes q_sim_ivfpq) must not accumulate
+  * executor storage across invocations. */
+class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("cache-hygiene")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q_sim_ivfpq leaves no persisted RDDs behind") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    val r1 = SparkEntry.queries("q_sim_ivfpq")(spark, sf).count()
+    val r2 = SparkEntry.queries("q_sim_ivfpq")(spark, sf).count()
+    r1 shouldBe r2
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+}
