@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  @volatile private var canarySink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +28,32 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => }
       }
+    // Load canary: a fixed CPU-bound probe timed before and after the
+    // run. The probe's cost is invariant, so end/start ≫ 1 means
+    // ambient box load inflated this round's numbers — the
+    // machine-readable signal that lets a reader discount a loaded run
+    // instead of reverse-engineering it from per-query deltas. A plain
+    // multi-threaded JVM spin loop, NOT a Spark query: the Spark stack
+    // keeps warming (C2, codegen caches) across the whole run, which
+    // would bias any Spark-query probe fast-at-end and mask inflation.
+    // min-of-3 so one scheduler hiccup doesn't fake a spike.
+    def canaryProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until 8).map(_ => new Thread(() => {
+          var x = 0L
+          var i = 0L
+          while (i < 100000000L) { x ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+          canarySink = x // volatile write defeats dead-code elimination
+        }))
+        ts.foreach(_.start())
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
+    canaryProbe() // untimed: pay the probe's own JIT before the baseline
+    val canaryStart = canaryProbe()
     // fixed name order: per-query timings attribute stage-cache builds
     // (the ms chain's tensors/models) to the same query every round, so
     // BENCH_rN deltas reflect real changes, not Map iteration order
@@ -65,6 +93,9 @@ object Bench {
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL $qsAll""")
+    val canaryEnd = canaryProbe()
+    println(s"""BENCH_CANARY {"start":${r3(canaryStart)},"end":${r3(
+        canaryEnd)},"ratio":${r3(canaryEnd / canaryStart)}}""")
     val failedNames = results.collect { case (k, v) if v < 0 => k }
     if (failedNames.nonEmpty)
       println(s"""BENCH_FAILED ${failedNames.mkString(",")}""")
