@@ -33,12 +33,17 @@ object Tables {
     * precision). Sessions run with UTC session time, so the NTZ cast is
     * the identity mapping DuckDB's `epoch_us` applies. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
+      case LongType => raw
+      case TimestampType | TimestampNTZType => raw.withColumn("ts",
         org.apache.spark.sql.functions.expr(
           "unix_micros(cast(ts as timestamp)) * 1000"))
+      // loud, not silent: coercing an unexpected physical type (string,
+      // int32, …) would break the ns contract downstream with no trace
+      case other => throw new IllegalStateException(
+        s"events.ts: expected INT64 (ns) or timestamp, got $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

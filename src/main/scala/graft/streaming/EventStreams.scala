@@ -123,10 +123,17 @@ object EventStreams extends QueryPack {
       globFilter.foreach(g => r = r.option("pathGlobFilter", g))
       r.parquet(dir).schema("ts").dataType
     } catch {
-      // zero matching files (an empty landing directory): nothing to
-      // sniff and nothing to read — declare the historical ns-long
-      // contract so the stream starts (empty) exactly as before
-      case _: org.apache.spark.sql.AnalysisException => LongType
+      // zero matching files (an empty or not-yet-created landing
+      // directory): nothing to sniff and nothing to read — declare the
+      // historical ns-long contract so the stream starts (empty)
+      // exactly as before. ONLY those two conditions: a genuinely
+      // broken path or unreadable footer must fail loudly here, not
+      // surface later as a confusingly empty stream.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+              c.startsWith("PATH_NOT_FOUND")) =>
+        LongType
     }
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
