@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.LongType
   * This is the whole-operator tier of SURVEY §2.3's nearest-value
   * family: the aggregate formulation (`q_join_asof`, min-of-struct
   * argmin) is the shuffle-friendly general form; THIS operator is the
-  * broadcast form — right side collected once per query, grouped by
+  * broadcast form — right side shipped through a broadcast exchange
+  * and indexed per executor ([[AsOfJoinExec.buildIndex]]): grouped by
   * key, time-sorted, probed by binary search in O(log n) per left row
-  * with the left side streaming in place (no exchange, no per-row
-  * candidate explosion). At 100 TB with a broadcastable right side
+  * with the left side streaming in place (no shuffle of the probe
+  * side, no per-row candidate explosion). At 100 TB with a
+  * broadcastable right side
   * (reference prices, config snapshots, model versions) this is the
   * shape you want; a non-broadcastable right side falls back to the
   * aggregate form.
@@ -49,6 +51,57 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoinExec {
+  /** Per-executor probe-index cache: the broadcast ships RAW build rows
+    * (IdentityBroadcastMode — the exchange only accepts HashedRelation
+    * or Array[InternalRow] from a mode's transform, so the index can't
+    * be built inside it), and each executor builds the by-key →
+    * time-sorted index ONCE per broadcast, not once per partition.
+    * WeakHashMap keyed on the broadcast handle: entries die with the
+    * broadcast, so a long session never accumulates stale indexes. */
+  private val indexCache = new java.util.WeakHashMap[
+    AnyRef, Map[Long, (Array[Long], Array[InternalRow])]]()
+
+  private[plans] def buildIndex(
+      bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+      byIdx: Int, onIdx: Int, tieIdx: Int, maxBuildRows: Long)
+      : Map[Long, (Array[Long], Array[InternalRow])] =
+    indexCache.synchronized {
+      val cached = indexCache.get(bc)
+      if (cached != null) cached
+      else {
+        val rows = bc.value
+        // a second, lower ceiling under Spark's own broadcast limits,
+        // kept for the loud error pointing at the shuffle-friendly
+        // alternative (an as-of build is usually reference data; a
+        // huge one is a wrong-operator smell well before it is a
+        // memory problem)
+        if (rows.length > maxBuildRows) throw new IllegalStateException(
+          s"as-of join: build (right) side exceeds " +
+            s"spark.graft.asof.maxBuildRows=$maxBuildRows rows. For a " +
+            "large right side use the aggregate as-of formulation " +
+            "(min-of-struct argmin, see q_join_asof) or raise the ceiling.")
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, InternalRow)]
+        rows.foreach { r =>
+          // null key/time rows can never be an as-of match — drop at
+          // build (broadcast rows are materialized copies, safe to keep)
+          if (!r.isNullAt(byIdx) && !r.isNullAt(onIdx))
+            buf += ((r.getLong(byIdx), r.getLong(onIdx),
+              if (r.isNullAt(tieIdx)) Long.MinValue else r.getLong(tieIdx),
+              r))
+        }
+        val built = buf.groupBy(_._1)
+          .map { case (k, rs) =>
+            val sorted = rs.sortBy(x => (x._2, x._3))
+            k -> ((sorted.map(_._2).toArray, sorted.map(_._4).toArray))
+          }
+        indexCache.put(bc, built)
+        built
+      }
+    }
+}
+
 case class AsOfJoinExec(
     leftBy: Attribute,
     leftOn: Attribute,
@@ -64,6 +117,22 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  private def buildOrdinal(a: Attribute): Int = {
+    val i = right.output.indexWhere(_.exprId == a.exprId)
+    require(i >= 0,
+      s"as-of join: '${a.name}' not in build-side output ${right.output}")
+    i
+  }
+
+  /** The build side is a BROADCAST child: EnsureRequirements plants a
+    * BroadcastExchangeExec, so this operator never collects rows to the
+    * driver itself — the build runs under Spark's broadcast thresholds
+    * and memory accounting, and the probe index is built per executor
+    * from the broadcast rows ([[AsOfJoinExec.buildIndex]]). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
       "number of output rows"),
@@ -72,49 +141,22 @@ case class AsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val byB = BindReferences.bindReference(rightBy: Expression, right.output)
-    val onB = BindReferences.bindReference(rightOn: Expression, right.output)
-    val tieB = BindReferences.bindReference(rightTie: Expression, right.output)
-    // The build collects the right side to the driver. Stream it
-    // partition-at-a-time with a hard row ceiling so an oversized right
-    // side fails loudly (pointing at the shuffle-friendly aggregate
-    // form) instead of OOMing the driver mid-executeCollect.
+    val numBuildRows = longMetric("numBuildRows")
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val byIdx = buildOrdinal(rightBy)
+    val onIdx = buildOrdinal(rightOn)
+    val tieIdx = buildOrdinal(rightTie)
     val maxBuildRows = conf
       .getConfString("spark.graft.asof.maxBuildRows", "5000000").toLong
-    val rowsIt =
-      org.apache.spark.sql.graftinternal.Bridge.executeToIterator(right)
-    val buf =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, InternalRow)]
-    var seen = 0L
-    while (rowsIt.hasNext) {
-      val r = rowsIt.next()
-      seen += 1
-      if (seen > maxBuildRows) throw new IllegalStateException(
-        s"as-of join: build (right) side exceeds " +
-          s"spark.graft.asof.maxBuildRows=$maxBuildRows rows. The broadcast " +
-          "as-of form collects the right side to the driver; for a large " +
-          "right side use the aggregate as-of formulation (min-of-struct " +
-          "argmin, see q_join_asof) or raise the ceiling.")
-      // null key/time rows can never be an as-of match — drop at build
-      val k = byB.eval(r); val t = onB.eval(r); val tb = tieB.eval(r)
-      if (k != null && t != null)
-        buf += ((k.asInstanceOf[Long], t.asInstanceOf[Long],
-          if (tb == null) Long.MinValue else tb.asInstanceOf[Long], r.copy()))
-    }
-    val built: Map[Long, (Array[Long], Array[InternalRow])] =
-      buf.groupBy(_._1)
-        .map { case (k, rows) =>
-          val sorted = rows.sortBy(x => (x._2, x._3))
-          k -> (sorted.map(_._2).toArray, sorted.map(_._4).toArray)
-        }
-    longMetric("numBuildRows").add(built.valuesIterator.map(_._1.length).sum)
-    val bc = sparkContext.broadcast(built)
     val lByB = BindReferences.bindReference(leftBy: Expression, left.output)
     val lOnB = BindReferences.bindReference(leftOn: Expression, left.output)
     val outAttrs = output
     val nRight = nullableRightOutput.length
-    left.execute().mapPartitions({ it =>
-      val groups = bc.value
+    left.execute().mapPartitionsWithIndex({ (pidx, it) =>
+      val groups =
+        AsOfJoinExec.buildIndex(bc, byIdx, onIdx, tieIdx, maxBuildRows)
+      if (pidx == 0) // once, not per partition
+        numBuildRows.add(groups.valuesIterator.map(_._1.length.toLong).sum)
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(nRight)

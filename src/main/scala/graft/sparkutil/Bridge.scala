@@ -21,13 +21,4 @@ object Bridge {
       s: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     BridgeImpl.ofRows(s, plan)
-
-  /** `SparkPlan.executeToIterator` is `private[spark]`; exposed so a
-    * driver-side build (AsOfJoinExec) can stream partitions one at a
-    * time and enforce a row ceiling BEFORE materializing the whole
-    * result — `executeCollect` would OOM first and fail opaquely. */
-  def executeToIterator(
-      plan: org.apache.spark.sql.execution.SparkPlan)
-      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-    plan.executeToIterator()
 }

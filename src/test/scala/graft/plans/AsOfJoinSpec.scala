@@ -110,5 +110,9 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     plan should include ("AsOfJoin") // SparkPlan.nodeName strips "Exec"
     plan should not include "SortMergeJoin"
     plan should not include "BroadcastHashJoin"
+    // the build side goes through a broadcast EXCHANGE: the operator
+    // itself never collects rows to the driver
+    plan should include ("BroadcastExchange")
+    plan should include ("IdentityBroadcastMode")
   }
 }
