@@ -225,7 +225,16 @@ object MsPipeline extends QueryPack {
 
     // -------------------------------------------- stage 4: tensorization
     // Per-slice dense (sample × cycle × m/z) tensors; output = shape +
-    // NaN-fill stats per slice. Rows-only (sequential greedy partitioner).
+    // NaN-fill stats per slice. ORACLED: the slice dimensions are pure
+    // DISTINCT-algebra over (sample, cycle, label) cells — no float sum
+    // reaches the output — and on the synthetic m/z grid (spacing 2.0,
+    // ppm tolerance ≤ 798·0.002 = 1.596 < 2.0) the greedy partitioner is
+    // the IDENTITY map, so the one sequential step drops out of the SQL
+    // mirror. Cycle binning ((# MS1 times ≤ rt) − 1 within
+    // [tmin, tmax + 0.1)), the per-sample-no-MS1 / missing-level slice
+    // drops, and the best-covered-sample ≥ 5-cycles partition filter are
+    // all relational. The float-typed rt is mirrored by
+    // CAST(CAST(rt AS REAL) AS DOUBLE).
     "q_ms_tensorize" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
@@ -236,7 +245,77 @@ object MsPipeline extends QueryPack {
             "n_nan")
           .orderBy("swath_key", "rt_window")
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
+        adj AS (
+          SELECT w_start, w_end,
+                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
+                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
+                   AS upper_adj
+          FROM w WINDOW win AS (ORDER BY w_start)),
+        adj2 AS (
+          SELECT w_start, w_end,
+                 coalesce(lag(upper_adj,1) OVER (ORDER BY w_start), w_start)
+                   AS lower_adj,
+                 upper_adj
+          FROM adj),
+        sl AS (
+          SELECT format('{:.2f}', lower_adj) AS sk,
+                 CAST(floor(rt / ${rtWindowSec}) AS INT) AS rw,
+                 file, level, mz,
+                 CAST(CAST(rt AS REAL) AS DOUBLE) AS rtd
+          FROM peaks JOIN adj2 ON peaks.w_start = adj2.w_start
+                              AND peaks.w_end = adj2.w_end),
+        samp AS (SELECT DISTINCT sk, rw, file FROM sl),
+        ms1 AS (SELECT DISTINCT sk, rw, file, rtd FROM sl WHERE level = 1),
+        mstat AS (SELECT sk, rw, file, min(rtd) AS tmin, max(rtd) AS tmax
+                  FROM ms1 GROUP BY 1, 2, 3),
+        bad AS (SELECT DISTINCT s.sk, s.rw
+                FROM samp s LEFT JOIN mstat m
+                  ON m.sk = s.sk AND m.rw = s.rw AND m.file = s.file
+                WHERE m.file IS NULL),
+        binned AS (
+          SELECT s.sk, s.rw, s.file, s.level, s.mz, count(m.rtd) - 1 AS cyc
+          FROM (SELECT DISTINCT sk, rw, file, level, mz, rtd FROM sl) s
+          JOIN mstat st ON st.sk = s.sk AND st.rw = s.rw
+                       AND st.file = s.file
+          JOIN ms1 m ON m.sk = s.sk AND m.rw = s.rw AND m.file = s.file
+                    AND m.rtd <= s.rtd
+          WHERE s.rtd >= st.tmin AND s.rtd < st.tmax + 0.1
+            AND NOT EXISTS (SELECT 1 FROM bad b
+                            WHERE b.sk = s.sk AND b.rw = s.rw)
+          GROUP BY 1, 2, 3, 4, 5, s.rtd),
+        lvlok AS (SELECT sk, rw
+                  FROM (SELECT DISTINCT sk, rw, level FROM binned)
+                  GROUP BY 1, 2 HAVING count(*) = 2),
+        cells AS (SELECT DISTINCT b.sk, b.rw, b.file, b.cyc, b.level, b.mz
+                  FROM binned b JOIN lvlok l
+                    ON l.sk = b.sk AND l.rw = b.rw),
+        percov AS (SELECT sk, rw, file, level, mz,
+                          count(DISTINCT cyc) AS nc
+                   FROM cells GROUP BY 1, 2, 3, 4, 5),
+        keptlbl AS (SELECT sk, rw, level, mz FROM percov
+                    GROUP BY 1, 2, 3, 4 HAVING max(nc) >= 5),
+        kept AS (SELECT c.* FROM cells c JOIN keptlbl k
+                   ON k.sk = c.sk AND k.rw = c.rw AND k.level = c.level
+                  AND k.mz = c.mz),
+        dims AS (
+          SELECT sk, rw,
+                 count(DISTINCT file) AS n_samples,
+                 max(nc_per_file) AS n_cycles,
+                 count(DISTINCT (level, mz)) AS n_mz,
+                 count(*) AS n_filled
+          FROM (SELECT k.*, count(DISTINCT cyc)
+                       OVER (PARTITION BY sk, rw, file) AS nc_per_file
+                FROM kept k)
+          GROUP BY 1, 2)
+        SELECT sk AS swath_key, rw AS rt_window,
+               CAST(n_samples AS INT) AS n_samples,
+               CAST(n_cycles AS INT) AS n_cycles,
+               CAST(n_mz AS INT) AS n_mz,
+               CAST(n_samples * n_cycles * n_mz - n_filled AS INT) AS n_nan
+        FROM dims ORDER BY swath_key, rt_window""")),
 
     // ----------------------------------------- stage 5: NN-PARAFAC (ALS)
     // One decomposition per (slice, F) pair; output = the reference's
