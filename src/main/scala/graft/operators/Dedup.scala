@@ -209,6 +209,43 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** Band-bucket clique ceiling. A bucket BELOW this emits its full
+    * pair clique; an oversized bucket — a mega-cluster of
+    * near-identical docs (boilerplate pages, templated spam) — is the
+    * band analog of the hot shingle, EXCEPT that a shared band
+    * signature is signal, not noise, so dropping it would lose real
+    * duplicates. See [[bandPairs]] for the degradation. */
+  private[operators] val MaxBandBucket = 1000
+
+  /** Candidate pairs (d1 < d2) from the band inverted index. Buckets at
+    * or below `maxBucket` emit the full clique; an oversized bucket
+    * degrades to STAR edges (every member → the bucket's min doc id):
+    * emission drops from O(k²) to O(k) per bucket while every member
+    * stays connected — downstream Jaccard verification and
+    * connected-components clustering see the same clusters. Never
+    * triggers below corpus sizes of `maxBucket` near-identical docs;
+    * the hot-bucket stress spec exercises it synthetically. */
+  private[operators] def bandPairs(
+      bands: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
+    import bands.sparkSession.implicits._
+    bands.select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("key"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, b, k) => (b, k) }
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        if (ids.length > maxBucket) {
+          val rep = ids(0)
+          ids.iterator.drop(1).map(i => (rep, i))
+        } else
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+      }
+      .toDF("d1", "d2")
+      .distinct()
+  }
+
   /** DuckDB mirror of [[minhashBandRows]] (expects `shingles` in scope —
     * compose with [[docShinglesCte]]). */
   private[graft] val minhashBandsCte = """
@@ -592,11 +629,7 @@ object Dedup extends QueryPack {
         val bands = minhashBandRows(
           shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
           .toDF("doc_id", "band", "key")
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
+        val cand = bandPairs(bands)
         jaccardVerify(shingles(s, d), cand)
           .filter(col("jaccard") >= 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
@@ -631,11 +664,7 @@ object Dedup extends QueryPack {
         val bands = minhashBandRows(
             shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
           .toDF("doc_id", "band", "key")
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
+        val cand = bandPairs(bands)
         val hits = cand.join(truth, Seq("d1", "d2"))
         truth.agg(count(lit(1)).as("n_truth"))
           .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

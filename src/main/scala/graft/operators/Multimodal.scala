@@ -453,11 +453,7 @@ object Multimodal extends QueryPack {
             graft.operators.Dedup.shingleSets(Tables.documents(s, d))
               .as[(Long, Seq[String])])
           .toDF("doc_id", "band", "key")
-        val textPairs = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
+        val textPairs = graft.operators.Dedup.bandPairs(bands)
           .withColumn("in_text", lit(1L))
         val frameLeg = framePairs(s, frameSignatures(s, d))
           .filter(col("n_shared") >= 2)

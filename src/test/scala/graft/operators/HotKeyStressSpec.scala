@@ -69,6 +69,32 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     m.shuffleWrite should be < (1L << 20)
   }
 
+  test("bandPairs degrades an oversized bucket to star edges, keeping connectivity") {
+    import spark.implicits._
+    // one band bucket with 100×cap members (a mega-cluster of
+    // near-identical docs) + one normal bucket
+    val hot = (0L until HotDf).map(i => (i, 0, "HOTKEY"))
+    val normal = Seq((5000L, 1, "NK"), (5001L, 1, "NK"), (5002L, 1, "NK"))
+    val bands = (hot ++ normal).toDF("doc_id", "band", "key")
+
+    var pairs: Array[(Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      pairs = Dedup.bandPairs(bands, maxBucket = Cap)
+        .as[(Long, Long)].collect()
+    }
+    // normal bucket: full clique (3 pairs)
+    pairs.filter(_._1 >= 5000L).sorted shouldBe
+      Array((5000L, 5001L), (5000L, 5002L), (5001L, 5002L))
+    // hot bucket: star on the min doc id — O(k) edges, NOT k²/2, and
+    // every member still reachable from the representative
+    val hotEdges = pairs.filter(_._1 < 5000L)
+    hotEdges.length shouldBe (HotDf - 1)
+    hotEdges.foreach(_._1 shouldBe 0L)
+    hotEdges.map(_._2).sorted shouldBe (1L until HotDf).toArray
+    // the clique would emit ~2M pair rows; the star stays tiny
+    m.shuffleWrite should be < (1L << 20)
+  }
+
   test("pair emission is bounded by cap² per bucket, not df²") {
     import spark.implicits._
     // every bucket exactly at the cap: emission = buckets · cap·(cap−1)/2
