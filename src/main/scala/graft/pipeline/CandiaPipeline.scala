@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
 
 /** Pipeline configuration — the keys of the reference's experiment YAML
   * that drive stages 1–9 (test/test_experiment/config/candia.yaml:1-64). */
+/** Stage-9 identification settings — the crux branch of the experiment
+  * YAML (id_models_concat.py:43-49; candia.yaml `database` /
+  * `decoy_database` / `decoy_prefix` / `percolator_fdr`). */
+final case class IdentifyConfig(
+    database: String,
+    decoyDatabase: String,
+    decoyPrefix: String = "reverse_",
+    percolatorFdr: Double = 0.01)
+
 final case class CandiaConfig(
     minScanIntensity: Double = 1.0, // candia.yaml: min_scan_intensity
     windowSizeSec: Double = 60.0, //   candia.yaml: window_size_sec
@@ -82,24 +91,33 @@ object CandiaPipeline {
 
   /** Stages 1–8: mzML files → models + best-model selection. Passing
     * `slicesPath` routes the peak table through the partitioned on-disk
-    * slice layout between stages 3 and 4; passing `modelStorePath`
-    * makes the expensive decomposition stage resumable (the reference's
-    * `skip_completed`): a re-run recomputes only (slice, F) pairs
-    * missing from the store. */
+    * slice layout between stages 3 and 4; passing `tensorStorePath` /
+    * `modelStorePath` / `countStorePath` makes the tensorize,
+    * decomposition, and CWT peak-count stages RESUMABLE (Snakemake
+    * parity with the reference's file-existence DAG, `candia:6-68` +
+    * `skip_completed`): a re-run anti-joins each stage's work list
+    * against its store and recomputes only what's missing — with all
+    * three set, a failure anywhere in the chain restarts without
+    * repeating any completed stage work. */
   def run(
       spark: SparkSession,
       mzmlFiles: Seq[String],
       config: CandiaConfig = CandiaConfig(),
       slicesPath: Option[String] = None,
-      modelStorePath: Option[String] = None): CandiaResult = {
+      modelStorePath: Option[String] = None,
+      tensorStorePath: Option[String] = None,
+      countStorePath: Option[String] = None): CandiaResult = {
     import spark.implicits._
     val ingested = ingest(spark, mzmlFiles, config)
     val peaks = slicesPath match {
       case Some(p) => checkpointSlices(spark, ingested, p)
       case None => ingested
     }
-    val tensors = TensorizeOp.tensorize(spark, peaks, config.massTolPpm)
-      .persist()
+    val tensors = (tensorStorePath match {
+      case Some(p) =>
+        TensorizeOp.tensorizeResumable(spark, peaks, config.massTolPpm, p)
+      case None => TensorizeOp.tensorize(spark, peaks, config.massTolPpm)
+    }).persist()
     val models = (modelStorePath match {
       case Some(p) => Decomposer.runResumable(spark, tensors,
         config.parafacMinComp, config.parafacMaxComp, p,
@@ -110,8 +128,12 @@ object CandiaPipeline {
         maxIter = config.parafacMaxIter, tol = config.parafacTol,
         seed = config.seed)
     }).persist()
-    val counts = Indexing.countTimeModePeaks(spark, models,
-      config.avgPeakFwhmSec, config.windowSizeSec).persist()
+    val counts = (countStorePath match {
+      case Some(p) => Indexing.countTimeModePeaksResumable(spark, models,
+        config.avgPeakFwhmSec, config.windowSizeSec, p)
+      case None => Indexing.countTimeModePeaks(spark, models,
+        config.avgPeakFwhmSec, config.windowSizeSec)
+    }).persist()
 
     val windows = peaks.toDF()
       .select(col("swath_lower_adjusted")).distinct()
@@ -211,5 +233,45 @@ object CandiaPipeline {
       }
       .sortBy(_.scanId)
     MzXMLWriter.write(path, comps.toSeq, intensityCutoffBin)
+  }
+
+  /** Stage 9 END-TO-END (the crux branch of id_models_concat.py:37-55):
+    * export the best models' component spectra to one mzXML, search it
+    * with comet against the TARGET and DECOY databases, separate with
+    * percolator at the configured FDR, and gather the resulting PSM
+    * table back as a DataFrame. Tool execution stays behind the
+    * [[graft.ext.ToolRunner]] seam — production passes
+    * [[graft.ext.ProcessToolRunner]]; tests pass a mock that writes
+    * golden PSM files — so the flow is testable without the binaries.
+    * Directory layout mirrors the reference: `<workDir>/crux_out/
+    * comet_target`, `.../comet_decoy`, percolator output in
+    * `<workDir>/crux_out`. Returns (scans exported, gathered PSMs). */
+  def identifyBestSpectra(
+      spark: SparkSession,
+      result: CandiaResult,
+      workDir: String,
+      id: IdentifyConfig,
+      runner: graft.ext.ToolRunner,
+      config: CandiaConfig = CandiaConfig()): (Int, DataFrame) = {
+    import graft.ext.ToolCommands
+    val mzxml = s"$workDir/best_models.mzXML"
+    val cruxDir = s"$workDir/crux_out"
+    val targetDir = s"$cruxDir/comet_target"
+    val decoyDir = s"$cruxDir/comet_decoy"
+    val nScans = exportBestSpectra(spark, result, mzxml, config)
+    def runOrDie(cmd: Seq[String]): Unit = {
+      val rc = runner.run(cmd)
+      if (rc != 0) throw new IllegalStateException(
+        s"stage 9: '${cmd.take(2).mkString(" ")}' exited with $rc")
+    }
+    runOrDie(ToolCommands.comet(mzxml, targetDir, id.database,
+      config.massTolPpm))
+    runOrDie(ToolCommands.comet(mzxml, decoyDir, id.decoyDatabase,
+      config.massTolPpm))
+    runOrDie(ToolCommands.percolator(
+      s"$targetDir/comet.target.txt", s"$decoyDir/comet.target.txt",
+      cruxDir, id.percolatorFdr, id.decoyPrefix))
+    (nScans, graft.sources.PsmGather.readPsmTables(spark,
+      Seq(s"$cruxDir/percolator.target.psms.txt")))
   }
 }

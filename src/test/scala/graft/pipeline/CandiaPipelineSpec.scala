@@ -125,4 +125,73 @@ class CandiaPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAl
     }
     peaks.unpersist()
   }
+
+  test("stage 9 chains export → comet target/decoy → percolator → PSM gather") {
+    assume(haveToyData)
+    val config = CandiaConfig(
+      minScanIntensity = 1.0, windowSizeSec = 60.0, massTolPpm = 40.0,
+      parafacMinComp = 2, parafacMaxComp = 3, parafacMaxIter = 60)
+    val result = CandiaPipeline.run(spark, files, config)
+    assume(result.bestModels.count() > 0)
+
+    val work = Files.createTempDirectory("graft-stage9").toString
+    val idc = IdentifyConfig(
+      database = "library.fasta", decoyDatabase = "library_decoy.fasta",
+      decoyPrefix = "reverse_", percolatorFdr = 0.01)
+    val goldenPsms = "scan\tq-value\tsequence\n" +
+      "1\t0.001\tPEPTIDEK\n2\t0.004\tSAMPLERK\n"
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    // mock search engine: records argv, writes the artifacts the next
+    // stage consumes (the reference's crux output filenames)
+    val mock = new graft.ext.ToolRunner {
+      override def run(
+          command: Seq[String], env: Map[String, String]): Int = {
+        calls += command
+        val outDir = command(command.indexOf("--output-dir") + 1)
+        Files.createDirectories(Paths.get(outDir))
+        command(1) match {
+          case "comet" =>
+            Files.write(Paths.get(s"$outDir/comet.target.txt"),
+              "scan\txcorr\n1\t2.5\n".getBytes("UTF-8"))
+          case "percolator" =>
+            Files.write(Paths.get(s"$outDir/percolator.target.psms.txt"),
+              goldenPsms.getBytes("UTF-8"))
+        }
+        0
+      }
+    }
+    val (nScans, psms) =
+      CandiaPipeline.identifyBestSpectra(spark, result, work, idc, mock, config)
+    nScans should be > 0
+    // the export artifact exists and is what both comet calls search
+    Files.exists(Paths.get(s"$work/best_models.mzXML")) shouldBe true
+    calls should have length 3
+    calls(0).take(2) shouldBe Seq("crux", "comet")
+    calls(0) should contain(s"$work/best_models.mzXML")
+    calls(0).last shouldBe "library.fasta"
+    calls(1).take(2) shouldBe Seq("crux", "comet")
+    calls(1).last shouldBe "library_decoy.fasta"
+    // percolator consumes the two comet outputs from the dirs the comet
+    // calls were pointed at — the artifact handoff under test
+    calls(2).take(2) shouldBe Seq("crux", "percolator")
+    calls(2) should contain(s"$work/crux_out/comet_target/comet.target.txt")
+    calls(2) should contain(s"$work/crux_out/comet_decoy/comet.target.txt")
+    calls(2) should contain("reverse_")
+    // the gathered PSM table is the percolator output, with provenance
+    psms.count() shouldBe 2
+    psms.columns should contain allOf ("scan", "sequence", "file", "quality")
+
+    // a failing tool aborts the chain loudly instead of gathering stale
+    // or missing artifacts
+    val failing = new graft.ext.ToolRunner {
+      override def run(
+          command: Seq[String], env: Map[String, String]): Int = 1
+    }
+    val ex = intercept[IllegalStateException] {
+      CandiaPipeline.identifyBestSpectra(
+        spark, result, work, idc, failing, config)
+    }
+    ex.getMessage should include("crux comet")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
 }
