@@ -102,6 +102,35 @@ object Indexing {
     }
   }
 
+  /** Snakemake-parity resume for the CWT peak-count stage: counts
+    * persist as parquet at `countStorePath`; a resumed run anti-joins
+    * the model set against the store's (swath_key, rt_window, ncomp)
+    * keys, counts peaks only for the missing models, and appends —
+    * same shape as [[Decomposer.runResumable]]. Returns the full
+    * store. */
+  def countTimeModePeaksResumable(
+      spark: SparkSession,
+      models: Dataset[ParafacModelRow],
+      avgPeakFwhmSec: Double,
+      windowSizeSec: Double,
+      countStorePath: String): Dataset[ComponentPeaks] = {
+    import spark.implicits._
+    val storePath = new org.apache.hadoop.fs.Path(countStorePath)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val todo =
+      if (!fs.exists(storePath)) models
+      else {
+        val done = spark.read.parquet(countStorePath)
+          .select(col("swath_key"), col("rt_window"), col("ncomp"))
+          .distinct()
+        models.join(done, Seq("swath_key", "rt_window", "ncomp"),
+          "left_anti").as[ParafacModelRow]
+      }
+    countTimeModePeaks(spark, todo, avgPeakFwhmSec, windowSizeSec)
+      .write.mode("append").parquet(countStorePath)
+    spark.read.parquet(countStorePath).as[ComponentPeaks]
+  }
+
   /** Attach model_id to per-component peak counts via the model index. */
   def peakCountsWithModelId(peaks: Dataset[ComponentPeaks], index: DataFrame): DataFrame = {
     val p = peaks.toDF()

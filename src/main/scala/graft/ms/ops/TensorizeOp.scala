@@ -34,6 +34,38 @@ object TensorizeOp {
       .flatMap(_.toOption)
   }
 
+  /** Snakemake-parity resume for the tensorize stage (the reference's
+    * file-existence DAG, `candia:29-44`, skips every slice whose tensor
+    * artifact exists): tensors persist as parquet at `tensorStorePath`;
+    * a resumed run anti-joins the peak table's slice keys against the
+    * store's existing (swath_key, rt_window) keys — distributed, no
+    * driver-side listing — tensorizes only the missing slices, and
+    * appends. After a partial failure at 100 TB only the missing slices
+    * re-read their peaks. Returns the full store. */
+  def tensorizeResumable(
+      spark: SparkSession,
+      peaks: Dataset[AdjustedPeak],
+      mzTolPpm: Double,
+      tensorStorePath: String): Dataset[SliceTensor] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val storePath = new org.apache.hadoop.fs.Path(tensorStorePath)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val todo =
+      if (!fs.exists(storePath)) peaks
+      else {
+        val done = spark.read.parquet(tensorStorePath)
+          .select(col("swath_key"), col("rt_window")).distinct()
+        WindowOps.withSwathKey(peaks.toDF())
+          .join(done, Seq("swath_key", "rt_window"), "left_anti")
+          .drop("swath_key")
+          .as[AdjustedPeak]
+      }
+    tensorize(spark, todo, mzTolPpm)
+      .write.mode("append").parquet(tensorStorePath)
+    spark.read.parquet(tensorStorePath).as[SliceTensor]
+  }
+
   /** Per-slice tensorization failures (slice key → reason). */
   def errors(
       spark: SparkSession,
