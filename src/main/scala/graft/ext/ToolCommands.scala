@@ -153,7 +153,10 @@ object ToolCommands {
       "--filter", "peakPicking vendor msLevel=1-2",
       "-o", outputDir, inputPath, "--outfile", outputFile)
 
-  private def fmt(d: Double): String =
+  /** Argv number formatting (integral doubles print without a decimal);
+    * `private[ext]` so chain encodings can derive artifact names (e.g.
+    * Mayu's mFDR CSV) with identical formatting. */
+  private[ext] def fmt(d: Double): String =
     if (d == math.rint(d)) d.toLong.toString else d.toString
 }
 
