@@ -117,7 +117,7 @@ object Bench {
       "q_scale_salted_join", "q_scale_bucketed_join",
       "q_graph_pagerank", "q_graph_triangles", "q_text_dsir",
       "q_join_asof_exec", "q_dedup_span_removal", "q_sim_hybrid_rrf",
-      "q_text_bm25", "q_dedup_incremental")
+      "q_text_bm25", "q_dedup_incremental", "q_sim_eval_rank")
     val byName = results.toMap
     // loud, not silent: a renamed/misspelled headline entry would
     // otherwise just vanish from the driver-parsed metric line

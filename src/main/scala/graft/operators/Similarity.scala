@@ -1045,6 +1045,93 @@ object Similarity extends QueryPack {
         FROM sparse FULL OUTER JOIN dense ON dense.doc_id = sparse.doc_id
         ORDER BY rrf_micro DESC, doc_id""")),
 
+    // ------------------------------------- measured rank quality (MRR/NDCG)
+    // Beyond set-overlap recall: POSITION-aware retrieval quality of the
+    // IVF tier — reciprocal rank of the first relevant hit and NDCG@3
+    // with graded relevance (brute-force rank r in the top-5 ⇒ gain
+    // 6−r). The log₂ position discounts are embedded as PRE-COMPUTED
+    // integer micro-weights (⌊10⁶/log₂(p+1)⌋ = 1000000, 630929, 500000)
+    // in both engines: no libm call ever reaches the scoring, so the
+    // metric is exact integer arithmetic and hash-checks. IDCG is the
+    // constant ideal 5·w₁+4·w₂+3·w₃ = 9 023 716 (the brute top-5 always
+    // exists), making NDCG a pure integer ratio. The retrieval-eval
+    // harness shape every RAG/embedding pipeline needs next to recall.
+    "q_sim_eval_rank" -> GraftQuery(
+      run = (s, d) => {
+        val brute = queries("q_sim_knn_brute").run(s, d)
+          .select(col("q_id"), col("n_id"), col("rank").as("brute_rank"))
+        val ivf = queries("q_sim_ivf_topk").run(s, d)
+          .select(col("q_id"), col("rank"), col("n_id"))
+        ivf.join(brute, Seq("q_id", "n_id"), "left")
+          .select(col("q_id"), col("rank"),
+            coalesce(lit(6) - col("brute_rank"), lit(0)).as("rel"))
+          .groupBy("q_id")
+          .agg(
+            expr("CAST(coalesce(max(CASE WHEN rel > 0 " +
+              "THEN 1000000 div rank END), 0) AS BIGINT)").as("rr_micro"),
+            expr("CAST(sum(rel * CASE rank WHEN 1 THEN 1000000 " +
+              "WHEN 2 THEN 630929 ELSE 500000 END) AS BIGINT)")
+              .as("dcg_micro"),
+            expr("CAST((sum(rel * CASE rank WHEN 1 THEN 1000000 " +
+              "WHEN 2 THEN 630929 ELSE 500000 END) * 1000000) " +
+              "div 9023716 AS BIGINT)").as("ndcg_ppm"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        bdots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        brk AS (SELECT q_id, n_id, rank FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM bdots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 5),
+        cent AS (SELECT label AS c_label, i, avg(x) AS cx
+                 FROM u GROUP BY label, i),
+        centnrm AS (SELECT c_label, sqrt(sum(cx*cx)) AS c_nrm
+                    FROM cent GROUP BY c_label),
+        assign AS (
+          SELECT q_id, c_label AS probe_label FROM (
+            SELECT a.vec_id AS q_id, cent.c_label,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY sum(a.x*cent.cx)/(min(na.nrm)*min(cn.c_nrm)) DESC,
+                              cent.c_label) AS crank
+            FROM u a JOIN cent ON a.i = cent.i
+                     JOIN nrm na ON na.vec_id = a.vec_id
+                     JOIN centnrm cn ON cn.c_label = cent.c_label
+            WHERE a.vec_id < 10
+            GROUP BY a.vec_id, cent.c_label)
+          WHERE crank = 1),
+        idots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                  FROM u a JOIN assign ON assign.q_id = a.vec_id
+                           JOIN u b ON b.i = a.i AND b.label = assign.probe_label
+                                       AND b.vec_id <> a.vec_id
+                  GROUP BY 1, 2),
+        irk AS (SELECT q_id, n_id, rank FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM idots JOIN nrm na ON na.vec_id = q_id
+                     JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        g AS (SELECT i.q_id AS q_id, i.rank AS rank,
+                     coalesce(6 - b.rank, 0) AS rel
+              FROM irk i LEFT JOIN brk b
+                ON b.q_id = i.q_id AND b.n_id = i.n_id)
+        SELECT q_id,
+               CAST(coalesce(max(CASE WHEN rel > 0
+                 THEN 1000000 // rank END), 0) AS BIGINT) AS rr_micro,
+               CAST(sum(rel * CASE rank WHEN 1 THEN 1000000
+                 WHEN 2 THEN 630929 ELSE 500000 END) AS BIGINT)
+                 AS dcg_micro,
+               CAST((sum(rel * CASE rank WHEN 1 THEN 1000000
+                 WHEN 2 THEN 630929 ELSE 500000 END) * 1000000)
+                 // 9023716 AS BIGINT) AS ndcg_ppm
+        FROM g GROUP BY q_id ORDER BY q_id""")),
+
     // ----------------------------------------------- measured ANN recall
     // Recall@3 of the IVF and LSH tiers against the brute-force ground
     // truth — ANN quality is measured, not assumed. Composes the three
