@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_dedup_incremental", "q_dedup_span_removal", "q_sim_hybrid_rrf",
     "q_sim_hard_negatives", "q_dedup_containment", "q_scale_kmv_intersect",
     "q_scale_token_budget", "q_scale_partition_audit", "q_dedup_lsh_eval",
-    "q_mm_cross_modal_dedup")
+    "q_mm_cross_modal_dedup", "q_mm_video_neardup", "q_sim_eval_rank",
+    "q_ms_tensorize")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -113,6 +113,20 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     wCont should be < textBytes * 10
   }
 
+  test("video near-dup shuffle is linear in docs, independent of payloads") {
+    assume(haveData)
+    // the inverted index carries ≤ 8 (doc_id, 8-byte sig) rows per doc
+    // through its stages (distinct, df cap, pair generation, pair
+    // count) — a generous ~1 KB/doc covers all of them plus framework
+    // row overhead. The failure modes this bounds out are quadratic
+    // pair emission (uncapped hot buckets) and shipping frame bytes or
+    // text into the shuffle, each of which is super-linear in docs.
+    val nDocs = Tables.documents(spark, sf).count()
+    val w = shuffleWrite("q_mm_video_neardup")
+    w should be > 0L
+    w should be < nDocs * 1000L
+  }
+
   test("the count-min sketch aggregates cells, not words") {
     assume(haveData)
     // the sketch side reduces to 4×64 (row, bucket) cells via partial
