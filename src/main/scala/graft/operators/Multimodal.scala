@@ -334,6 +334,75 @@ object Multimodal extends QueryPack {
         SELECT d1, d2, n_shared FROM vpairs
         ORDER BY d1, d2""")),
 
+    // ------------------------------- scene-cut detection (frame deltas)
+    // The video-curation primitive between sampling and near-dup:
+    // per-pair inter-frame delta energy (Σ |byte_i(f) − byte_i(f−1)|
+    // over the 16 frame bytes) thresholded into cuts — the shot-boundary
+    // signal that decides which frames are worth captioning/embedding.
+    // All-integer byte arithmetic over the binary payload; the exploded
+    // (doc, frame, byte) stream stays map-side until the per-doc
+    // aggregate, so only per-doc summaries shuffle. Docs with fewer
+    // than 2 full frames report zero pairs.
+    "q_mm_frame_delta" -> GraftQuery(
+      run = (s, d) => {
+        val CutThreshold = 800L
+        val deltas = vsynth(s, d)
+          .select(col("doc_id"), col("n_frames"), col("vblob"),
+            explode(sequence(lit(1), lit(7))).as("f"))
+          .filter(col("f") < col("n_frames"))
+          .select(col("doc_id"), col("f"),
+            explode(sequence(lit(0), lit(15))).as("i"),
+            col("vblob"))
+          .select(col("doc_id"), col("f"),
+            abs(expr(byteAt("vblob", "16*f + i + 1")) -
+              expr(byteAt("vblob", "16*(f-1) + i + 1"))).as("db"))
+          .groupBy("doc_id", "f")
+          .agg(sum(col("db")).as("delta"))
+        val per = deltas.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("delta") > CutThreshold, 1L).otherwise(0L))
+              .as("n_cuts"),
+            max(col("delta")).as("max_delta"),
+            expr("(sum(delta) * 1000) div count(1)").as("mean_delta_milli"))
+        vsynth(s, d).select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+            coalesce(col("max_delta"), lit(0L)).as("max_delta"),
+            coalesce(col("mean_delta_milli"), lit(0L))
+              .as("mean_delta_milli"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH fb AS (
+          SELECT doc_id, f, i,
+                 ('0x'||substr(md5(substr(text, 1 + 32*f, 32)),
+                               2*i + 1, 2))::BIGINT AS b
+          FROM documents, generate_series(0, 7) tf(f),
+               generate_series(0, 15) ti(i)
+          WHERE n_chars >= 32*(f+1)),
+        dl AS (
+          SELECT a.doc_id AS doc_id, a.f AS f,
+                 CAST(sum(abs(a.b - p.b)) AS BIGINT) AS delta
+          FROM fb a JOIN fb p ON p.doc_id = a.doc_id AND p.i = a.i
+                             AND p.f = a.f - 1
+          GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id, count(*) AS n_pairs,
+                 sum(CASE WHEN delta > 800 THEN 1 ELSE 0 END) AS n_cuts,
+                 max(delta) AS max_delta,
+                 (sum(delta) * 1000) // count(*) AS mean_delta_milli
+          FROM dl GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(per.n_cuts, 0) AS BIGINT) AS n_cuts,
+               CAST(coalesce(per.max_delta, 0) AS BIGINT) AS max_delta,
+               CAST(coalesce(per.mean_delta_milli, 0) AS BIGINT)
+                 AS mean_delta_milli
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // --------------------- audio energy segmentation (VAD shape)
     // The audio-curation primitive: decode PCM, compute per-frame
     // energy, threshold into voiced/unvoiced, and merge voiced runs

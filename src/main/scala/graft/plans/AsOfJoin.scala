@@ -117,6 +117,10 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // the probe streams in place, so the left child's sort order survives —
+  // declaring it lets the planner elide a downstream re-sort
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   private def buildOrdinal(a: Attribute): Int = {
     val i = right.output.indexWhere(_.exprId == a.exprId)
     require(i >= 0,
