@@ -45,6 +45,26 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       }
   }
 
+  test("video near-dup removes the hot fingerprint set by broadcast anti-join") {
+    assume(haveData)
+    // the df cap must stay a BROADCAST anti-join — a shuffled anti-join
+    // would re-shuffle the whole signature stream just to drop the
+    // (tiny by definition) hot set
+    val p = plan("q_mm_video_neardup")
+    p should include ("BroadcastHashJoin")
+    p should include ("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
+  test("rank eval broadcasts nothing corpus-sized and keeps both legs top-k") {
+    assume(haveData)
+    // both retrieval legs end in a bounded top-k before the metric
+    // join: a corpus-wide window (rank over ALL docs in one partition)
+    // would appear as a Window with no PartitionBy over the full scan
+    val p = plan("q_sim_eval_rank")
+    p should not include "CartesianProduct"
+  }
+
   test("text operators prune the documents scan to (doc_id, text)") {
     assume(haveData)
     Seq("q_text_tokens", "q_text_quality", "q_text_gopher",
