@@ -147,6 +147,57 @@ object LibraryBuildPlan {
     Seq(convert, seqStep)
   }
 
+  /** DIA-Umpire identification chain (crux_diaumpire.Snakefile): one
+    * signal-extraction step per sample map (producing the three
+    * quality-tier MGFs), then one comet search per (map, Q) pseudo-
+    * spectrum file. Collation back to one table is ENGINE-side —
+    * [[graft.sources.PsmGather.readPsmTables]] over the per-tier
+    * outputs (the reference's pandas concat loop) — so the chain ends
+    * at the search artifacts. The per-file steps are independent:
+    * Snakemake's `--jobs` fan-out maps to running them as cluster
+    * tasks. */
+  def diaumpireCruxChain(
+      jarDir: String, mzmlFiles: Seq[String], outDir: String,
+      paramFile: String, database: String,
+      massTolPpm: Double): Seq[ToolStep] = {
+    def stem(p: String) =
+      p.split('/').last.stripSuffix(".mzML")
+    val extract = mzmlFiles.map { f =>
+      ToolStep(s"diaumpire:${stem(f)}",
+        () => ToolCommands.diaUmpire(jarDir, f, paramFile),
+        inputs = Seq(f),
+        outputs = (1 to 3).map(q => s"$outDir/${stem(f)}_Q$q.mgf"))
+    }
+    val search = for {
+      f <- mzmlFiles
+      q <- 1 to 3
+    } yield {
+      val mgf = s"$outDir/${stem(f)}_Q$q.mgf"
+      ToolStep(s"crux:${stem(f)}_Q$q",
+        () => ToolCommands.comet(mgf, s"$outDir/${stem(f)}_Q$q.crux_out",
+          database, massTolPpm),
+        inputs = Seq(mgf),
+        outputs = Seq(s"$outDir/${stem(f)}_Q${q}_crux.tsv"))
+    }
+    extract ++ search
+  }
+
+  /** DIA-Umpire → MS-GF+ PTM search (diaumpire_ptm_search.Snakefile):
+    * one MS-GF+ run per pseudo-spectrum MGF; collation via
+    * `PsmGather.readPsmTables` as above. */
+  def diaumpireMsgfChain(
+      msgfJar: String, mgfFiles: Seq[String], outDir: String,
+      database: String, decoyPrefix: String, massTolPpm: Double,
+      threads: Int): Seq[ToolStep] =
+    mgfFiles.map { mgf =>
+      val stem = mgf.split('/').last.stripSuffix(".mgf")
+      ToolStep(s"msgf:$stem",
+        () => ToolCommands.msgf(msgfJar, mgf, database, decoyPrefix,
+          massTolPpm, threads),
+        inputs = Seq(mgf),
+        outputs = Seq(s"$outDir/$stem.tsv"))
+    }
+
   /** Execute a chain in rule order behind the runner. With
     * `skipCompleted` (the Snakemake resume), a step whose declared
     * outputs ALL exist is skipped. `.DONE` flag outputs (Snakemake's

@@ -129,6 +129,27 @@ class LibraryBuildPlanSpec extends AnyFunSuite with Matchers {
     quant.head.command() should not contain "--fasta-search"
   }
 
+  test("DIA-Umpire chains fan out per map and per quality tier") {
+    val crux = LibraryBuildPlan.diaumpireCruxChain(
+      "/opt/dia", Seq("/m/a.mzML", "/m/b.mzML"), "/out", "du.params",
+      "db.fasta", 40)
+    crux.map(_.name) shouldBe Seq("diaumpire:a", "diaumpire:b",
+      "crux:a_Q1", "crux:a_Q2", "crux:a_Q3",
+      "crux:b_Q1", "crux:b_Q2", "crux:b_Q3")
+    // each search consumes the tier MGF its extraction step declared
+    crux.head.outputs should contain("/out/a_Q1.mgf")
+    crux(2).inputs shouldBe Seq("/out/a_Q1.mgf")
+    crux(2).command() should contain("/out/a_Q1.mgf")
+    crux(2).command().last shouldBe "db.fasta"
+
+    val msgf = LibraryBuildPlan.diaumpireMsgfChain(
+      "/opt/msgf.jar", Seq("/out/a_Q1.mgf"), "/msgf_out",
+      "db.fasta", "reverse_", 40, 4)
+    msgf.map(_.name) shouldBe Seq("msgf:a_Q1")
+    msgf.head.command() should contain("-tda")
+    msgf.head.outputs shouldBe Seq("/msgf_out/a_Q1.tsv")
+  }
+
   test("stage-12 denovo chains: converter feeds the sequencer; deepnovo input travels via env") {
     val novor = LibraryBuildPlan.denovoChain(
       "/x/best.mzXML", "novor", "/x/out.csv", Some("/x/novor.params"))

@@ -51,4 +51,30 @@ class RetrySafetySpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     clean should not be empty
     retried shouldBe clean
   }
+
+  test("the frame-pair kernel survives a task failure with identical output") {
+    assume(haveData)
+    import spark.implicits._
+    // the typed groupByKey pair generator is the retry-sensitive part:
+    // a re-executed pair-emission task must reproduce the same pairs
+    def sigs = (0L until 60L).flatMap(d =>
+      Seq((d, d % 7), (d, (d * 3) % 7))).toDF("doc_id", "sig")
+    def pairs(flaky: Boolean) = {
+      val base = sigs.repartition(4)
+      val input =
+        if (flaky) base.as[(Long, Long)].mapPartitions { it =>
+          val tc = TaskContext.get()
+          if (tc != null && tc.partitionId() == 1 && tc.attemptNumber() == 0)
+            throw new RuntimeException("injected task failure (attempt 0)")
+          it
+        }.toDF("doc_id", "sig") else base
+      Multimodal.framePairs(spark, input, maxDf = 100)
+        .orderBy("d1", "d2")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    }
+    val clean = pairs(flaky = false)
+    val retried = pairs(flaky = true)
+    clean should not be empty
+    retried shouldBe clean
+  }
 }
