@@ -1045,6 +1045,87 @@ object Similarity extends QueryPack {
         FROM sparse FULL OUTER JOIN dense ON dense.doc_id = sparse.doc_id
         ORDER BY rrf_micro DESC, doc_id""")),
 
+    // ------------------------------- incremental IVF index maintenance
+    // The ANN twin of q_dedup_incremental: a NEW vector batch
+    // (vec_id % 5 = 4 — today's arrivals) is routed into an EXISTING
+    // index whose centroids were built from the corpus alone. The
+    // corpus is touched only for the (aggregated) per-list sizes; the
+    // batch meets the centroid table through a BROADCAST — maintenance
+    // is O(batch) per day, never a full index rebuild. Output = per-
+    // list growth plus a needs_rebalance flag (arrivals > 20% of the
+    // list), the signal that schedules centroid re-training for
+    // drifting lists. At 100 TB lists are partitions and this query is
+    // the nightly index-health report.
+    "q_sim_ivf_incremental" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        val corpus = all.filter(col("vec_id") % 5 =!= 4)
+        val batch = all.filter(col("vec_id") % 5 === 4)
+        val cent = corpus
+          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("label").as("c_label"), col("i"))
+          .agg(avg(col("x")).as("cx"))
+        val centNrm = cent.groupBy("c_label")
+          .agg(expr("sqrt(sum(cx*cx))").as("c_nrm"))
+        val assign = batch
+          .select(col("vec_id"), col("nrm"),
+            posexplode(col("v")).as(Seq("i", "x")))
+          .join(broadcast(cent), "i")
+          .groupBy(col("vec_id"), col("c_label"))
+          .agg(sum(col("x") * col("cx")).as("dot"),
+            first(col("nrm")).as("v_nrm"))
+          .join(broadcast(centNrm), "c_label")
+          .withColumn("ccos", col("dot") / (col("v_nrm") * col("c_nrm")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("ccos").desc, col("c_label"))))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("c_label"))
+        val oldSizes = corpus.groupBy(col("label").as("c_label"))
+          .agg(count(lit(1)).as("old_size"))
+        val arrivals = assign.groupBy("c_label")
+          .agg(count(lit(1)).as("n_new"))
+        oldSizes.join(arrivals, Seq("c_label"), "left")
+          .select(col("c_label").as("list"), col("old_size"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("growth_ppm", expr("n_new * 1000000 div old_size"))
+          .withColumn("needs_rebalance",
+            (col("growth_ppm") > 200000L).cast("int"))
+          .orderBy("list")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        cu AS (SELECT * FROM u WHERE vec_id % 5 <> 4),
+        bu AS (SELECT * FROM u WHERE vec_id % 5 = 4),
+        cent AS (SELECT label AS c_label, i, avg(x) AS cx
+                 FROM cu GROUP BY 1, 2),
+        centnrm AS (SELECT c_label, sqrt(sum(cx*cx)) AS c_nrm
+                    FROM cent GROUP BY 1),
+        assign AS (
+          SELECT vec_id, c_label FROM (
+            SELECT b.vec_id AS vec_id, cent.c_label,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY sum(b.x*cent.cx)/(min(nb.nrm)*min(cn.c_nrm))
+                              DESC, cent.c_label) AS crank
+            FROM bu b JOIN cent ON cent.i = b.i
+                      JOIN nrm nb ON nb.vec_id = b.vec_id
+                      JOIN centnrm cn ON cn.c_label = cent.c_label
+            GROUP BY b.vec_id, cent.c_label)
+          WHERE crank = 1),
+        old AS (SELECT label AS c_label, count(DISTINCT vec_id) AS old_size
+                FROM cu GROUP BY 1),
+        arr AS (SELECT c_label, count(*) AS n_new FROM assign GROUP BY 1)
+        SELECT old.c_label AS list,
+               CAST(old_size AS BIGINT) AS old_size,
+               CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+               CAST(coalesce(n_new, 0) * 1000000 // old_size AS BIGINT)
+                 AS growth_ppm,
+               CAST(CASE WHEN coalesce(n_new, 0) * 1000000 // old_size
+                              > 200000 THEN 1 ELSE 0 END AS INT)
+                 AS needs_rebalance
+        FROM old LEFT JOIN arr ON arr.c_label = old.c_label
+        ORDER BY list""")),
+
     // ------------------------------------- measured rank quality (MRR/NDCG)
     // Beyond set-overlap recall: POSITION-aware retrieval quality of the
     // IVF tier — reciprocal rank of the first relevant hit and NDCG@3
