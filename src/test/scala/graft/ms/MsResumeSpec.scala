@@ -69,6 +69,31 @@ class MsResumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       new java.io.File(store).getParentFile)
   }
 
+  test("CandiaPipeline.run with all three stores is a no-op on re-run") {
+    val scanDir = "/root/reference/test/test_experiment/samples/scans_mzml"
+    val files = Seq(s"$scanDir/scan1.mzML", s"$scanDir/scan2.mzML")
+    assume(new java.io.File(files.head).isFile)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-chain-resume").toString
+    val config = graft.pipeline.CandiaConfig(
+      parafacMinComp = 2, parafacMaxComp = 2, parafacMaxIter = 30)
+    def runOnce() = graft.pipeline.CandiaPipeline.run(spark, files, config,
+      tensorStorePath = Some(s"$base/tensors"),
+      modelStorePath = Some(s"$base/models"),
+      countStorePath = Some(s"$base/counts"))
+    val first = runOnce()
+    val (t1, m1, c1) = (first.tensors.count(), first.models.count(),
+      first.peakCounts.count())
+    t1 should be > 0L
+    // second run resumes from all three stores: identical counts — a
+    // failed skip in ANY stage would append duplicates to its store
+    val second = runOnce()
+    second.tensors.count() shouldBe t1
+    second.models.count() shouldBe m1
+    second.peakCounts.count() shouldBe c1
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   private def model(rtWindow: Int): ParafacModelRow = {
     val (nS, nC, nM, f) = (2, 6, 4, 2)
     ParafacModelRow("400.00", rtWindow, f, nS, nC, nM,
