@@ -110,6 +110,21 @@ object Multimodal extends QueryPack {
           "AS BIGINT)").as("sig"))
       .distinct()
 
+  /** STATELESS per-row form of [[frameSignatures]] for streaming inputs:
+    * the distinct signature set is built inside one array expression
+    * (filter → transform → array_distinct → explode_outer), so no
+    * stateful `distinct` operator is needed on a stream and a doc with
+    * zero full frames still emits one (doc_id, null) row. Values are
+    * identical to the blob-side extraction — the 32-bit signature IS
+    * the leading word of the frame digest either way. */
+  private[graft] def frameSigRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode_outer(expr(
+        "array_distinct(transform(" +
+          "filter(sequence(0, 7), f -> n_chars >= 32*(f+1)), " +
+          "f -> CAST(conv(substr(md5(substring(text, 1 + 32*f, 32)), " +
+          "1, 8), 16, 10) AS BIGINT)))")).as("sig"))
+
   /** Candidate pairs (d1 < d2, n_shared) from an inverted index on the
     * frame fingerprint, mirroring [[Dedup.pairCounts]]: the hot set
     * (df > maxDf) is removed by broadcast anti-join before any pair

@@ -168,6 +168,63 @@ object DocStreams extends QueryPack {
                     ELSE 'admitted' END AS status,
                coalesce(ex.exact_id, near.near_id) AS match_id
         FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
-        ORDER BY ex.doc_id"""))
+        ORDER BY ex.doc_id""")),
+
+    // --------------------------------- streaming video admission gate
+    // The frame-fingerprint twin of q_stream_admission: arriving docs'
+    // frame signatures (built STATELESSLY inside one array expression —
+    // no streaming distinct) probe the static corpus signature index
+    // through a broadcast join; the one stateful operator is the
+    // per-(doc, corpus-doc) shared-signature count. The ≥2-shared
+    // verdict and the min-match reduction run batch-side on the (tiny,
+    // aggregated) sink table. At 100 TB the corpus index is the
+    // precomputed inverted fingerprint table and the stream touches
+    // only its own signatures' buckets — O(batch) video admission.
+    "q_stream_video_admission" -> GraftQuery(
+      run = (s, d) => {
+        val corpusSigs = graft.operators.Multimodal.frameSigRows(
+            graft.Tables.documents(s, d)
+              .filter(col("doc_id") % 5 =!= 4))
+          .filter(col("sig").isNotNull)
+          .withColumnRenamed("doc_id", "c_id")
+        def batchStream = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 5 === 4)
+        val pairCounts = graft.operators.Multimodal
+          .frameSigRows(batchStream)
+          .join(broadcast(corpusSigs), Seq("sig"), "left")
+          .groupBy("doc_id", "c_id")
+          .agg(count(lit(1)).as("n_shared"))
+        EventStreams.runToMemory(s, pairCounts,
+            "graft_stream_video_admission", OutputMode.Update())
+          .groupBy("doc_id")
+          .agg(min(when(col("c_id").isNotNull && col("n_shared") >= 2,
+            col("c_id"))).as("match_id"))
+          .select(col("doc_id"),
+            when(col("match_id").isNotNull, lit("near_video"))
+              .otherwise(lit("admitted")).as("status"),
+            col("match_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH vs AS (
+          SELECT DISTINCT doc_id,
+                 ('0x'||substr(md5(substr(text, 1 + 32*f, 32)), 1, 8))::BIGINT
+                   AS sig
+          FROM documents, generate_series(0, 7) t(f)
+          WHERE n_chars >= 32*(f+1)),
+        bs AS (SELECT * FROM vs WHERE doc_id % 5 = 4),
+        cs AS (SELECT doc_id AS c_id, sig FROM vs WHERE doc_id % 5 <> 4),
+        m AS (SELECT b.doc_id, c.c_id, count(*) AS n
+              FROM bs b JOIN cs c ON c.sig = b.sig
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        mm AS (SELECT doc_id, min(c_id) AS match_id FROM m GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN mm.match_id IS NOT NULL THEN 'near_video'
+                    ELSE 'admitted' END AS status,
+               mm.match_id
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        LEFT JOIN mm ON mm.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

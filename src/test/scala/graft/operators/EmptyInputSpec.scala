@@ -85,7 +85,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // exist (and be empty), not throw
     Seq("q_stream_tumbling", "q_stream_sessionize",
       "q_stream_static_join", "q_stream_outer_join",
-      "q_stream_admission").foreach { q =>
+      "q_stream_admission", "q_stream_video_admission").foreach { q =>
       withClue(q) {
         noException should be thrownBy
           SparkEntry.queries(q)(spark, emptyDir).count()
