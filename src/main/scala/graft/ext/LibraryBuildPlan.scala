@@ -183,19 +183,27 @@ object LibraryBuildPlan {
   }
 
   /** DIA-Umpire → MS-GF+ PTM search (diaumpire_ptm_search.Snakefile):
-    * one MS-GF+ run per pseudo-spectrum MGF; collation via
-    * `PsmGather.readPsmTables` as above. */
+    * per pseudo-spectrum MGF, one MS-GF+ run followed by the mzid→TSV
+    * conversion the reference always chains after it
+    * (wrappers.py:133-135); collation via `PsmGather.readPsmTables`
+    * as above. */
   def diaumpireMsgfChain(
       msgfJar: String, mgfFiles: Seq[String], outDir: String,
       database: String, decoyPrefix: String, massTolPpm: Double,
       threads: Int): Seq[ToolStep] =
-    mgfFiles.map { mgf =>
+    mgfFiles.flatMap { mgf =>
       val stem = mgf.split('/').last.stripSuffix(".mgf")
-      ToolStep(s"msgf:$stem",
-        () => ToolCommands.msgf(msgfJar, mgf, database, decoyPrefix,
-          massTolPpm, threads),
-        inputs = Seq(mgf),
-        outputs = Seq(s"$outDir/$stem.tsv"))
+      val mzid = mgf.stripSuffix(".mgf") + ".mzid"
+      Seq(
+        ToolStep(s"msgf:$stem",
+          () => ToolCommands.msgf(msgfJar, mgf, database, decoyPrefix,
+            massTolPpm, threads),
+          inputs = Seq(mgf),
+          outputs = Seq(mzid)),
+        ToolStep(s"mzid2tsv:$stem",
+          () => ToolCommands.msgfMzidToTsv(msgfJar, mzid),
+          inputs = Seq(mzid),
+          outputs = Seq(s"$outDir/$stem.tsv")))
     }
 
   /** Execute a chain in rule order behind the runner. With

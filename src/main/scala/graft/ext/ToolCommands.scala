@@ -46,6 +46,13 @@ object ToolCommands {
       "-thread", threads.toString) ++
       modifications.toSeq.flatMap(m => Seq("-mod", m))
 
+  /** MS-GF+ mzid → TSV conversion (wrappers.py:133-135) — the
+    * reference runs it immediately after every MS-GF+ search; `-i`
+    * takes the search's `.mzid` sibling of the input file. */
+  def msgfMzidToTsv(jarPath: String, mzidFile: String): Seq[String] =
+    Seq("java", "-Xmx3500M", "-cp", jarPath, "edu.ucsd.msjava.ui.MzIDToTsv",
+      "-i", mzidFile, "-unroll", "1")
+
   /** DIA-Umpire signal extraction (wrappers.py:25-33). */
   def diaUmpire(
       jarDir: String, inputFile: String, paramFile: String): Seq[String] =

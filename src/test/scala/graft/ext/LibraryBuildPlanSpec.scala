@@ -145,9 +145,14 @@ class LibraryBuildPlanSpec extends AnyFunSuite with Matchers {
     val msgf = LibraryBuildPlan.diaumpireMsgfChain(
       "/opt/msgf.jar", Seq("/out/a_Q1.mgf"), "/msgf_out",
       "db.fasta", "reverse_", 40, 4)
-    msgf.map(_.name) shouldBe Seq("msgf:a_Q1")
+    msgf.map(_.name) shouldBe Seq("msgf:a_Q1", "mzid2tsv:a_Q1")
     msgf.head.command() should contain("-tda")
-    msgf.head.outputs shouldBe Seq("/msgf_out/a_Q1.tsv")
+    // the converter consumes the search's .mzid sibling (the
+    // reference's with_suffix('') + '.mzid')
+    msgf.head.outputs shouldBe Seq("/out/a_Q1.mzid")
+    msgf(1).command() should contain("edu.ucsd.msjava.ui.MzIDToTsv")
+    msgf(1).command() should contain("/out/a_Q1.mzid")
+    msgf(1).outputs shouldBe Seq("/msgf_out/a_Q1.tsv")
   }
 
   test("stage-12 denovo chains: converter feeds the sequencer; deepnovo input travels via env") {
