@@ -109,11 +109,17 @@ object GraphOps extends QueryPack {
               .select(col("node"),
                 (base + expr("85 * coalesce(inr, 0L) div 100")).as("rank"))
           }
-          ranks
+          val out = ranks
             .join(broadcast(Tables.nation(s, d)),
               col("node") === col("n_nationkey"))
             .select(col("n_name"), col("rank").as("rank_scaled"))
             .orderBy(col("rank_scaled").desc, col("n_name"))
+          // materialize the ≤|nation| result, then RELEASE the caches —
+          // returning the lazy plan would pin edges+nodes in executor
+          // storage for the session (the q_sim_ivfpq pattern)
+          val rows = out.collect()
+          edges.unpersist(); nodes.unpersist()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         }
       },
       oracle = Some {
@@ -192,7 +198,10 @@ object GraphOps extends QueryPack {
           .crossJoin(closure)
           .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
             col("n_triangles"))
-        out
+        // materialize the 1-row summary, then release all three caches
+        val rows = out.collect()
+        e0.unpersist(); deg.unpersist(); oe.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some(s"""
         WITH $coPurchaseCte,
@@ -298,8 +307,12 @@ object GraphOps extends QueryPack {
           dist.unpersist()
           dist = next
         }
-        dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
           .orderBy("dist")
+        // materialize the per-distance counts, then release the caches
+        val rows = out.collect()
+        e0.unpersist(); edges.unpersist(); dist.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some {
         def round(prev: String, cur: String) = s"""

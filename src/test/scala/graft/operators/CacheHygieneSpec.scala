@@ -29,4 +29,15 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     r1 shouldBe r2
     spark.sparkContext.getPersistentRDDs shouldBe empty
   }
+
+  test("graph queries leave no persisted RDDs behind") {
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    Seq("q_graph_pagerank", "q_graph_triangles", "q_graph_bfs")
+      .foreach { q =>
+        withClue(q) {
+          SparkEntry.queries(q)(spark, sf).count() should be >= 0L
+          spark.sparkContext.getPersistentRDDs shouldBe empty
+        }
+      }
+  }
 }
