@@ -60,6 +60,152 @@ object GraphOps extends QueryPack {
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
+  /** Materialize a small (aggregate-sized) result, release the plan's
+    * caches, and return the rows as a local frame — returning the lazy
+    * plan would pin the caches in executor storage for the session
+    * (the q_sim_ivfpq leak class). The lazy builders below stay
+    * exposed so `PlanGuardSpec` can still assert the REAL physical
+    * plan (the materialized frame is just a LocalTableScan). */
+  private def materializeAndRelease(
+      s: org.apache.spark.sql.SparkSession,
+      out: org.apache.spark.sql.DataFrame,
+      caches: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val rows = out.collect()
+    caches.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Lazy PageRank plan + the caches it reads (empty if the zero-node
+    * guard already released them). */
+  private[operators] def pagerankPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    // materialize the cache with ONE action before the plan below
+    // reads it 2 + Iters times (un-materialized caches are raced by
+    // sibling branches of the same job and recompute the fact join)
+    edges.count()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .persist()
+    val nNodes = nodes.count()
+    if (nNodes == 0) {
+      // zero-row guard: an empty edge set must yield an empty result,
+      // not a driver-side division by zero in the rank constants
+      edges.unpersist(); nodes.unpersist()
+      (Tables.nation(s, d)
+        .select(col("n_name"), lit(0L).as("rank_scaled")).limit(0), Nil)
+    } else {
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+      val base = lit(15L * Scale / (100L * nNodes))
+      var ranks = nodes.withColumn("rank", lit(Scale / nNodes))
+      (1 to Iters).foreach { _ =>
+        val contrib = ranks
+          .join(edges, col("node") === col("src"))
+          .join(outw, Seq("src"))
+          .select(col("dst"), expr("rank * w div ow").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("inr"))
+        ranks = nodes
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (base + expr("85 * coalesce(inr, 0L) div 100")).as("rank"))
+      }
+      val out = ranks
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("rank").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("n_name"))
+      (out, Seq(edges, nodes))
+    }
+  }
+
+  /** Lazy degree-oriented triangle-count plan + its caches. */
+  private[operators] def trianglesPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val e0 = coPurchaseEdges(s, d).persist()
+    e0.count() // materialize before the multi-branch reads below
+    val deg = e0.select(col("u").as("x"))
+      .unionByName(e0.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+      .persist()
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oe = e0
+      .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+      .persist()
+    oe.count()
+    val wedges = oe.as("e1")
+      .join(oe.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.db") < col("e2.db") ||
+            (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.b").as("x"), col("e2.b").as("y"))
+    // One pass over the wedge stream: LEFT-join the closing edge
+    // (oe rows are distinct, so at most one match per wedge) and
+    // count wedges + closed wedges in the same aggregate — the wedge
+    // join is the expensive stage and must not run twice.
+    val closure = wedges
+      .join(oe.as("e3"),
+        col("x") === col("e3.a") && col("y") === col("e3.b"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("e3.a")).as("n_triangles"))
+    val out = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closure)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+    (out, Seq(e0, deg, oe))
+  }
+
+  /** Lazy bounded-BFS plan + its caches. */
+  private[operators] def bfsPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val e0 = coPurchaseEdges(s, d).persist()
+    e0.count() // materialize before the two-branch union below
+    val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 97 === 0)
+      .withColumn("dist", lit(0))
+      .persist()
+    dist.count()
+    (1 to 3).foreach { _ =>
+      // each round reads the frontier TWICE (relax + carry); persist
+      // and materialize per round or round k recomputes round k−1
+      // in both branches — 2^k blowup over the loop
+      val next = dist
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist()
+      next.count()
+      dist.unpersist()
+      dist = next
+    }
+    val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+    (out, Seq(e0, edges, dist))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- weighted PageRank
@@ -69,58 +215,8 @@ object GraphOps extends QueryPack {
     // rank'(v) = 15·SCALE div (100·N) + 85·Σcontrib div 100.
     "q_graph_pagerank" -> GraftQuery(
       run = (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-        val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-        val edges = li
-          .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-          .agg(count(lit(1)).as("w"))
-          .persist()
-        // materialize the cache with ONE action before the plan below
-        // reads it 2 + Iters times (un-materialized caches are raced by
-        // sibling branches of the same job and recompute the fact join)
-        edges.count()
-        val nodes = edges.select(col("src").as("node"))
-          .unionByName(edges.select(col("dst").as("node"))).distinct()
-          .persist()
-        val nNodes = nodes.count()
-        if (nNodes == 0) {
-          // zero-row guard: an empty edge set must yield an empty result,
-          // not a driver-side division by zero in the rank constants
-          edges.unpersist(); nodes.unpersist()
-          Tables.nation(s, d)
-            .select(col("n_name"), lit(0L).as("rank_scaled")).limit(0)
-        } else {
-          val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
-          val base = lit(15L * Scale / (100L * nNodes))
-          var ranks = nodes.withColumn("rank", lit(Scale / nNodes))
-          (1 to Iters).foreach { _ =>
-            val contrib = ranks
-              .join(edges, col("node") === col("src"))
-              .join(outw, Seq("src"))
-              .select(col("dst"), expr("rank * w div ow").as("c"))
-              .groupBy("dst").agg(sum(col("c")).as("inr"))
-            ranks = nodes
-              .join(contrib, col("node") === col("dst"), "left")
-              .select(col("node"),
-                (base + expr("85 * coalesce(inr, 0L) div 100")).as("rank"))
-          }
-          val out = ranks
-            .join(broadcast(Tables.nation(s, d)),
-              col("node") === col("n_nationkey"))
-            .select(col("n_name"), col("rank").as("rank_scaled"))
-            .orderBy(col("rank_scaled").desc, col("n_name"))
-          // materialize the ≤|nation| result, then RELEASE the caches —
-          // returning the lazy plan would pin edges+nodes in executor
-          // storage for the session (the q_sim_ivfpq pattern)
-          val rows = out.collect()
-          edges.unpersist(); nodes.unpersist()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        }
+        val (out, caches) = pagerankPlan(s, d)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def iter(prev: String, cur: String) = s"""
@@ -162,46 +258,8 @@ object GraphOps extends QueryPack {
     // is counted exactly once at its lowest-rank apex.
     "q_graph_triangles" -> GraftQuery(
       run = (s, d) => {
-        val e0 = coPurchaseEdges(s, d).persist()
-        e0.count() // materialize before the multi-branch reads below
-        val deg = e0.select(col("u").as("x"))
-          .unionByName(e0.select(col("v").as("x")))
-          .groupBy("x").agg(count(lit(1)).as("dg"))
-          .persist()
-        val lowFirst = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val oe = e0
-          .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
-          .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
-          .select(when(lowFirst, col("u")).otherwise(col("v")).as("a"),
-            when(lowFirst, col("v")).otherwise(col("u")).as("b"),
-            when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
-          .persist()
-        oe.count()
-        val wedges = oe.as("e1")
-          .join(oe.as("e2"),
-            col("e1.a") === col("e2.a") &&
-              (col("e1.db") < col("e2.db") ||
-                (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
-          .select(col("e1.b").as("x"), col("e2.b").as("y"))
-        // One pass over the wedge stream: LEFT-join the closing edge
-        // (oe rows are distinct, so at most one match per wedge) and
-        // count wedges + closed wedges in the same aggregate — the wedge
-        // join is the expensive stage and must not run twice.
-        val closure = wedges
-          .join(oe.as("e3"),
-            col("x") === col("e3.a") && col("y") === col("e3.b"), "left")
-          .agg(count(lit(1)).as("n_wedges"),
-            count(col("e3.a")).as("n_triangles"))
-        val out = deg.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(closure)
-          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-            col("n_triangles"))
-        // materialize the 1-row summary, then release all three caches
-        val rows = out.collect()
-        e0.unpersist(); deg.unpersist(); oe.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        val (out, caches) = trianglesPlan(s, d)
+        materializeAndRelease(s, out, caches)
       },
       oracle = Some(s"""
         WITH $coPurchaseCte,
@@ -283,36 +341,8 @@ object GraphOps extends QueryPack {
     // size. Output: node count per distance.
     "q_graph_bfs" -> GraftQuery(
       run = (s, d) => {
-        val e0 = coPurchaseEdges(s, d).persist()
-        e0.count() // materialize before the two-branch union below
-        val edges = e0.select(col("u").as("src"), col("v").as("dst"))
-          .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
-          .persist()
-        var dist = edges.select(col("src").as("node")).distinct()
-          .filter(col("node") % 97 === 0)
-          .withColumn("dist", lit(0))
-          .persist()
-        dist.count()
-        (1 to 3).foreach { _ =>
-          // each round reads the frontier TWICE (relax + carry); persist
-          // and materialize per round or round k recomputes round k−1
-          // in both branches — 2^k blowup over the loop
-          val next = dist
-            .join(edges, col("node") === col("src"))
-            .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
-            .unionByName(dist)
-            .groupBy("node").agg(min(col("dist")).as("dist"))
-            .persist()
-          next.count()
-          dist.unpersist()
-          dist = next
-        }
-        val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
-          .orderBy("dist")
-        // materialize the per-distance counts, then release the caches
-        val rows = out.collect()
-        e0.unpersist(); edges.unpersist(); dist.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        val (out, caches) = bfsPlan(s, d)
+        materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def round(prev: String, cur: String) = s"""

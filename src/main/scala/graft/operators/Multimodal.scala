@@ -574,6 +574,71 @@ object Multimodal extends QueryPack {
                     WHEN tp.d1 IS NOT NULL THEN 'text_only'
                     ELSE 'frames_only' END AS modality
         FROM tp FULL OUTER JOIN fp ON fp.d1 = tp.d1 AND fp.d2 = tp.d2
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // -------------------------------- caption↔frame alignment (CLIP prep)
+    // Pairing captions to frames is the preprocessing step before
+    // contrastive (CLIP-style) training: each caption token is
+    // attributed to the frame whose 32-char span contains the token's
+    // midpoint, giving per-(doc, frame) token counts and the densest
+    // frame per doc — the frame a pair-builder would sample against the
+    // caption. Token offsets come from a per-doc prefix sum over the
+    // RAW split (empty tokens still occupy a position, so offsets stay
+    // char-exact); the window is partitioned by doc_id, so the sort is
+    // per-document, never global. Only (doc, frame, count) triples
+    // shuffle. Best-frame selection is min over a (−count, frame)
+    // struct — one aggregate, no second window pass.
+    "q_mm_caption_align" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            least(floor(col("n_chars") / 32), lit(8)).cast("int")
+              .as("n_frames"),
+            posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+          .withColumn("start",
+            lit(1L) + coalesce(sum(length(col("w")) + 1).over(w), lit(0L)))
+          .withColumn("mid",
+            col("start") + expr("(length(w) - 1) div 2"))
+          .withColumn("f", expr("CAST((mid - 1) div 32 AS INT)"))
+          .filter(col("w") =!= "" && col("f") < col("n_frames"))
+        val perFrame = toks.groupBy("doc_id", "n_frames", "f")
+          .agg(count(lit(1)).as("n_tok"))
+        perFrame.groupBy("doc_id", "n_frames")
+          .agg(sum(col("n_tok")).as("n_aligned"),
+            expr("min(struct(-n_tok AS neg, f)).f").as("best_frame"),
+            max(col("n_tok")).as("best_count"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+                   FROM documents),
+        tk AS (
+          SELECT doc_id, least(n_chars // 32, 8) AS n_frames, t.i,
+                 ws[t.i] AS w
+          FROM s,
+               LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+        off AS (
+          SELECT doc_id, n_frames, w,
+                 1 + coalesce(sum(length(w) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS start
+          FROM tk),
+        fr AS (
+          SELECT doc_id, n_frames,
+                 ((start + (length(w) - 1) // 2) - 1) // 32 AS f
+          FROM off WHERE w <> ''),
+        pf AS (
+          SELECT doc_id, n_frames, f, count(*) AS n_tok
+          FROM fr WHERE f < n_frames GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+               CAST(sum(n_tok) AS BIGINT) AS n_aligned,
+               CAST(min({'neg': -n_tok, 'f': f}).f AS INT) AS best_frame,
+               CAST(max(n_tok) AS BIGINT) AS best_count
+        FROM pf GROUP BY doc_id, n_frames
+        ORDER BY doc_id"""))
   )
 }

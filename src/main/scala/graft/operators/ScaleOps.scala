@@ -1263,6 +1263,131 @@ object ScaleOps extends QueryPack {
                CAST(sum(floor(value * 10000.0 + 0.5)::BIGINT) AS BIGINT)
                  AS sum_value_e4
         FROM events JOIN dim ON dt = event_type
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------- temperature-scaled source mixture
+    // The multilingual/multi-source rebalancing rule (exponent-smoothed
+    // sampling, p_i ∝ (n_i/N)^(1/T)): big sources are down-weighted,
+    // small ones up-weighted, T→∞ flattens to uniform. T = 2 makes the
+    // scaling a SQUARE ROOT — chosen deliberately: IEEE-754 requires
+    // sqrt to be correctly rounded, so (unlike pow, which may differ by
+    // an ulp between libm and the JVM) both engines compute the
+    // bit-identical weight, and everything after floor() is exact
+    // integer arithmetic. The per-source aggregate is 5 rows; the
+    // allocation join is a broadcast of 1 row — at 100 TB the only full
+    // pass is the map-side token count.
+    "q_scale_temperature_mix" -> GraftQuery(
+      run = (s, d) => {
+        val budget = 1000000L
+        val perSrc = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"))
+          .withColumn("w",
+            expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000.0)) " +
+              "AS BIGINT)"))
+        val tot = perSrc.agg(sum(col("w")).as("w_total"),
+          sum(col("n_tokens")).as("tok_total"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens * 1000000 div tok_total").as("natural_ppm"),
+            expr("w * 1000000 div w_total").as("temp_ppm"),
+            expr(s"($budget * w) div w_total").as("target_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH per_src AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                 CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE) * 1000000.0))
+                      AS BIGINT) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+                       CAST(sum(n_tokens) AS BIGINT) AS tok_total
+                FROM per_src)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens * 1000000 // tok_total AS BIGINT) AS natural_ppm,
+               CAST(w * 1000000 // w_total AS BIGINT) AS temp_ppm,
+               CAST((1000000 * w) // w_total AS BIGINT) AS target_tokens
+        FROM per_src CROSS JOIN tot ORDER BY source""")),
+
+    // --------------------------------- late-data audit (batch watermark)
+    // Replays the streaming watermark rule over an at-rest event log —
+    // the backfill-side audit of "how much data would a watermark of D
+    // have dropped": an event is late iff its event time is older than
+    // (max event time seen so far in arrival order) − D. The generator
+    // emits events in time order, so out-of-order delivery is simulated
+    // by a deterministic md5 jitter: arrival = event time + 0–5 min of
+    // hash(event_id) — the replay order every engine agrees on, with a
+    // 2-min watermark late-dropping a realistic minority. The naive
+    // plan is max(ts) OVER (ORDER BY arrival) — an UNPARTITIONED
+    // window, i.e. a single-reducer global sort. The scale shape used
+    // here decomposes the prefix maximum: arrival keys split into
+    // epoch-DAY buckets (constant width, data-independent — exactly
+    // the daily partition an event log lands in at rest); the running
+    // max within each bucket is a bucket-partitioned window (parallel,
+    // bounded sort); the carry-in from earlier buckets is an exclusive
+    // prefix-max over the per-day aggregate (rows = #days, tiny),
+    // broadcast back. wm(row) = max(carry_in(day),
+    // running_max_in_day) − D. One hash shuffle by day instead of a
+    // global sort; every day streams independently. The oracle IS the
+    // naive window.
+    "q_scale_late_data" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val delayUs = 120000000L // 2-minute watermark, µs
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+          .withColumn("arr",
+            col("us") + expr(
+              "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), " +
+                "16, 10) AS BIGINT) % 300000000"))
+          .withColumn("bucket", expr("arr div 86400000000"))
+        // 32-row aggregate → exclusive prefix max (window over 32 rows)
+        val pfx = ev.groupBy("bucket").agg(max("us").as("bmax"))
+          .withColumn("carry_in",
+            coalesce(
+              max(col("bmax")).over(Window.orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("bucket", "carry_in")
+        val w = Window.partitionBy("bucket").orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(broadcast(pfx), Seq("bucket"))
+          .withColumn("wm",
+            greatest(max(col("us")).over(w), col("carry_in")) - delayUs)
+          .withColumn("late", (col("us") < col("wm")).cast("long"))
+          .withColumn("late_ms",
+            when(col("us") < col("wm"),
+              expr("(wm - us) div 1000")).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+            max(col("late_ms")).as("max_lateness_ms"),
+            expr("sum(late) * 1000000 div count(1)").as("late_ppm"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT event_type, epoch_us(ts) AS us, event_id,
+                 epoch_us(ts)
+                   + ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+                     % 300000000 AS arr
+          FROM events),
+        w AS (
+          SELECT event_type,
+                 CASE WHEN us <
+                        max(us) OVER (ORDER BY arr, event_id
+                          ROWS UNBOUNDED PRECEDING) - 120000000
+                      THEN 1 ELSE 0 END AS late,
+                 greatest(max(us) OVER (ORDER BY arr, event_id
+                            ROWS UNBOUNDED PRECEDING)
+                          - 120000000 - us, 0) // 1000 AS late_ms
+          FROM a)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(late) AS BIGINT) AS n_late,
+               CAST(max(CASE WHEN late = 1 THEN late_ms ELSE 0 END)
+                    AS BIGINT) AS max_lateness_ms,
+               CAST(sum(late) * 1000000 // count(*) AS BIGINT) AS late_ppm
+        FROM w GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -1060,6 +1060,187 @@ object TextAnalysis extends QueryPack {
                CAST((max(n) * 1000) // count(*) AS BIGINT)
                  AS mean_len_milli
         FROM lens GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------ URL canonicalization + dedup
+    // The first dedup pass every web-crawl pipeline runs: collapse
+    // re-crawls of the SAME page before any content hashing. The messy
+    // URL is synthesized deterministically per doc (scheme-case drift,
+    // optional www., tracking params, trailing slash — the classic
+    // variants; the path identifies the page by its lead-64-chars
+    // digest, stable across re-crawls whose TAILS drift — the corpus'
+    // shared-prefix near-dup docs are exactly such re-crawls), then
+    // canonicalized by a regexp_replace chain:
+    // lowercase → strip scheme → strip www. → strip utm_* suffix →
+    // strip trailing slash. Dedup is a groupBy on the canonical key
+    // keeping min(doc_id) — entirely map-side string work plus one
+    // aggregate on the canonical hash; no content bytes shuffle.
+    "q_text_url_dedup" -> GraftQuery(
+      run = (s, d) => {
+        val url = expr("""concat(
+            CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+                 ELSE 'HTTPS://' END,
+            CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+            'example.com/', substr(md5(substr(text, 1, 64)), 1, 12),
+            CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed' ELSE '' END)""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canon",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(col("url")), "^https?://", ""),
+                  "^www\\.", ""),
+                "\\?utm_[a-z_]+=[^&]*$", ""),
+              "/$", ""))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("canon")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE doc_id % 3 WHEN 0 THEN 'http://'
+                       WHEN 1 THEN 'https://' ELSE 'HTTPS://' END)
+                 || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                 || 'example.com/' || substr(md5(substr(text, 1, 64)), 1, 12)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed'
+                          ELSE '' END) AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '^https?://', ''),
+                       '^www\.', ''),
+                     '\?utm_[a-z_]+=[^&]*$', ''),
+                   '/$', '') AS canon
+          FROM u)
+        SELECT canon, count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc
+        FROM c GROUP BY canon HAVING count(*) >= 2
+        ORDER BY canon""")),
+
+    // ----------------------------- per-domain quality caps (two-phase)
+    // RefinedWeb-style domain balancing: no single domain may
+    // contribute more than CAP documents (CAP = 10 so the ceiling
+    // actually binds on the 25-doc synthetic domains), and the CAP
+    // survivors are the best by quality (n_chars, tie doc_id). The naive
+    // plan — row_number() PARTITION BY source — sends every row of a
+    // hot domain to ONE reducer. This is the exact two-phase top-K
+    // shape instead: phase 1 ranks within (source, salt) and keeps at
+    // most CAP per salted group (each reducer sorts 1/16th of a
+    // domain), phase 2 ranks the ≤ 16·CAP survivors per domain — a
+    // bounded sort regardless of domain size. Identical results to the
+    // naive plan, which is what the oracle runs.
+    "q_text_domain_caps" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 10
+        val salts = 16
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val phase1 = docs
+          .withColumn("salt", pmod(col("doc_id"), lit(salts)))
+          .withColumn("rs", row_number().over(
+            Window.partitionBy("source", "salt")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rs") <= cap)
+        val kept = phase1
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk") <= cap)
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("n_chars")).as("chars_total"))
+          .join(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("n_chars")).as("chars_kept"),
+              min(col("n_chars")).as("min_kept_chars")),
+            Seq("source"))
+          .select(col("source"), col("n_total"), col("n_kept"),
+            (col("n_total") - col("n_kept")).as("n_dropped"),
+            col("chars_kept"), col("min_kept_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents),
+        k AS (SELECT source, count(*) AS n_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(min(n_chars) AS BIGINT) AS min_kept_chars
+              FROM r WHERE rk <= 10 GROUP BY source),
+        t AS (SELECT source, count(*) AS n_total FROM documents
+              GROUP BY source)
+        SELECT t.source, t.n_total, k.n_kept,
+               t.n_total - k.n_kept AS n_dropped,
+               k.chars_kept, k.min_kept_chars
+        FROM t JOIN k ON k.source = t.source
+        ORDER BY t.source""")),
+
+    // ------------------------------- n-gram novelty (first occurrence)
+    // A diversity/curation signal: what fraction of a document's word
+    // trigrams has never been seen in any EARLIER document (doc_id as
+    // ingestion order)? First-occurrence attribution is min(doc_id) per
+    // gram — one aggregate, no pairwise work, and the group key is a
+    // 60-bit md5-derived digest so the shuffle carries 8-byte keys,
+    // never gram strings (the same digests-not-bodies rule
+    // ShuffleVolumeSpec enforces for the dedup pack). Skew is
+    // self-limiting: the hotter a gram, the more rows collapse into
+    // one (digest, min) pair map-side.
+    "q_text_novelty" -> GraftQuery(
+      run = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+          .filter(size(col("ws")) >= 3)
+        val grams = toks.select(col("doc_id"),
+          explode(expr(
+            """array_distinct(transform(sequence(1, size(ws) - 2),
+                 i -> CAST(conv(substr(md5(concat_ws(' ',
+                        element_at(ws, i), element_at(ws, i + 1),
+                        element_at(ws, i + 2))), 1, 15), 16, 10)
+                      AS BIGINT)))""")).as("g"))
+        val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("n_novel * 1000000 div n_grams"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     w -> w <> '') AS ws
+          FROM documents),
+        tg AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(ws[t.i] || ' ' || ws[t.i+1] || ' '
+                                 || ws[t.i+2]), 1, 15))::BIGINT AS g
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+                          AS i) t
+          WHERE len(ws) >= 3),
+        fo AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY g)
+        SELECT tg.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN fo.first_doc = tg.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN fo.first_doc = tg.doc_id
+                             THEN 1 ELSE 0 END) * 1000000 // count(*)
+                    AS BIGINT) AS novelty_ppm
+        FROM tg JOIN fo ON fo.g = tg.g
+        GROUP BY tg.doc_id
+        ORDER BY tg.doc_id"""))
   )
 }

@@ -465,6 +465,57 @@ object Windows extends QueryPack {
           FROM per)
         SELECT r_q, f_q, m_q, count(*) AS n_customers,
                CAST(sum(monetary_c) AS BIGINT) AS cell_monetary_c
-        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ------------------------------------------ time-bucket OHLC bars
+    // The telemetry downsampling shape: per (series, day) keep
+    // open/high/low/close/volume — what a metrics store or a feature
+    // pipeline emits per sensor per window. Open/close are
+    // order-sensitive: first/last by (ts, event_id) — implemented as
+    // min/max over a struct whose leading fields are the ordering key,
+    // so the whole bar is ONE hash aggregate with map-side partial
+    // merge (no window sort, no per-group row_number pass). Values are
+    // compared in cents (exact integers); ties are impossible because
+    // event_id is unique in the struct key.
+    "q_window_ohlc" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("h"),
+            col("event_id"),
+            expr("ts div 1000").as("us"),
+            expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy("event_type", "h")
+          .agg(
+            expr("min(struct(us, event_id, cents)).cents").as("open_c"),
+            expr("max(struct(us, event_id, cents)).cents").as("close_c"),
+            max(col("cents")).as("high_c"),
+            min(col("cents")).as("low_c"),
+            count(lit(1)).as("volume"),
+            sum(col("cents")).as("sum_c"))
+          .orderBy("event_type", "h"),
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS h, event_id,
+                 epoch_us(ts) AS us,
+                 floor(value * 100.0 + 0.5)::BIGINT AS cents
+          FROM events),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, h
+                                    ORDER BY us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, h
+                                    ORDER BY us DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT event_type, h,
+               CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+                 AS open_c,
+               CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+                 AS close_c,
+               CAST(max(cents) AS BIGINT) AS high_c,
+               CAST(min(cents) AS BIGINT) AS low_c,
+               count(*) AS volume, CAST(sum(cents) AS BIGINT) AS sum_c
+        FROM r GROUP BY event_type, h
+        ORDER BY event_type, h"""))
   )
 }

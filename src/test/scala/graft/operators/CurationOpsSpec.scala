@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Structural checks for the curation/telemetry operators added in
+  * round 5: the two decomposed-window shapes are proven equal to their
+  * naive single-reducer forms (the property the oracle also checks at
+  * sf0.01, replicated here against an in-test Spark reference so a
+  * regression fails fast without DuckDB), and each op's internal
+  * invariants hold on real testdata.
+  */
+class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sf/events.parquet").exists
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("curation-ops-spec")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("late_data bucketed prefix-max equals the naive global window") {
+    assume(haveData)
+    // naive reference: one unpartitioned running max over arrival order
+    val naive = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("arr",
+        col("us") + expr(
+          "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), " +
+            "16, 10) AS BIGINT) % 300000000"))
+      .withColumn("wm",
+        max(col("us")).over(Window.orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - lit(120000000L))
+      .withColumn("late", (col("us") < col("wm")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val decomposed = SparkEntry.queries("q_scale_late_data")(spark, sf)
+      .select("event_type", "n_events", "n_late")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    decomposed shouldBe naive
+    // the jitter construction must actually produce late rows
+    decomposed.map(_._3).sum should be > 0L
+  }
+
+  test("domain_caps two-phase top-K equals the naive per-domain window") {
+    assume(haveData)
+    val cap = 10
+    val naive = Tables.documents(spark, sf)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val twoPhase = SparkEntry.queries("q_text_domain_caps")(spark, sf)
+      .select("source", "n_kept", "chars_kept")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    twoPhase shouldBe naive
+  }
+
+  test("novelty: earliest doc is fully novel; all ppm in range") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_text_novelty")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    // the first doc (ingestion order) can only contain first occurrences
+    rows.head._4 shouldBe 1000000L
+    rows.foreach { case (_, nGrams, nNovel, ppm) =>
+      nNovel should be <= nGrams
+      ppm should (be >= 0L and be <= 1000000L)
+    }
+    // novelty must decay somewhere: not every doc can be fully novel
+    rows.exists(_._4 < 1000000L) shouldBe true
+  }
+
+  test("temperature mixture flattens the natural distribution") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_scale_temperature_mix")(spark, sf)
+      .select("natural_ppm", "temp_ppm", "target_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.length should be > 1
+    // sqrt scaling compresses the spread: the head loses share, the
+    // tail gains (allow 1 ppm of integer-division slack at the bounds)
+    rows.map(_._2).max should be <= (rows.map(_._1).max + 1)
+    rows.map(_._2).min should be >= (rows.map(_._1).min - 1)
+    // allocations cannot exceed the budget
+    rows.map(_._3).sum should be <= 1000000L
+  }
+
+  test("ohlc bars are internally consistent") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_window_ohlc")(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (open, close) = (r.getLong(2), r.getLong(3))
+      val (high, low) = (r.getLong(4), r.getLong(5))
+      val volume = r.getLong(6)
+      low should be <= high
+      open should (be >= low and be <= high)
+      close should (be >= low and be <= high)
+      volume should be >= 1L
+    }
+  }
+
+  test("caption alignment attributes tokens to in-range frames") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_mm_caption_align")(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val nFrames = r.getInt(1)
+      val nAligned = r.getLong(2)
+      val bestFrame = r.getInt(3)
+      val bestCount = r.getLong(4)
+      bestFrame should (be >= 0 and be < nFrames)
+      bestCount should be <= nAligned
+      bestCount should be >= 1L
+    }
+  }
+
+  test("url dedup groups are genuine duplicates keeping the earliest doc") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_text_url_dedup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // sf0.001's shared-prefix docs must collapse into at least one group
+    rows should not be empty
+    rows.foreach { case (canon, nDocs, _) =>
+      nDocs should be >= 2L
+      // canonical form is scheme-less, www-less, tracker-less, no
+      // trailing slash
+      canon should not include "://"
+      canon should not startWith "www."
+      canon should not include "utm_"
+      canon should not endWith "/"
+    }
+  }
+}

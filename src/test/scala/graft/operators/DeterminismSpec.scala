@@ -53,7 +53,10 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_hard_negatives", "q_dedup_containment", "q_scale_kmv_intersect",
     "q_scale_token_budget", "q_scale_partition_audit", "q_dedup_lsh_eval",
     "q_mm_cross_modal_dedup", "q_mm_video_neardup", "q_sim_eval_rank",
-    "q_ms_tensorize", "q_mm_frame_delta", "q_sim_ivf_incremental")
+    "q_ms_tensorize", "q_mm_frame_delta", "q_sim_ivf_incremental",
+    "q_scale_temperature_mix", "q_scale_late_data", "q_text_url_dedup",
+    "q_text_domain_caps", "q_text_novelty", "q_window_ohlc",
+    "q_mm_caption_align")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -193,15 +193,27 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   test("graph queries equi-join — never nested-loop — and DSIR prunes") {
     assume(haveData)
+    // The registry entries materialize-and-release (cache hygiene), so
+    // their returned frames are LocalTableScans; assert on the LAZY
+    // builders — the plans that actually execute — and release the
+    // caches the builders pin.
+    def lazyPlan(build: (SparkSession, String) => (
+        org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])): String = {
+      val (out, caches) = build(spark, sf)
+      val p = out.queryExecution.executedPlan.toString
+      caches.foreach(_.unpersist())
+      p
+    }
     // triangles: the wedge self-join and its closure must plan as hash
     // (equi) joins — a nested loop there is the O(W·E) trap. The ONLY
     // permitted nested loops are the two 1-row × 1-row stat combines
     // (n_nodes × n_edges × closure), harmless at any scale.
-    val tri = plan("q_graph_triangles")
+    val tri = lazyPlan(GraphOps.trianglesPlan)
     "BroadcastNestedLoopJoin".r.findAllIn(tri).size should be <= 2
     (tri should include).regex("(BroadcastHashJoin|SortMergeJoin)")
-    plan("q_graph_bfs") should not include "NestedLoop"
-    plan("q_graph_pagerank") should not include "NestedLoop"
+    lazyPlan(GraphOps.bfsPlan) should not include "NestedLoop"
+    lazyPlan(GraphOps.pagerankPlan) should not include "NestedLoop"
     // DSIR touches only (doc_id, lang, text)
     val scans = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(plan("q_text_dsir")).map(_.group(1)).toSeq
