@@ -149,7 +149,13 @@ object GraphOps extends QueryPack {
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
       .persist()
-    oe.count()
+    val nOriented = oe.count()
+    // the wedge self-join stays a SHUFFLED equi-join on `a`
+    // deliberately: both sides are the (small) edge list and the
+    // shuffle co-locates each vertex's out-list once — measured faster
+    // than a broadcast probe here (better per-partition locality than
+    // hashing into one 1M-entry map per task)
+    val fitsBroadcast = nOriented <= 20000000L
     val wedges = oe.as("e1")
       .join(oe.as("e2"),
         col("e1.a") === col("e2.a") &&
@@ -159,9 +165,18 @@ object GraphOps extends QueryPack {
     // One pass over the wedge stream: LEFT-join the closing edge
     // (oe rows are distinct, so at most one match per wedge) and
     // count wedges + closed wedges in the same aggregate — the wedge
-    // join is the expensive stage and must not run twice.
+    // join is the expensive stage and must not run twice. The wedge
+    // stream is Θ(Σ outdeg²) ≫ |E| on dense graphs, so when the
+    // oriented edge list fits a broadcast (3 longs/row → ~24 B; 20M
+    // rows ≈ 500 MB is the practical ceiling), ship EDGES to the
+    // wedges and close map-side — the wedge stream then never
+    // shuffles at all. Beyond the ceiling, fall back to the shuffled
+    // equi-join (both sides hash on (x, y)) — the plan that scales to
+    // any edge count.
+    val closing =
+      if (fitsBroadcast) broadcast(oe.as("e3")) else oe.as("e3")
     val closure = wedges
-      .join(oe.as("e3"),
+      .join(closing,
         col("x") === col("e3.a") && col("y") === col("e3.b"), "left")
       .agg(count(lit(1)).as("n_wedges"),
         count(col("e3.a")).as("n_triangles"))

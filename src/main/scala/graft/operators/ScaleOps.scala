@@ -1388,6 +1388,65 @@ object ScaleOps extends QueryPack {
                CAST(max(CASE WHEN late = 1 THEN late_ms ELSE 0 END)
                     AS BIGINT) AS max_lateness_ms,
                CAST(sum(late) * 1000000 // count(*) AS BIGINT) AS late_ppm
-        FROM w GROUP BY event_type ORDER BY event_type"""))
+        FROM w GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------ training shard manifest
+    // The last step before a corpus ships to trainers: assign every doc
+    // to one of 64 shards by content-independent hash (so shard load is
+    // uniform by construction — no salting needed), and emit the
+    // manifest a training job validates against: per-shard doc/token
+    // counts, a load share, and an ORDER-INDEPENDENT integrity digest
+    // (bit_xor of per-doc 60-bit content hashes — commutative, so the
+    // digest is stable under any partitioning/arrival order, the same
+    // property the Merkle op uses). One map-side hash pass + one
+    // 64-group aggregate; a re-run after any repartition reproduces
+    // the digests bit-for-bit, which is exactly how shard corruption
+    // or silent doc loss is caught at 100 TB.
+    "q_scale_shard_manifest" -> GraftQuery(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), " +
+              "16, 10) AS BIGINT) % 64").as("shard"),
+            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), " +
+              "':', CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+              .as("doc_hash"))
+        val perShard = docs.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"),
+            sum(when(col("n_chars") >= 200L, 1L).otherwise(0L))
+              .as("n_quality"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+            expr("bit_xor(doc_hash)").as("digest"))
+        val tot = perShard.agg(sum(col("n_docs")).as("total_docs"))
+        perShard.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"),
+            expr("n_docs * 1000000 div total_docs").as("load_ppm"),
+            col("n_tokens"), col("n_quality"), col("min_doc"),
+            col("max_doc"), col("digest"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64
+                   AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                 || n_chars::VARCHAR), 1, 15))::BIGINT
+                   AS doc_hash
+          FROM documents),
+        per AS (
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quality,
+                 CAST(min(doc_id) AS BIGINT) AS min_doc,
+                 CAST(max(doc_id) AS BIGINT) AS max_doc,
+                 CAST(bit_xor(doc_hash) AS BIGINT) AS digest
+          FROM h GROUP BY shard),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+        SELECT shard, n_docs,
+               CAST(n_docs * 1000000 // total_docs AS BIGINT) AS load_ppm,
+               n_tokens, n_quality, min_doc, max_doc, digest
+        FROM per CROSS JOIN tot ORDER BY shard"""))
   )
 }

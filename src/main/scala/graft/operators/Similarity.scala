@@ -1550,6 +1550,73 @@ object Similarity extends QueryPack {
                             ORDER BY maxsim DESC, n_id) AS rank
                    FROM score)
         SELECT q_id, rank, n_id, maxsim
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // --------------------------------- embedding-space QC (outlier cull)
+    // The embedding hygiene step before any ANN/cluster stage: vectors
+    // far from their class centroid are mislabeled points, encoder
+    // failures, or garbage inputs, and they poison both training
+    // batches and IVF list balance. Everything runs on the milli-unit
+    // integer grid: coordinates quantize once (floor(x·1000 + 0.5)),
+    // centroids are integer means (sum div n), distances are exact
+    // integer sums of squares, and the cull rule is the energy test
+    // dist² > 4·mean(dist²) (a 2σ-style cut with no FP anywhere), so
+    // the flag is bit-identical across engines. The per-(label, dim)
+    // centroid table is tiny (10×64 rows) and broadcasts into the
+    // distance join; only quantized coordinate rows shuffle once for
+    // the centroid build and once for the per-vector reduce.
+    "q_sim_embed_outliers" -> GraftQuery(
+      run = (s, d) => {
+        val vm = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("i"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)")
+              .as("vmil"))
+        val cent = vm.groupBy("label", "i")
+          .agg(expr("sum(vmil) div count(1)").as("cmil"))
+        val dist = vm.join(broadcast(cent), Seq("label", "i"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum((col("vmil") - col("cmil")) * (col("vmil") - col("cmil")))
+            .as("dist2"))
+        val stats = dist.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("sum(dist2) div count(1)").as("mean_dist2"),
+            max(col("dist2")).as("max_dist2"))
+        dist.join(broadcast(stats), Seq("label"))
+          .groupBy(col("label"), col("n_vecs"), col("mean_dist2"),
+            col("max_dist2"))
+          .agg(sum(when(col("dist2") > col("mean_dist2") * 4, 1L)
+            .otherwise(0L)).as("n_outliers"))
+          .select(col("label"), col("n_vecs"), col("n_outliers"),
+            col("mean_dist2"), col("max_dist2"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0
+                            + 0.5) AS BIGINT) AS vmil
+          FROM embeddings),
+        cent AS (SELECT label, i, sum(vmil) // count(*) AS cmil
+                 FROM u GROUP BY label, i),
+        dist AS (SELECT u.vec_id, u.label,
+                        CAST(sum((vmil - cmil) * (vmil - cmil)) AS BIGINT)
+                          AS dist2
+                 FROM u JOIN cent ON cent.label = u.label AND cent.i = u.i
+                 GROUP BY u.vec_id, u.label),
+        stats AS (SELECT label, count(*) AS n_vecs,
+                         CAST(sum(dist2) // count(*) AS BIGINT)
+                           AS mean_dist2,
+                         CAST(max(dist2) AS BIGINT) AS max_dist2
+                  FROM dist GROUP BY label)
+        SELECT d.label, s.n_vecs,
+               CAST(sum(CASE WHEN d.dist2 > s.mean_dist2 * 4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               s.mean_dist2, s.max_dist2
+        FROM dist d JOIN stats s ON s.label = d.label
+        GROUP BY d.label, s.n_vecs, s.mean_dist2, s.max_dist2
+        ORDER BY d.label"""))
   )
 }

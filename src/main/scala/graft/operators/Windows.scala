@@ -516,6 +516,70 @@ object Windows extends QueryPack {
                CAST(min(cents) AS BIGINT) AS low_c,
                count(*) AS volume, CAST(sum(cents) AS BIGINT) AS sum_c
         FROM r GROUP BY event_type, h
-        ORDER BY event_type, h"""))
+        ORDER BY event_type, h""")),
+
+    // ---------------------------------- last-touch conversion attribution
+    // The marketing/causal primitive the funnel doesn't cover: every
+    // purchase is credited to the user's MOST RECENT click within a
+    // 7-day lookback. One per-user ordered window carries the last
+    // click as a running max over a (ts, event_id) struct (max ignores
+    // the non-click NULLs, the struct order resolves same-µs ties) —
+    // no self-join of purchases against clicks, so a power user with
+    // thousands of events costs one sorted pass, not O(clicks ×
+    // purchases). Gaps are exact integer µs→ms. Per-user partitions
+    // parallelize freely at any user count.
+    "q_window_attribution" -> GraftQuery(
+      run = (s, d) => {
+        val lookbackUs = 604800000000L // 7 days
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("ts div 1000").as("us"))
+          .withColumn("last_click",
+            max(when(col("event_type") === "click",
+              struct(col("us").as("c_us"), col("event_id").as("c_id"))))
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("attributed",
+            (col("last_click").isNotNull &&
+              col("last_click.c_us") >= col("us") - lookbackUs)
+              .cast("long"))
+          .withColumn("gap_ms",
+            when(col("attributed") === 1L,
+              expr("(us - last_click.c_us) div 1000")).otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("attributed")).as("n_attributed"),
+            sum(col("gap_ms")).as("sum_gap_ms"),
+            max(col("gap_ms")).as("max_gap_ms"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+          FROM events),
+        lc AS (
+          SELECT user_id, event_type, us,
+                 max(CASE WHEN event_type = 'click'
+                          THEN {'c_us': us, 'c_id': event_id} END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click
+          FROM e),
+        p AS (
+          SELECT user_id,
+                 CASE WHEN last_click IS NOT NULL
+                       AND last_click.c_us >= us - 604800000000
+                      THEN 1 ELSE 0 END AS attributed,
+                 CASE WHEN last_click IS NOT NULL
+                       AND last_click.c_us >= us - 604800000000
+                      THEN (us - last_click.c_us) // 1000
+                      ELSE 0 END AS gap_ms
+          FROM lc WHERE event_type = 'purchase')
+        SELECT user_id, count(*) AS n_purchases,
+               CAST(sum(attributed) AS BIGINT) AS n_attributed,
+               CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+               CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+        FROM p GROUP BY user_id ORDER BY user_id"""))
   )
 }

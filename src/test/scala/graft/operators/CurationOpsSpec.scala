@@ -139,6 +139,50 @@ class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("attribution credits at most one click per purchase, within lookback") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_window_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows should not be empty
+    rows.foreach { case (_, nPurch, nAttr, sumGap, maxGap) =>
+      nAttr should be <= nPurch
+      maxGap should be <= 604800000L // lookback bound, in ms
+      sumGap should be >= maxGap
+    }
+    // clicks and purchases interleave densely; attribution must happen
+    rows.map(_._3).sum should be > 0L
+  }
+
+  test("shard manifest is balanced and its digests are rerun-stable") {
+    assume(haveData)
+    def run() = SparkEntry.queries("q_scale_shard_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(7)))
+    val first = run()
+    first.length shouldBe 64
+    first.map(_._3).sum should (be >= 999900L and be <= 1000000L)
+    // hash assignment keeps every shard within 3× of the uniform share
+    first.foreach { case (_, _, ppm, _) => ppm should be <= 3000000L / 64 }
+    // the bit_xor digest is order-independent: a rerun (different task
+    // scheduling, same data) must reproduce it exactly
+    run() shouldBe first
+  }
+
+  test("embedding outlier cull flags a strict minority per label") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_sim_embed_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.length shouldBe 10
+    rows.foreach { case (_, nVecs, nOut, meanD2, maxD2) =>
+      nOut should be < nVecs / 2
+      maxD2 should be >= meanD2
+    }
+  }
+
   test("url dedup groups are genuine duplicates keeping the earliest doc") {
     assume(haveData)
     val rows = SparkEntry.queries("q_text_url_dedup")(spark, sf)

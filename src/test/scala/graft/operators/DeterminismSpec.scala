@@ -56,7 +56,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_ms_tensorize", "q_mm_frame_delta", "q_sim_ivf_incremental",
     "q_scale_temperature_mix", "q_scale_late_data", "q_text_url_dedup",
     "q_text_domain_caps", "q_text_novelty", "q_window_ohlc",
-    "q_mm_caption_align")
+    "q_mm_caption_align", "q_window_attribution", "q_scale_shard_manifest",
+    "q_sim_embed_outliers")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
