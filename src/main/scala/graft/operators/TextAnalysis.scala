@@ -1195,20 +1195,39 @@ object TextAnalysis extends QueryPack {
     // never gram strings (the same digests-not-bodies rule
     // ShuffleVolumeSpec enforces for the dedup pack). Skew is
     // self-limiting: the hotter a gram, the more rows collapse into
-    // one (digest, min) pair map-side.
+    // one (digest, min) pair map-side. Digest production runs in a
+    // typed kernel (JIT'd loop, one MessageDigest per partition) —
+    // higher-order-function expressions are interpreted per-row, the
+    // same reason the MinHash kernel is typed; the value is identical
+    // to conv(substr(md5(gram), 1, 15), 16, 10): the first 15 hex
+    // nibbles = the big-endian first 8 digest bytes >>> 4.
     "q_text_novelty" -> GraftQuery(
       run = (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-          .filter(size(col("ws")) >= 3)
-        val grams = toks.select(col("doc_id"),
-          explode(expr(
-            """array_distinct(transform(sequence(1, size(ws) - 2),
-                 i -> CAST(conv(substr(md5(concat_ws(' ',
-                        element_at(ws, i), element_at(ws, i + 1),
-                        element_at(ws, i + 2))), 1, 15), 16, 10)
-                      AS BIGINT)))""")).as("g"))
+        import s.implicits._
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.flatMap { case (id, text) =>
+              val ws = text.split(" ").filter(_.nonEmpty)
+              if (ws.length < 3) Iterator.empty
+              else {
+                val set = scala.collection.mutable.HashSet.empty[Long]
+                var i = 0
+                while (i + 2 < ws.length) {
+                  val g = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+                  val dg = md.digest(g.getBytes("UTF-8"))
+                  var h = 0L
+                  var b = 0
+                  while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+                  set += (h >>> 4)
+                  i += 1
+                }
+                set.iterator.map(h => (id, h))
+              }
+            }
+          }
+          .toDF("doc_id", "g")
         val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
         grams.join(first, Seq("g"))
           .groupBy("doc_id")
