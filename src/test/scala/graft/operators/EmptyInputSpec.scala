@@ -66,7 +66,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_hard_negatives", "q_dedup_containment", "q_scale_kmv_intersect",
     "q_scale_token_budget", "q_scale_partition_audit", "q_dedup_lsh_eval",
     "q_mm_cross_modal_dedup", "q_mm_video_neardup", "q_ms_tensorize",
-    "q_sim_eval_rank", "q_mm_frame_delta", "q_sim_ivf_incremental")
+    "q_sim_eval_rank", "q_mm_frame_delta", "q_sim_ivf_incremental",
+    "q_scale_temperature_mix", "q_scale_late_data", "q_text_url_dedup",
+    "q_text_domain_caps", "q_text_novelty", "q_window_ohlc",
+    "q_mm_caption_align", "q_window_attribution",
+    "q_scale_shard_manifest", "q_sim_embed_outliers")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

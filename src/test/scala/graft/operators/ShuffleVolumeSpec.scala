@@ -138,4 +138,24 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     w should be > 0L
     w should be < textBytes
   }
+
+  test("the shard manifest shuffles 64 aggregate rows, not the corpus") {
+    assume(haveData)
+    // hashing and digesting are map-side; the only exchanges are the
+    // 64-group partials and the 1-row total. A lost map-side combine
+    // (per-doc rows crossing the wire) blows through this bound.
+    val w = shuffleWrite("q_scale_shard_manifest")
+    w should be > 0L
+    w should be < (128L << 10)
+  }
+
+  test("url dedup shuffles canonical keys, never text") {
+    assume(haveData)
+    // the canonical key is a ≤ 40-char host/path; text never enters
+    // the aggregate. Bounded by half the corpus text volume — shipping
+    // bodies would exceed it immediately.
+    val w = shuffleWrite("q_text_url_dedup")
+    w should be > 0L
+    w should be < textBytes / 2
+  }
 }
