@@ -160,6 +160,103 @@ object Dedup extends QueryPack {
     shc AS (SELECT doc_id, s FROM shingles
             WHERE s NOT IN (SELECT s FROM hot))"""
 
+  /** Min-label connected components over undirected (d1, d2) pairs:
+    * pointer-jumped label propagation, shared by the near-dup cluster
+    * query and the consensus keep-list. Returns (doc_id, canonical_id)
+    * for every node appearing in a pair; canonical_id = component min.
+    *
+    * The final label generation stays persisted — the result is
+    * O(nodes) and the returned plan reads it; all intermediate
+    * generations, the pair cache, and the edge cache are released.
+    * Convergence is O(log diameter) via pointer jumping
+    * (canonical := canonical(canonical) each round). */
+  private[operators] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.persist()
+    // Materialize the pair cache with ONE action before the edge
+    // union reads it twice: the union's two branches otherwise race
+    // to fill the same not-yet-populated cache and each computes the
+    // full upstream chain (measured: the init action cost ~2× the
+    // pair generation on its own).
+    pairs.count()
+    if (sys.env.contains("GRAFT_CC_TRACE"))
+      println(f"[cc] pairs done at ${System.nanoTime() / 1e9}%.2f")
+    val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    // Seed each node with min(self, neighbors) — the first propagation
+    // round fused into initialization (one groupBy instead of a
+    // join+union+groupBy loop round; for the common diameter-≤2
+    // near-dup families the loop then converges in a single
+    // confirmation round).
+    var labels = edgeDf
+      .select(col("dst").as("doc_id"), col("src").as("canonical_id"))
+      .unionByName(edgeDf.select(col("src").as("doc_id"),
+        col("src").as("canonical_id")))
+      .groupBy("doc_id")
+      .agg(min(col("canonical_id")).as("canonical_id"))
+    // Convergence probe: min-label propagation only ever DECREASES a
+    // label, so Σ canonical_id strictly decreases until the fixpoint
+    // — one aggregate per round (which also materializes the cache)
+    // instead of a join-and-compare pass. Decimal sum: no overflow
+    // at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("canonical_id")).cast("decimal(38,0)"),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labelSum(labels.persist())
+    if (sys.env.contains("GRAFT_CC_TRACE"))
+      println(f"[cc] init done at ${System.nanoTime() / 1e9}%.2f")
+    var changed = true
+    while (changed) {
+      // one-hop min-label propagation over the edge set...
+      val prop = labels
+        .join(edgeDf, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("canonical_id"))
+        .unionByName(labels)
+        .groupBy("doc_id")
+        .agg(min(col("canonical_id")).as("canonical_id"))
+      // ...then POINTER JUMPING: canonical := canonical(canonical).
+      // Without this the loop runs once per component DIAMETER — a
+      // 1000-link near-dup chain (transitive chains are common in
+      // real corpora) costs 1000 shuffle rounds at 100 TB. Composing
+      // the label map with itself each round makes convergence
+      // O(log diameter). The join always matches (labels are doc_ids
+      // of graph nodes, and every node carries a label row), and the
+      // looked-up label is ≤ the current one by min-monotonicity, so
+      // the fixpoint (component min) is unchanged.
+      // prop self-joins: persist it for the round or the propagation
+      // aggregate (the round's most expensive stage) runs twice
+      prop.persist()
+      // Probe convergence on prop BEFORE pointer jumping: if the
+      // propagation round changed nothing we are at the fixpoint and
+      // the jump join (a full label-map self-join) is pure overhead.
+      // Near-dup families have tiny diameters, so the common case is
+      // "init already converged, one confirmation round" — this skips
+      // that round's self-join entirely. Deeper graphs pay one extra
+      // cached-side aggregate per round, nothing more.
+      val propSum = labelSum(prop)
+      if (propSum.compareTo(prevSum) == 0) {
+        changed = false
+        labels.unpersist() // superseded generation
+        labels = prop
+      } else {
+        val next = prop.as("a")
+          .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"),
+            col("b.canonical_id").as("canonical_id"))
+        next.persist()
+        prevSum = labelSum(next)
+        prop.unpersist() // consumed by next's materialization above
+        labels.unpersist() // superseded generation
+        labels = next
+      }
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
+    }
+    pairs.unpersist()
+    edgeDf.unpersist()
+    labels
+  }
+
   /** (doc_id, distinct word-3-shingle set) — stateless map-side prep
     * shared by the batch LSH query and the streaming near-dup variant
     * (works on both static and streaming DataFrames). */
@@ -849,94 +946,10 @@ object Dedup extends QueryPack {
     // standard large-graph CC shape (at 100 TB the edge join shuffles
     // by label instead of broadcasting, same loop).
     "q_dedup_cluster" -> GraftQuery(
-      run = (s, d) => {
-        val pairs = jaccardPairs(s, shingles(s, d), 0.5)
-          .select(col("d1"), col("d2"))
-          .persist()
-        // Materialize the pair cache with ONE action before the edge
-        // union reads it twice: the union's two branches otherwise race
-        // to fill the same not-yet-populated cache and each computes the
-        // full shingle→pair chain (measured: the init action cost ~2× the
-        // pair generation on its own).
-        pairs.count()
-        if (sys.env.contains("GRAFT_CC_TRACE"))
-          println(f"[cc] pairs done at ${System.nanoTime() / 1e9}%.2f")
-        val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-          .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-          .persist()
-        // Seed each node with min(self, neighbors) — the first propagation
-        // round fused into initialization (one groupBy instead of a
-        // join+union+groupBy loop round; for the common diameter-≤2
-        // near-dup families the loop then converges in a single
-        // confirmation round).
-        var labels = edgeDf
-          .select(col("dst").as("doc_id"), col("src").as("canonical_id"))
-          .unionByName(edgeDf.select(col("src").as("doc_id"),
-            col("src").as("canonical_id")))
-          .groupBy("doc_id")
-          .agg(min(col("canonical_id")).as("canonical_id"))
-        // Convergence probe: min-label propagation only ever DECREASES a
-        // label, so Σ canonical_id strictly decreases until the fixpoint
-        // — one aggregate per round (which also materializes the cache)
-        // instead of a join-and-compare pass. Decimal sum: no overflow
-        // at any corpus size.
-        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          df.agg(coalesce(sum(col("canonical_id")).cast("decimal(38,0)"),
-            lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-        var prevSum = labelSum(labels.persist())
-        if (sys.env.contains("GRAFT_CC_TRACE"))
-          println(f"[cc] init done at ${System.nanoTime() / 1e9}%.2f")
-        var changed = true
-        while (changed) {
-          // one-hop min-label propagation over the edge set...
-          val prop = labels
-            .join(edgeDf, col("doc_id") === col("src"))
-            .select(col("dst").as("doc_id"), col("canonical_id"))
-            .unionByName(labels)
-            .groupBy("doc_id")
-            .agg(min(col("canonical_id")).as("canonical_id"))
-          // ...then POINTER JUMPING: canonical := canonical(canonical).
-          // Without this the loop runs once per component DIAMETER — a
-          // 1000-link near-dup chain (transitive chains are common in
-          // real corpora) costs 1000 shuffle rounds at 100 TB. Composing
-          // the label map with itself each round makes convergence
-          // O(log diameter). The join always matches (labels are doc_ids
-          // of graph nodes, and every node carries a label row), and the
-          // looked-up label is ≤ the current one by min-monotonicity, so
-          // the fixpoint (component min) is unchanged.
-          // prop self-joins: persist it for the round or the propagation
-          // aggregate (the round's most expensive stage) runs twice
-          prop.persist()
-          // Probe convergence on prop BEFORE pointer jumping: if the
-          // propagation round changed nothing we are at the fixpoint and
-          // the jump join (a full label-map self-join) is pure overhead.
-          // Near-dup families have tiny diameters, so the common case is
-          // "init already converged, one confirmation round" — this skips
-          // that round's self-join entirely. Deeper graphs pay one extra
-          // cached-side aggregate per round, nothing more.
-          val propSum = labelSum(prop)
-          if (propSum.compareTo(prevSum) == 0) {
-            changed = false
-            labels.unpersist() // superseded generation
-            labels = prop
-          } else {
-            val next = prop.as("a")
-              .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
-              .select(col("a.doc_id").as("doc_id"),
-                col("b.canonical_id").as("canonical_id"))
-            next.persist()
-            prevSum = labelSum(next)
-            prop.unpersist() // consumed by next's materialization above
-            labels.unpersist() // superseded generation
-            labels = next
-          }
-          if (sys.env.contains("GRAFT_CC_TRACE"))
-            println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
-        }
-        pairs.unpersist()
-        edgeDf.unpersist()
-        labels.orderBy("doc_id")
-      },
+      run = (s, d) =>
+        minLabelComponents(
+          jaccardPairs(s, shingles(s, d), 0.5).select(col("d1"), col("d2")))
+          .orderBy("doc_id"),
       oracle = Some(s"""
         WITH RECURSIVE $shinglesCte,
         $cappedShinglesCte,
@@ -1088,6 +1101,128 @@ object Dedup extends QueryPack {
         SELECT doc_id, family_id, n_copies,
                CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
         FROM docs JOIN fam USING (pk)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------- consensus keep-list (final verdict)
+    // The dedup pipeline's ANSWER: one row per document with its
+    // keep/drop disposition after ALL evidence is combined — exact
+    // content digests, capped near-dup Jaccard pairs, and the re-crawl
+    // key (the lead-64-chars digest q_text_url_dedup canonicalizes to).
+    // Equality-keyed groups contribute STAR edges ((group min, member)
+    // — connectivity-preserving, O(k) edges per group, computed with
+    // groupBy+join rather than a per-group window so a megagroup of
+    // identical docs never sits on one sorted reducer); the near-dup
+    // leg reuses the df-capped pair kernel. The union feeds the shared
+    // pointer-jumped CC, and the keep rule is canonical-min. This is
+    // the table the corpus is anti-joined against before training.
+    "q_dedup_keep_list" -> GraftQuery(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // star edges + per-doc membership flag for an equality key
+        def starPairs(keyed: DataFrame): (DataFrame, DataFrame) = {
+          val grp = keyed.groupBy("k")
+            .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("n"))
+          val joined = keyed.join(grp, Seq("k"))
+          (joined.filter(col("doc_id") =!= col("mn"))
+            .select(col("mn").as("d1"), col("doc_id").as("d2")),
+            joined.select(col("doc_id"),
+              (col("n") > 1).cast("long").as("flag")))
+        }
+        val (exPairs, exFlag) =
+          starPairs(docs.select(col("doc_id"), md5(col("text")).as("k")))
+        val (urlPairs, urlFlag) = starPairs(
+          docs.select(col("doc_id"),
+            md5(substring(col("text"), 1, 64)).as("k")))
+        val nearPairs = jaccardPairs(s, shingles(s, d), 0.5)
+          .select(col("d1"), col("d2"))
+        val nearFlag = nearPairs.select(col("d1").as("doc_id"))
+          .unionByName(nearPairs.select(col("d2").as("doc_id")))
+          .distinct().withColumn("flag", lit(1L))
+        val edges = exPairs.unionByName(urlPairs).unionByName(nearPairs)
+          .distinct()
+        val labels = minLabelComponents(edges)
+        val comp = labels.groupBy(col("canonical_id").as("cid"))
+          .agg(count(lit(1)).as("nc"))
+        docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("canonical_id",
+            coalesce(col("canonical_id"), col("doc_id")))
+          .join(comp, col("canonical_id") === col("cid"), "left")
+          .join(exFlag.withColumnRenamed("flag", "in_exact"),
+            Seq("doc_id"), "left")
+          .join(urlFlag.withColumnRenamed("flag", "in_recrawl"),
+            Seq("doc_id"), "left")
+          .join(nearFlag.withColumnRenamed("flag", "in_near"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).cast("long").as("kept"),
+            coalesce(col("nc"), lit(1L)).as("n_component"),
+            coalesce(col("in_exact"), lit(0L)).as("in_exact"),
+            coalesce(col("in_recrawl"), lit(0L)).as("in_recrawl"),
+            coalesce(col("in_near"), lit(0L)).as("in_near"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $shinglesCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        npairs AS (
+          SELECT d1, d2 FROM common
+          JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+          WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5),
+        ex AS (SELECT doc_id, md5(text) AS k FROM documents),
+        exg AS (SELECT k, min(doc_id) AS mn, count(*) AS n FROM ex
+                GROUP BY k),
+        expairs AS (SELECT g.mn AS d1, e.doc_id AS d2
+                    FROM ex e JOIN exg g USING (k)
+                    WHERE e.doc_id <> g.mn),
+        ur AS (SELECT doc_id, md5(substr(text, 1, 64)) AS k
+               FROM documents),
+        urg AS (SELECT k, min(doc_id) AS mn, count(*) AS n FROM ur
+                GROUP BY k),
+        urpairs AS (SELECT g.mn AS d1, u.doc_id AS d2
+                    FROM ur u JOIN urg g USING (k)
+                    WHERE u.doc_id <> g.mn),
+        ap AS (SELECT d1, d2 FROM expairs
+               UNION SELECT d1, d2 FROM urpairs
+               UNION SELECT d1, d2 FROM npairs),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM ap
+                  UNION ALL SELECT d2, d1 FROM ap),
+        walk(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst),
+        lab AS (SELECT src AS doc_id, min(dst) AS canonical_id
+                FROM walk GROUP BY src),
+        comp AS (SELECT canonical_id AS cid, count(*) AS nc
+                 FROM lab GROUP BY 1),
+        nearf AS (SELECT DISTINCT doc_id FROM (
+                    SELECT d1 AS doc_id FROM npairs
+                    UNION ALL SELECT d2 FROM npairs))
+        SELECT d.doc_id,
+               coalesce(lab.canonical_id, d.doc_id) AS canonical_id,
+               CAST(CASE WHEN coalesce(lab.canonical_id, d.doc_id)
+                              = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
+                 AS kept,
+               coalesce(comp.nc, 1) AS n_component,
+               CAST(CASE WHEN exg2.n > 1 THEN 1 ELSE 0 END AS BIGINT)
+                 AS in_exact,
+               CAST(CASE WHEN urg2.n > 1 THEN 1 ELSE 0 END AS BIGINT)
+                 AS in_recrawl,
+               CAST(CASE WHEN nearf.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS in_near
+        FROM documents d
+        LEFT JOIN lab ON lab.doc_id = d.doc_id
+        LEFT JOIN comp ON comp.cid = coalesce(lab.canonical_id, d.doc_id)
+        LEFT JOIN (SELECT e.doc_id, g.n FROM ex e JOIN exg g USING (k))
+          exg2 ON exg2.doc_id = d.doc_id
+        LEFT JOIN (SELECT u.doc_id, g.n FROM ur u JOIN urg g USING (k))
+          urg2 ON urg2.doc_id = d.doc_id
+        LEFT JOIN nearf ON nearf.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

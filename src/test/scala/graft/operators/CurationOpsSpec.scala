@@ -183,6 +183,26 @@ class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     }
   }
 
+  test("keep-list disposition is a valid partition of the corpus") {
+    assume(haveData)
+    val rows = SparkEntry.queries("q_dedup_keep_list")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.length shouldBe nDocs
+    // exactly one kept doc per canonical id, and it IS the canonical
+    val byCanon = rows.groupBy(_._2)
+    byCanon.foreach { case (canon, members) =>
+      members.count(_._3 == 1L) shouldBe 1
+      members.find(_._3 == 1L).get._1 shouldBe canon
+      // every member agrees on the component size
+      members.map(_._4).distinct.length shouldBe 1
+      members.head._4 shouldBe members.length.toLong
+    }
+    // the corpus has known duplicate families: something must drop
+    rows.count(_._3 == 0L) should be > 0
+  }
+
   test("url dedup groups are genuine duplicates keeping the earliest doc") {
     assume(haveData)
     val rows = SparkEntry.queries("q_text_url_dedup")(spark, sf)
