@@ -1447,6 +1447,73 @@ object ScaleOps extends QueryPack {
         SELECT shard, n_docs,
                CAST(n_docs * 1000000 // total_docs AS BIGINT) AS load_ppm,
                n_tokens, n_quality, min_doc, max_doc, digest
-        FROM per CROSS JOIN tot ORDER BY shard"""))
+        FROM per CROSS JOIN tot ORDER BY shard""")),
+
+    // ------------------- weight-proportional systematic sampling (PPS)
+    // Probability-proportional-to-size sampling without RNG: lay the
+    // corpus on a weight axis (weight = token count), drop ~100 evenly
+    // spaced sample points (stride = W div 100), and a document is
+    // drawn once per point inside its [cum−w, cum) interval —
+    // multiplicity ⌈cum/step⌉ − ⌈prev/step⌉ in exact integers (all
+    // operands non-negative, so Spark's trunc-div and DuckDB's
+    // floor-div agree). Long documents can be drawn multiple times,
+    // which is precisely PPS-with-replacement semantics.
+    // Scale shape: the prefix sum is the textbook two-pass distributed
+    // scan, NOT one global window — bucket-local cumulative sums
+    // (window partitioned BY bucket) plus a bucket-offset table whose
+    // global window runs over n_buckets rows (~n_docs/64; at 100 TB,
+    // range-partition ids and this is the per-partition-offset scan
+    // every distributed cumsum uses). Offsets broadcast back; stride
+    // is a 1-row broadcast aggregate. Identical output to the naive
+    // global-window formulation — which is what the oracle runs.
+    "q_scale_systematic_sample" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), w => w =!= ""))
+              .cast("long").as("w"))
+          .filter(col("w") > 0)
+          .withColumn("b", expr("doc_id div 64"))
+        val wB = Window.partitionBy("b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = t.withColumn("cum_in", sum(col("w")).over(wB))
+        val wOff = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = t.groupBy("b").agg(sum(col("w")).as("bw"))
+          .withColumn("off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+          .select("b", "off")
+        val stride = t.agg(
+          greatest(expr("sum(w) div 100"), lit(1L)).as("step"))
+        local.join(broadcast(off), "b")
+          .withColumn("cum", col("cum_in") + col("off"))
+          .crossJoin(broadcast(stride))
+          .withColumn("n_hits",
+            expr("((cum + step - 1) div step)" +
+              " - ((cum - w + step - 1) div step)"))
+          .filter(col("n_hits") > 0)
+          .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t0 AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) AS w
+          FROM documents),
+        t AS (SELECT * FROM t0 WHERE w > 0),
+        c AS (SELECT doc_id, w,
+                     CAST(sum(w) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t),
+        s AS (SELECT greatest(CAST(sum(w) AS BIGINT) // 100, 1) AS step
+              FROM t)
+        SELECT doc_id, w, cum,
+               ((cum + step - 1) // step)
+                 - ((cum - w + step - 1) // step) AS n_hits
+        FROM c CROSS JOIN s
+        WHERE ((cum + step - 1) // step)
+                - ((cum - w + step - 1) // step) > 0
+        ORDER BY doc_id"""))
   )
 }

@@ -1260,6 +1260,150 @@ object TextAnalysis extends QueryPack {
                     AS BIGINT) AS novelty_ppm
         FROM tg JOIN fo ON fo.g = tg.g
         GROUP BY tg.doc_id
-        ORDER BY tg.doc_id"""))
+        ORDER BY tg.doc_id""")),
+
+    // -------------------- trained count-based classifier (train → apply)
+    // The fastText-shaped curation classifier as a DataFrame pipeline:
+    // an 80/20 hash split (same md5 bucketing as q_dedup_hash_split)
+    // yields a train fold whose per-(word, lang) occurrence counts ARE
+    // the model — a plain DataFrame, no driver-side state. Scoring is
+    // model application by join: each held-out token occurrence joins
+    // the broadcast model and score(doc, c) = Σ_w tf(doc, w)·n(w, c),
+    // i.e. multinomial NB with unnormalized integer class-conditional
+    // counts (priors and smoothing drop out of the argmax on this
+    // balanced grid). Argmax picks by (score DESC, lang ASC) so ties
+    // are deterministic; a held-out doc with zero vocabulary overlap
+    // falls back to the alphabetically-first class with score 0.
+    // Scale shape: the model is vocabulary-sized (Zipf-bounded, ~1e6
+    // rows at 100 TB) and broadcasts; the corpus never shuffles —
+    // tokens are scored map-side and reduce straight into the per-doc
+    // partial aggregate. Evaluation (is_match) composes with the
+    // confusion-matrix shape of q_text_langid_eval.
+    "q_text_classifier" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket",
+            expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
+        val toks = docs.select(col("doc_id"), col("lang"), col("bucket"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        val model = toks.filter(col("bucket") < 80)
+          .groupBy(col("w"), col("lang").as("c"))
+          .agg(count(lit(1)).as("n"))
+        val scores = toks.filter(col("bucket") >= 80)
+          .join(broadcast(model), "w")
+          .groupBy("doc_id", "c").agg(sum(col("n")).as("score"))
+        val best = scores
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("c"))))
+          .filter(col("rn") === 1)
+        docs.filter(col("bucket") >= 80).select(col("doc_id"), col("lang"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("c"), lit("de")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"),
+            (coalesce(col("c"), lit("de")) === col("lang")).cast("int")
+              .as("is_match"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, lang, text,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100
+                   AS bucket
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang, bucket,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS w
+          FROM docs),
+        model AS (
+          SELECT w, lang AS c, count(*) AS n
+          FROM toks WHERE bucket < 80 GROUP BY 1, 2),
+        scores AS (
+          SELECT t.doc_id, m.c, CAST(sum(m.n) AS BIGINT) AS score
+          FROM toks t JOIN model m ON m.w = t.w
+          WHERE t.bucket >= 80 GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, c, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, c) AS rn
+          FROM scores)
+        SELECT d.doc_id,
+               coalesce(b.c, 'de') AS pred_lang,
+               coalesce(b.score, 0) AS score,
+               CAST(coalesce(b.c, 'de') = d.lang AS INT) AS is_match
+        FROM docs d
+        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        WHERE d.bucket >= 80
+        ORDER BY d.doc_id""")),
+
+    // ---------------------- PMI co-occurrence (collocation extraction)
+    // The phrase-mining / embedding-precursor primitive: adjacent-word
+    // co-occurrence counts vs unigram counts, ranked by pointwise
+    // mutual information. PMI stays in exact integer arithmetic —
+    // p(x,y)/(p(x)p(y)) = c_xy·N² / (P·c_x·c_y), emitted ×10⁴ with a
+    // FIXED staged-division order so both engines run the identical op
+    // sequence (all operands non-negative, so trunc == floor; peak
+    // magnitude c_xy·10⁴·N ≈ 7e14 at sf0.1 — 128-bit or per-shard
+    // scaling would take over near 1e18 tokens, noted not needed at
+    // this grid). Scale shape: pair and unigram counting are partial
+    // +final hash aggregates (map-side combine; shuffle is
+    // O(vocab²-observed), Zipf-small); the two unigram joins broadcast
+    // the vocabulary-sized count table; the c_xy ≥ 5 support filter
+    // runs before any join; top-50 is TakeOrderedAndProject with a
+    // total (pmi, w1, w2) order.
+    "q_text_pmi" -> GraftQuery(
+      run = (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+        val uni = t.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val nTok = uni.agg(sum(col("cw")).as("n_tok"))
+        val pairs = t.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(" +
+              "least(ws[i-1], ws[i]) AS w1, " +
+              "greatest(ws[i-1], ws[i]) AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val nPair = pairs.agg(count(lit(1)).as("n_pair"))
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+          .join(broadcast(uni.withColumnRenamed("w", "w1")
+            .withColumnRenamed("cw", "cw1")), "w1")
+          .join(broadcast(uni.withColumnRenamed("w", "w2")
+            .withColumnRenamed("cw", "cw2")), "w2")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+          .select(col("w1"), col("w2"), col("cxy"), col("cw1"), col("cw2"),
+            expr("((cxy * 10000 * n_tok) div cw1) * n_tok" +
+              " div (cw2 * n_pair)").as("pmi_scaled"))
+          .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     w -> w <> '') AS ws
+          FROM documents),
+        uni AS (SELECT w, count(*) AS cw
+                FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uni),
+        pr AS (SELECT least(ws[s.i], ws[s.i+1]) AS w1,
+                      greatest(ws[s.i], ws[s.i+1]) AS w2
+               FROM t, LATERAL (SELECT unnest(generate_series(1,
+                                len(ws) - 1)) AS i) s
+               WHERE len(ws) >= 2),
+        ptot AS (SELECT CAST(count(*) AS BIGINT) AS n_pair FROM pr),
+        pc AS (SELECT w1, w2, count(*) AS cxy FROM pr GROUP BY 1, 2)
+        SELECT w1, w2, cxy, u1.cw AS cw1, u2.cw AS cw2,
+               ((cxy * 10000 * n_tok) // u1.cw) * n_tok
+                 // (u2.cw * n_pair) AS pmi_scaled
+        FROM pc
+        JOIN uni u1 ON u1.w = pc.w1
+        JOIN uni u2 ON u2.w = pc.w2
+        CROSS JOIN tot CROSS JOIN ptot
+        WHERE cxy >= 5
+        ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50"""))
   )
 }

@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_scale_temperature_mix", "q_scale_late_data", "q_text_url_dedup",
     "q_text_domain_caps", "q_text_novelty", "q_window_ohlc",
     "q_mm_caption_align", "q_window_attribution", "q_scale_shard_manifest",
-    "q_sim_embed_outliers", "q_dedup_keep_list")
+    "q_sim_embed_outliers", "q_dedup_keep_list",
+    "q_text_classifier", "q_text_pmi", "q_scale_systematic_sample")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)
