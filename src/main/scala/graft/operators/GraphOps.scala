@@ -149,43 +149,45 @@ object GraphOps extends QueryPack {
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
       .persist()
-    val nOriented = oe.count()
-    // the wedge self-join stays a SHUFFLED equi-join on `a`
-    // deliberately: both sides are the (small) edge list and the
-    // shuffle co-locates each vertex's out-list once — measured faster
-    // than a broadcast probe here (better per-partition locality than
-    // hashing into one 1M-entry map per task)
-    val fitsBroadcast = nOriented <= 20000000L
-    val wedges = oe.as("e1")
-      .join(oe.as("e2"),
-        col("e1.a") === col("e2.a") &&
-          (col("e1.db") < col("e2.db") ||
-            (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
-      .select(col("e1.b").as("x"), col("e2.b").as("y"))
-    // One pass over the wedge stream: LEFT-join the closing edge
-    // (oe rows are distinct, so at most one match per wedge) and
-    // count wedges + closed wedges in the same aggregate — the wedge
-    // join is the expensive stage and must not run twice. The wedge
-    // stream is Θ(Σ outdeg²) ≫ |E| on dense graphs, so when the
-    // oriented edge list fits a broadcast (3 longs/row → ~24 B; 20M
-    // rows ≈ 500 MB is the practical ceiling), ship EDGES to the
-    // wedges and close map-side — the wedge stream then never
-    // shuffles at all. Beyond the ceiling, fall back to the shuffled
-    // equi-join (both sides hash on (x, y)) — the plan that scales to
-    // any edge count.
-    val closing =
-      if (fitsBroadcast) broadcast(oe.as("e3")) else oe.as("e3")
-    val closure = wedges
-      .join(closing,
-        col("x") === col("e3.a") && col("y") === col("e3.b"), "left")
-      .agg(count(lit(1)).as("n_wedges"),
-        count(col("e3.a")).as("n_triangles"))
+    // Close triangles by ADJACENCY INTERSECTION, not a wedge join: the
+    // wedge stream is Θ(Σ outdeg²) ≫ |E| rows on dense graphs (40M at
+    // sf0.1), and materializing it — even into a broadcast-hash probe —
+    // pays per-row join overhead on every wedge. Instead, group each
+    // apex's out-neighbors once into a sorted array (bounded O(√m) by
+    // the orientation, so no array is ever skew-sized), then for every
+    // oriented edge (a, b) count |N⁺(a) ∩ N⁺(b)| with a codegen'd
+    // array_intersect — the same Θ(Σ outdeg²) element comparisons, but
+    // executed inside whole-stage codegen over |E| rows with ZERO
+    // wedge-row materialization or shuffle. Wedge count is the exact
+    // closed form Σ C(outdeg, 2) off the adjacency sizes. Both joins
+    // key on vertex id (adj is |V|-sized), so the plan survives any
+    // graph size; measured 5.9 s → 1.4 s warm at sf0.1.
+    oe.count() // materialize: the adjacency build and the closure's
+    // edge stream are sibling branches of ONE job
+    val adj = oe.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nb"))
+      .persist()
+    adj.count() // read three times below (sizes + both closure joins)
+    val nWedges = adj
+      .select(size(col("nb")).cast("long").as("k"))
+      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("n_wedges"))
+    // every triangle a→b, a→c, b→c is counted exactly once, at its
+    // apex edge (a, b): c ∈ N⁺(a) ∩ N⁺(b). Sinks (no out-list) close
+    // nothing — hence the left join + empty-array coalesce.
+    val closure = oe.select(col("a"), col("b"))
+      .join(adj.select(col("a"), col("nb").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nb").as("nbb")),
+        Seq("b"), "left")
+      .select(size(array_intersect(col("na"),
+        coalesce(col("nbb"), array()))).cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val out = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nWedges)
       .crossJoin(closure)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
-    (out, Seq(e0, deg, oe))
+    (out, Seq(e0, deg, oe, adj))
   }
 
   /** Lazy bounded-BFS plan + its caches. */
@@ -378,6 +380,73 @@ object GraphOps extends QueryPack {
         ${round("d2", "d3")}
         SELECT dist, count(*) AS n_nodes FROM d3
         GROUP BY dist ORDER BY dist"""
+      }),
+
+    // ------------------------- label-propagation community detection
+    // Three synchronous LPA rounds over the undirected co-purchase
+    // graph: every node starts as its own community, then repeatedly
+    // adopts the most frequent label among its neighbors (mode), ties
+    // broken by smallest label — the deterministic variant of
+    // Raghavan-style LPA, distinct from min-label CC (q_dedup_cluster's
+    // kernel): mode-adoption finds dense communities, min-label finds
+    // connectivity. Scale shape: each round is ONE shuffle keyed on
+    // node id (neighbor-label counting is a partial+final hash
+    // aggregate) plus a per-node mode window bounded by the node's
+    // OWN distinct neighbor labels (≤ degree, orientation-free) —
+    // never a global window. Community sizes come from an O(#labels)
+    // aggregate joined back. Fixed 3 rounds keeps both engines'
+    // fixpoints aligned (LPA oscillates on bipartite-ish structure, so
+    // synchronized round counts ARE the semantics).
+    "q_graph_label_prop" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = coPurchaseEdges(s, d)
+        val dir = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+          .persist()
+        dir.count() // materialize before 3 rounds + node seed read it
+        var labels = dir.select(col("src").as("n")).distinct()
+          .withColumn("lbl", col("n"))
+        for (_ <- 1 to 3) {
+          labels = dir.join(labels, col("dst") === col("n"))
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))))
+            .filter(col("rn") === 1)
+            .select(col("src").as("n"), col("lbl"))
+        }
+        val fin = labels.persist()
+        fin.count() // read twice below: size aggregate + join
+        val sizes = fin.groupBy("lbl")
+          .agg(count(lit(1)).as("community_size"))
+        val out = fin.join(broadcast(sizes), "lbl")
+          .select(col("n").as("node"), col("lbl").as("label"),
+            col("community_size"))
+          .orderBy("node")
+        materializeAndRelease(s, out, Seq(dir, fin))
+      },
+      oracle = Some {
+        def round(prev: String, cur: String) = s"""
+        c$cur AS (
+          SELECT ed.src, l.lbl, count(*) AS c
+          FROM ed JOIN $prev l ON l.n = ed.dst GROUP BY 1, 2),
+        $cur AS (
+          SELECT src AS n, lbl FROM (
+            SELECT src, lbl, row_number() OVER (
+              PARTITION BY src ORDER BY c DESC, lbl) AS rn
+            FROM c$cur) WHERE rn = 1)"""
+        s"""
+        WITH $coPurchaseCte,
+        ed AS (SELECT u AS src, v AS dst FROM e0
+               UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM ed),
+        ${round("l0", "l1")},
+        ${round("l1", "l2")},
+        ${round("l2", "l3")},
+        sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+        SELECT l3.n AS node, l3.lbl AS label, sz.community_size
+        FROM l3 JOIN sz ON sz.lbl = l3.lbl ORDER BY node"""
       })
   )
 }

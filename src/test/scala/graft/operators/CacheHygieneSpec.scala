@@ -32,7 +32,8 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
 
   test("graph queries leave no persisted RDDs behind") {
     assume(new java.io.File(s"$sf/lineitem.parquet").exists)
-    Seq("q_graph_pagerank", "q_graph_triangles", "q_graph_bfs")
+    Seq("q_graph_pagerank", "q_graph_triangles", "q_graph_bfs",
+      "q_graph_label_prop")
       .foreach { q =>
         withClue(q) {
           SparkEntry.queries(q)(spark, sf).count() should be >= 0L

@@ -58,7 +58,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_text_domain_caps", "q_text_novelty", "q_window_ohlc",
     "q_mm_caption_align", "q_window_attribution", "q_scale_shard_manifest",
     "q_sim_embed_outliers", "q_dedup_keep_list",
-    "q_text_classifier", "q_text_pmi", "q_scale_systematic_sample")
+    "q_text_classifier", "q_text_pmi", "q_scale_systematic_sample",
+    "q_graph_label_prop")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

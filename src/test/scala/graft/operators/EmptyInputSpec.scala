@@ -72,7 +72,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_mm_caption_align", "q_window_attribution",
     "q_scale_shard_manifest", "q_sim_embed_outliers",
     "q_dedup_keep_list",
-    "q_text_classifier", "q_text_pmi", "q_scale_systematic_sample")
+    "q_text_classifier", "q_text_pmi", "q_scale_systematic_sample",
+    "q_graph_label_prop")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

@@ -68,6 +68,18 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     r(0).getAs[Long]("n_triangles") shouldBe 1L
   }
 
+  test("label propagation: path-attached triangle converges to one community") {
+    // nodes {1,2,3,4}; edges {12,13,23,34}. Hand trace (mode, ties → min):
+    // r1: 1→2 (nbr labels {2,3} tie), 2→1, 3→1, 4→3
+    // r2: 1→1 (both nbrs now 1), 2→1 (tie {2,1}), 3→1 (tie {2,1,3}), 4→1
+    // r3: fixpoint — everyone 1, one community of 4.
+    val rows = SparkEntry.queries("q_graph_label_prop")(spark, dir).collect()
+    rows.length shouldBe 4
+    rows.map(_.getAs[Long]("node")).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    all(rows.map(_.getAs[Long]("label"))) shouldBe 1L
+    all(rows.map(_.getAs[Long]("community_size"))) shouldBe 4L
+  }
+
   test("lift: hand-computed association lift with the support floor") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-lift").toString
