@@ -205,12 +205,13 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       caches.foreach(_.unpersist())
       p
     }
-    // triangles: the wedge self-join and its closure must plan as hash
-    // (equi) joins — a nested loop there is the O(W·E) trap. The ONLY
-    // permitted nested loops are the two 1-row × 1-row stat combines
-    // (n_nodes × n_edges × closure), harmless at any scale.
+    // triangles: the adjacency build and the closure's two edge→adj
+    // joins must plan as hash (equi) joins — a nested loop there is
+    // the O(E·V) trap. The ONLY permitted nested loops are the three
+    // 1-row × 1-row stat combines (n_nodes × n_edges × n_wedges ×
+    // closure), harmless at any scale.
     val tri = lazyPlan(GraphOps.trianglesPlan)
-    "BroadcastNestedLoopJoin".r.findAllIn(tri).size should be <= 2
+    "BroadcastNestedLoopJoin".r.findAllIn(tri).size should be <= 3
     (tri should include).regex("(BroadcastHashJoin|SortMergeJoin)")
     lazyPlan(GraphOps.bfsPlan) should not include "NestedLoop"
     lazyPlan(GraphOps.pagerankPlan) should not include "NestedLoop"
