@@ -639,6 +639,80 @@ object Multimodal extends QueryPack {
                CAST(min({'neg': -n_tok, 'f': f}).f AS INT) AS best_frame,
                CAST(max(n_tok) AS BIGINT) AS best_count
         FROM pf GROUP BY doc_id, n_frames
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------- interleaved text+frame training-sequence builder
+    // The multimodal packing step: each document becomes ONE training
+    // sequence interleaving 32-word text chunks with the frame tokens
+    // of its (synthetic) video — chunk i at position 2i, frame i at
+    // 2i+1 (the vsynth frames cover exactly the 32-char text windows,
+    // so chunk i and frame i describe the same span — the
+    // caption-next-to-image layout interleaved pretraining wants).
+    // Text chunk cost = its word count, frame cost = 4 visual tokens;
+    // a 256-token budget truncates each sequence via a per-doc prefix
+    // sum. Everything is exact integers; the only window is
+    // partitioned BY doc over that doc's own ≤ 24 items. Scale shape:
+    // explode + window per doc key — embarrassingly parallel, no
+    // corpus-wide exchange at any size.
+    "q_mm_interleave" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            size(filter(split(col("text"), " "), w => w =!= ""))
+              .cast("long").as("n_words"))
+          .filter(col("n_words") > 0)
+          .withColumn("n_frames", expr("least(n_chars div 32, 8)"))
+          .withColumn("nc", expr("(n_words + 31) div 32"))
+        val textItems = t
+          .select(col("doc_id"), col("n_words"),
+            explode(expr("sequence(0, nc - 1)")).as("i"))
+          .select(col("doc_id"), (col("i") * 2).as("pos"),
+            lit("text").as("kind"), col("i").as("ref"),
+            least(lit(32L), col("n_words") - col("i") * 32).as("tok_cost"))
+        val frameItems = t.filter(col("n_frames") > 0)
+          .select(col("doc_id"),
+            explode(expr("sequence(0, n_frames - 1)")).as("i"))
+          .select(col("doc_id"), (col("i") * 2 + 1).as("pos"),
+            lit("frame").as("kind"), col("i").as("ref"),
+            lit(4L).as("tok_cost"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        textItems.unionByName(frameItems)
+          .withColumn("cum_cost", sum(col("tok_cost")).over(w))
+          .filter(col("cum_cost") <= 256)
+          .orderBy("doc_id", "pos")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) AS n_words
+          FROM documents),
+        dims AS (
+          SELECT doc_id, n_words,
+                 least(n_chars // 32, 8) AS n_frames,
+                 (n_words + 31) // 32 AS nc
+          FROM t WHERE n_words > 0),
+        ti AS (
+          SELECT doc_id, i * 2 AS pos, 'text' AS kind, i AS ref,
+                 least(32, n_words - i * 32) AS tok_cost
+          FROM (SELECT doc_id, n_words,
+                       unnest(generate_series(0, nc - 1)) AS i
+                FROM dims)),
+        fi AS (
+          SELECT doc_id, i * 2 + 1 AS pos, 'frame' AS kind, i AS ref,
+                 CAST(4 AS BIGINT) AS tok_cost
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, n_frames - 1)) AS i
+                FROM dims WHERE n_frames > 0)),
+        seq AS (
+          SELECT *, CAST(sum(tok_cost) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+          FROM (SELECT * FROM ti UNION ALL SELECT * FROM fi))
+        SELECT doc_id, pos, kind, ref, tok_cost, cum_cost
+        FROM seq WHERE cum_cost <= 256
+        ORDER BY doc_id, pos"""))
   )
 }

@@ -1514,6 +1514,76 @@ object ScaleOps extends QueryPack {
         FROM c CROSS JOIN s
         WHERE ((cum + step - 1) // step)
                 - ((cum - w + step - 1) // step) > 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------- quality-annealed curriculum schedule
+    // The multi-epoch data schedule: documents band by a quality proxy
+    // (low/mid/high on n_chars), and a per-(epoch, band) repeat-weight
+    // matrix encodes the anneal — epoch 1 sees everything once, epoch
+    // 2 upweights mid+high, epoch 3 drops low entirely and replays
+    // high 3× (the "finish on your best data" recipe). The schedule
+    // is nine literal rows broadcast against the per-band aggregate,
+    // so the corpus is scanned ONCE for all epochs; emitted volumes
+    // are count·weight arithmetic, and each epoch's mixture shares
+    // are ppm integers off a 1-row-per-epoch broadcast total. At
+    // 100 TB this whole query reads band-level statistics — the
+    // expensive pass is the one banding scan.
+    "q_scale_curriculum" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val bands = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            when(col("n_chars") >= 400, "high")
+              .when(col("n_chars") >= 150, "mid")
+              .otherwise("low").as("band"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_tokens"))
+        val schedule = Seq(
+          (1, "low", 1L), (1, "mid", 1L), (1, "high", 1L),
+          (2, "low", 1L), (2, "mid", 2L), (2, "high", 2L),
+          (3, "low", 0L), (3, "mid", 1L), (3, "high", 3L))
+          .toDF("epoch", "band", "w")
+        val emitted = bands.join(broadcast(schedule), "band")
+          .filter(col("w") > 0)
+          .select(col("epoch"), col("band"),
+            col("n_docs"), col("w"),
+            (col("n_docs") * col("w")).as("emitted_docs"),
+            (col("n_tokens") * col("w")).as("emitted_tokens"))
+        val totals = emitted.groupBy("epoch")
+          .agg(sum(col("emitted_tokens")).as("epoch_tokens"))
+        emitted.join(broadcast(totals), "epoch")
+          .select(col("epoch"), col("band"), col("n_docs"), col("w"),
+            col("emitted_docs"), col("emitted_tokens"),
+            expr("emitted_tokens * 1000000 div epoch_tokens")
+              .as("share_ppm"))
+          .orderBy("epoch", "band")
+      },
+      oracle = Some("""
+        WITH bands AS (
+          SELECT CASE WHEN n_chars >= 400 THEN 'high'
+                      WHEN n_chars >= 150 THEN 'mid'
+                      ELSE 'low' END AS band,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        sched(epoch, band, w) AS (VALUES
+          (1, 'low', CAST(1 AS BIGINT)), (1, 'mid', 1), (1, 'high', 1),
+          (2, 'low', 1), (2, 'mid', 2), (2, 'high', 2),
+          (3, 'low', 0), (3, 'mid', 1), (3, 'high', 3)),
+        emitted AS (
+          SELECT epoch, bands.band, n_docs, w,
+                 n_docs * w AS emitted_docs,
+                 n_tokens * w AS emitted_tokens
+          FROM bands JOIN sched ON sched.band = bands.band
+          WHERE w > 0),
+        totals AS (
+          SELECT epoch, CAST(sum(emitted_tokens) AS BIGINT)
+                   AS epoch_tokens
+          FROM emitted GROUP BY 1)
+        SELECT e.epoch, band, n_docs, w, emitted_docs, emitted_tokens,
+               emitted_tokens * 1000000 // epoch_tokens AS share_ppm
+        FROM emitted e JOIN totals t ON t.epoch = e.epoch
+        ORDER BY e.epoch, band"""))
   )
 }

@@ -1617,6 +1617,126 @@ object Similarity extends QueryPack {
                s.mean_dist2, s.max_dist2
         FROM dist d JOIN stats s ON s.label = d.label
         GROUP BY d.label, s.n_vecs, s.mean_dist2, s.max_dist2
-        ORDER BY d.label"""))
+        ORDER BY d.label""")),
+
+    // ------------------------- MMR diversified top-k (greedy re-rank)
+    // Maximal Marginal Relevance over query vec_id=0's candidate pool:
+    // after the top-8-by-cosine candidate fetch, greedily select 4
+    // results maximizing 0.7·rel(d) − 0.3·max_{s∈S} sim(d, s) — the
+    // diversified-retrieval step RAG stacks run after ANN so near-
+    // duplicate passages don't fill the context window. Greedy is
+    // inherently sequential in k, but k is a constant (4): each step
+    // is a max-penalty aggregate over |pool| × |selected| ≤ 8×4 rows
+    // and an argmax with a vec_id tie-break — unrolled identically in
+    // both engines, all comparisons on the same double-cosine values
+    // the rank windows already hash-match on. Scale shape: the
+    // expensive part stays the candidate fetch (any ANN query in this
+    // pack); the re-rank touches k·|pool| rows per query — nothing —
+    // and distributes per query for batch workloads.
+    "q_sim_mmr" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        val q = broadcast(all.filter(col("vec_id") === 0))
+        val cand = q.as("q")
+          .join(all.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("c.vec_id").as("n_id"), col("c.v").as("v"),
+            cosExpr.as("rel"))
+          .orderBy(col("rel").desc, col("n_id")).limit(8)
+          .persist()
+        cand.count() // read by every greedy step + the pairwise sims
+        val sims = cand.as("q").select(col("q.n_id").as("a"),
+            col("q.v").as("va"))
+          .join(cand.as("c"), col("a") =!= col("c.n_id"))
+          .select(col("a"), col("c.n_id").as("b"),
+            expr("graft_cosine(va, c.v)").as("sim"))
+        // each greedy step materializes its ONE winning row (the
+        // selected set is k ≤ 4 rows by construction — the same
+        // bounded-collect class as the centroid tables); the next
+        // step's joins then read a LocalTableScan instead of
+        // re-deriving the whole prefix chain (3^k subplans otherwise)
+        var selected = cand
+          .orderBy(col("rel").desc, col("n_id")).limit(1)
+          .select(col("n_id"), col("rel"), lit(0d).as("penalty"),
+            (col("rel") * lit(0.7d)).as("mmr_score"),
+            lit(1).as("step"))
+          .collect().toSeq
+        val selSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rel",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("penalty",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("mmr_score",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType)))
+        def selDf = s.createDataFrame(
+          java.util.Arrays.asList(selected: _*), selSchema)
+        for (k <- 2 to 4) {
+          val ids = selDf.select(col("n_id").as("s_id"))
+          val next = cand
+            .join(broadcast(ids), col("n_id") === col("s_id"), "left_anti")
+            .join(sims, col("n_id") === col("a"))
+            .join(broadcast(ids), col("b") === col("s_id"))
+            .groupBy(col("n_id"), col("rel"))
+            .agg(max(col("sim")).as("penalty"))
+            .select(col("n_id"), col("rel"), col("penalty"),
+              (col("rel") * lit(0.7d) - col("penalty") * lit(0.3d))
+                .as("mmr_score"), lit(k).as("step"))
+            .orderBy(col("mmr_score").desc, col("n_id")).limit(1)
+          selected = selected ++ next.collect()
+        }
+        cand.unpersist()
+        selDf.select(col("step"), col("n_id"),
+          round(col("rel"), 4).as("rel"),
+          round(col("mmr_score"), 4).as("mmr_score"))
+          .orderBy("step")
+      },
+      oracle = Some {
+        def step(k: Int): String = {
+          val prev = (1 until k).map(j => s"SELECT * FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""
+        s$k AS (
+          SELECT n_id, rel, penalty, 0.7*rel - 0.3*penalty AS mmr_score,
+                 $k AS step
+          FROM (SELECT c.n_id, c.rel, max(sims.sim) AS penalty
+                FROM cand c
+                JOIN sims ON sims.a = c.n_id
+                JOIN ($prev) sel ON sims.b = sel.n_id
+                WHERE c.n_id NOT IN (SELECT n_id FROM ($prev))
+                GROUP BY c.n_id, c.rel)
+          ORDER BY 0.7*rel - 0.3*penalty DESC, n_id LIMIT 1)"""
+        }
+        s"""
+        WITH $unnestCte,
+        dots AS (SELECT b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                 FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> 0
+                 WHERE a.vec_id = 0 GROUP BY 1),
+        cand AS (SELECT n_id, dot/(na.nrm*nb.nrm) AS rel
+                 FROM dots JOIN nrm na ON na.vec_id = 0
+                           JOIN nrm nb ON nb.vec_id = n_id
+                 ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id LIMIT 8),
+        sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                        sum(a.x*b.x)/(na.nrm*nb.nrm) AS sim
+                 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 JOIN nrm na ON na.vec_id = a.vec_id
+                 JOIN nrm nb ON nb.vec_id = b.vec_id
+                 WHERE a.vec_id IN (SELECT n_id FROM cand)
+                   AND b.vec_id IN (SELECT n_id FROM cand)
+                 GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+        s1 AS (SELECT n_id, rel, CAST(0 AS DOUBLE) AS penalty,
+                      0.7*rel AS mmr_score, 1 AS step
+               FROM cand ORDER BY rel DESC, n_id LIMIT 1),
+        ${step(2)},
+        ${step(3)},
+        ${step(4)}
+        SELECT step, n_id, round(rel, 4) AS rel,
+               round(mmr_score, 4) AS mmr_score
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        ORDER BY step"""
+      })
   )
 }
