@@ -36,6 +36,16 @@ object GraphOps extends QueryPack {
   private val Scale = 1000000000000L
   private val Iters = 5
 
+  /** Apex-degree ceiling for common-neighbor (wedge) pair emission in
+    * link prediction — the graph twin of `Dedup.MaxShingleDf`: a hub
+    * apex of degree h emits O(h²) wedge rows with ~no Jaccard signal,
+    * so wedges only form through apexes of degree ≤ this. Sits at the
+    * co-purchase graph's ~P95 (median ≈ 116, P95 ≈ 155–161 at both
+    * test scales) — the cap must clear the TYPICAL degree and cut
+    * only the hub tail, or the kernel filters the graph instead of
+    * its skew. */
+  private[operators] val MaxApexDeg = 160L
+
   /** Distinct undirected co-purchase edges (u < v): parts appearing in
     * the same order. Per-order item counts are bounded (TPC-H ≤ 7), so
     * the orderkey self-join emits O(k²)-per-order = O(|lineitem|) pairs
@@ -447,6 +457,91 @@ object GraphOps extends QueryPack {
         sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
         SELECT l3.n AS node, l3.lbl AS label, sz.community_size
         FROM l3 JOIN sz ON sz.lbl = l3.lbl ORDER BY node"""
-      })
+      }),
+
+    // --------------------- link prediction (common-neighbor Jaccard)
+    // Top-3 predicted co-purchase links per QUERY node: non-adjacent
+    // pairs ranked by neighbor Jaccard (ppm integers). Candidates
+    // come from 2-hop expansion of a deterministic query batch
+    // (node ≡ 0 mod 199) — the production recommender shape: cost is
+    // O(|Q|·d²), never all-pairs, so the SAME query scales to any
+    // graph by sizing the batch. Intermediate hops through hub nodes
+    // are capped (degree ≤ MaxApexDeg, the wedge twin of
+    // Dedup.MaxShingleDf): a celebrity intermediate of degree h emits
+    // h candidate rows per query containing it while carrying ~no
+    // Jaccard signal (it inflates every union it touches); the cap
+    // bounds per-(query, hop) emission and is mirrored exactly in the
+    // oracle's metric. Denominators use FULL degrees.
+    "q_graph_jaccard_links" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = coPurchaseEdges(s, d).persist()
+        e.count() // read by hops, degrees, and the adjacency anti-join
+        val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+          .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        // |V|-sized and read three times (hub filter + both degree
+        // joins) — persist, or each read re-shuffles the edge list
+        val deg = nbrs.groupBy("x").agg(count(lit(1)).as("dg")).persist()
+        deg.count()
+        val qAdj = nbrs.filter(col("x") % 199 === 0)
+        val midOk = broadcast(deg.filter(col("dg") <= MaxApexDeg)
+          .select(col("x").as("y")))
+        // the query batch's (hub-filtered) adjacency is |Q|·d rows —
+        // broadcast it so the 2-hop expansion streams the edge list
+        // map-side instead of shuffling it
+        val cand = broadcast(qAdj.join(midOk, "y")).as("a")
+          .join(nbrs.as("b"),
+            col("a.y") === col("b.x") && col("a.x") =!= col("b.y"))
+          .groupBy(col("a.x").as("qn"), col("b.y").as("cn"))
+          .agg(count(lit(1)).as("common"))
+        // adjacency check only needs edges TOUCHING a query node
+        // (every candidate pair contains one): 1/199th of the edge
+        // list → a broadcast anti-join instead of a full-edge shuffle
+        val eq = broadcast(e.filter(
+          col("u") % 199 === 0 || col("v") % 199 === 0))
+        val out = cand
+          .join(eq,
+            least(col("qn"), col("cn")) === col("u") &&
+              greatest(col("qn"), col("cn")) === col("v"), "left_anti")
+          .join(broadcast(deg.select(col("x").as("qn"),
+            col("dg").as("deg_q"))), "qn")
+          .join(broadcast(deg.select(col("x").as("cn"),
+            col("dg").as("deg_c"))), "cn")
+          .select(col("qn"), col("cn"), col("common"),
+            col("deg_q"), col("deg_c"),
+            expr("common * 1000000 div (deg_q + deg_c - common)")
+              .as("jaccard_ppm"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qn")
+              .orderBy(col("jaccard_ppm").desc, col("cn"))))
+          .filter(col("rank") <= 3)
+          .orderBy("qn", "rank")
+        materializeAndRelease(s, out, Seq(e, deg))
+      },
+      oracle = Some(s"""
+        WITH $coPurchaseCte,
+        nbrs AS (SELECT u AS x, v AS y FROM e0
+                 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT x, count(*) AS dg FROM nbrs GROUP BY 1),
+        cand AS (SELECT a.x AS qn, b.y AS cn, count(*) AS common
+                 FROM nbrs a
+                 JOIN deg dm ON dm.x = a.y AND dm.dg <= $MaxApexDeg
+                 JOIN nbrs b ON a.y = b.x AND a.x <> b.y
+                 WHERE a.x % 199 = 0
+                 GROUP BY 1, 2),
+        nonadj AS (SELECT * FROM cand
+                   WHERE NOT EXISTS (SELECT 1 FROM e0
+                     WHERE u = least(qn, cn) AND v = greatest(qn, cn))),
+        scored AS (
+          SELECT qn, cn, common, dq.dg AS deg_q, dc.dg AS deg_c,
+                 common * 1000000 // (dq.dg + dc.dg - common)
+                   AS jaccard_ppm
+          FROM nonadj JOIN deg dq ON dq.x = nonadj.qn
+                      JOIN deg dc ON dc.x = nonadj.cn)
+        SELECT qn, cn, common, deg_q, deg_c, jaccard_ppm, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY qn
+                      ORDER BY jaccard_ppm DESC, cn) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY qn, rank"""))
   )
 }

@@ -33,7 +33,7 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
   test("graph queries leave no persisted RDDs behind") {
     assume(new java.io.File(s"$sf/lineitem.parquet").exists)
     Seq("q_graph_pagerank", "q_graph_triangles", "q_graph_bfs",
-      "q_graph_label_prop")
+      "q_graph_label_prop", "q_graph_jaccard_links")
       .foreach { q =>
         withClue(q) {
           SparkEntry.queries(q)(spark, sf).count() should be >= 0L
