@@ -233,6 +233,87 @@ object GraphOps extends QueryPack {
     (out, Seq(e0, edges, dist))
   }
 
+  /** Lazy label-propagation plan + its caches. */
+  private[operators] def labelPropPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchaseEdges(s, d)
+    val dir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    dir.count() // materialize before 3 rounds + node seed read it
+    var labels = dir.select(col("src").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+    for (_ <- 1 to 3) {
+      labels = dir.join(labels, col("dst") === col("n"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("n"), col("lbl"))
+    }
+    val fin = labels.persist()
+    fin.count() // read twice below: size aggregate + join
+    val sizes = fin.groupBy("lbl")
+      .agg(count(lit(1)).as("community_size"))
+    val out = fin.join(broadcast(sizes), "lbl")
+      .select(col("n").as("node"), col("lbl").as("label"),
+        col("community_size"))
+      .orderBy("node")
+    (out, Seq(dir, fin))
+  }
+
+  /** Lazy link-prediction plan + its caches. */
+  private[operators] def jaccardLinksPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchaseEdges(s, d).persist()
+    e.count() // read by hops, degrees, and the adjacency anti-join
+    val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    // |V|-sized and read three times (hub filter + both degree
+    // joins) — persist, or each read re-shuffles the edge list
+    val deg = nbrs.groupBy("x").agg(count(lit(1)).as("dg")).persist()
+    deg.count()
+    val qAdj = nbrs.filter(col("x") % 199 === 0)
+    val midOk = broadcast(deg.filter(col("dg") <= MaxApexDeg)
+      .select(col("x").as("y")))
+    // the query batch's (hub-filtered) adjacency is |Q|·d rows —
+    // broadcast it so the 2-hop expansion streams the edge list
+    // map-side instead of shuffling it
+    val cand = broadcast(qAdj.join(midOk, "y")).as("a")
+      .join(nbrs.as("b"),
+        col("a.y") === col("b.x") && col("a.x") =!= col("b.y"))
+      .groupBy(col("a.x").as("qn"), col("b.y").as("cn"))
+      .agg(count(lit(1)).as("common"))
+    // adjacency check only needs edges TOUCHING a query node
+    // (every candidate pair contains one): 1/199th of the edge
+    // list → a broadcast anti-join instead of a full-edge shuffle
+    val eq = broadcast(e.filter(
+      col("u") % 199 === 0 || col("v") % 199 === 0))
+    val out = cand
+      .join(eq,
+        least(col("qn"), col("cn")) === col("u") &&
+          greatest(col("qn"), col("cn")) === col("v"), "left_anti")
+      .join(broadcast(deg.select(col("x").as("qn"),
+        col("dg").as("deg_q"))), "qn")
+      .join(broadcast(deg.select(col("x").as("cn"),
+        col("dg").as("deg_c"))), "cn")
+      .select(col("qn"), col("cn"), col("common"),
+        col("deg_q"), col("deg_c"),
+        expr("common * 1000000 div (deg_q + deg_c - common)")
+          .as("jaccard_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qn")
+          .orderBy(col("jaccard_ppm").desc, col("cn"))))
+      .filter(col("rank") <= 3)
+      .orderBy("qn", "rank")
+    (out, Seq(e, deg))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- weighted PageRank
@@ -409,32 +490,8 @@ object GraphOps extends QueryPack {
     // synchronized round counts ARE the semantics).
     "q_graph_label_prop" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = coPurchaseEdges(s, d)
-        val dir = e.select(col("u").as("src"), col("v").as("dst"))
-          .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-          .persist()
-        dir.count() // materialize before 3 rounds + node seed read it
-        var labels = dir.select(col("src").as("n")).distinct()
-          .withColumn("lbl", col("n"))
-        for (_ <- 1 to 3) {
-          labels = dir.join(labels, col("dst") === col("n"))
-            .groupBy(col("src"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))))
-            .filter(col("rn") === 1)
-            .select(col("src").as("n"), col("lbl"))
-        }
-        val fin = labels.persist()
-        fin.count() // read twice below: size aggregate + join
-        val sizes = fin.groupBy("lbl")
-          .agg(count(lit(1)).as("community_size"))
-        val out = fin.join(broadcast(sizes), "lbl")
-          .select(col("n").as("node"), col("lbl").as("label"),
-            col("community_size"))
-          .orderBy("node")
-        materializeAndRelease(s, out, Seq(dir, fin))
+        val (out, caches) = labelPropPlan(s, d)
+        materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def round(prev: String, cur: String) = s"""
@@ -474,49 +531,8 @@ object GraphOps extends QueryPack {
     // oracle's metric. Denominators use FULL degrees.
     "q_graph_jaccard_links" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = coPurchaseEdges(s, d).persist()
-        e.count() // read by hops, degrees, and the adjacency anti-join
-        val nbrs = e.select(col("u").as("x"), col("v").as("y"))
-          .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-        // |V|-sized and read three times (hub filter + both degree
-        // joins) — persist, or each read re-shuffles the edge list
-        val deg = nbrs.groupBy("x").agg(count(lit(1)).as("dg")).persist()
-        deg.count()
-        val qAdj = nbrs.filter(col("x") % 199 === 0)
-        val midOk = broadcast(deg.filter(col("dg") <= MaxApexDeg)
-          .select(col("x").as("y")))
-        // the query batch's (hub-filtered) adjacency is |Q|·d rows —
-        // broadcast it so the 2-hop expansion streams the edge list
-        // map-side instead of shuffling it
-        val cand = broadcast(qAdj.join(midOk, "y")).as("a")
-          .join(nbrs.as("b"),
-            col("a.y") === col("b.x") && col("a.x") =!= col("b.y"))
-          .groupBy(col("a.x").as("qn"), col("b.y").as("cn"))
-          .agg(count(lit(1)).as("common"))
-        // adjacency check only needs edges TOUCHING a query node
-        // (every candidate pair contains one): 1/199th of the edge
-        // list → a broadcast anti-join instead of a full-edge shuffle
-        val eq = broadcast(e.filter(
-          col("u") % 199 === 0 || col("v") % 199 === 0))
-        val out = cand
-          .join(eq,
-            least(col("qn"), col("cn")) === col("u") &&
-              greatest(col("qn"), col("cn")) === col("v"), "left_anti")
-          .join(broadcast(deg.select(col("x").as("qn"),
-            col("dg").as("deg_q"))), "qn")
-          .join(broadcast(deg.select(col("x").as("cn"),
-            col("dg").as("deg_c"))), "cn")
-          .select(col("qn"), col("cn"), col("common"),
-            col("deg_q"), col("deg_c"),
-            expr("common * 1000000 div (deg_q + deg_c - common)")
-              .as("jaccard_ppm"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("qn")
-              .orderBy(col("jaccard_ppm").desc, col("cn"))))
-          .filter(col("rank") <= 3)
-          .orderBy("qn", "rank")
-        materializeAndRelease(s, out, Seq(e, deg))
+        val (out, caches) = jaccardLinksPlan(s, d)
+        materializeAndRelease(s, out, caches)
       },
       oracle = Some(s"""
         WITH $coPurchaseCte,

@@ -215,6 +215,12 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     (tri should include).regex("(BroadcastHashJoin|SortMergeJoin)")
     lazyPlan(GraphOps.bfsPlan) should not include "NestedLoop"
     lazyPlan(GraphOps.pagerankPlan) should not include "NestedLoop"
+    lazyPlan(GraphOps.labelPropPlan) should not include "NestedLoop"
+    // link prediction: the 2-hop expansion must stream the edge list
+    // against the BROADCAST query adjacency, never shuffle it
+    val links = lazyPlan(GraphOps.jaccardLinksPlan)
+    links should not include "NestedLoop"
+    links should include ("BroadcastHashJoin")
     // DSIR touches only (doc_id, lang, text)
     val scans = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(plan("q_text_dsir")).map(_.group(1)).toSeq
