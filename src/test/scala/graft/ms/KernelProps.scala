@@ -61,7 +61,12 @@ object KernelProps extends Properties("ms.kernels") {
     forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 8)) { (v, d) =>
       val r = MzMLSource.roundHalfEven(v, d)
       val again = MzMLSource.roundHalfEven(r, d)
-      Prop(again == r && math.abs(r - v) <= 0.5 * math.pow(10.0, -d) + 1e-12)
+      // Slack: scaled-rint (np.around) semantics round v·10^d, whose
+      // representation error is O(ulp(v)); an exact .5 landing point can
+      // then tie-to-even a full quantum away, putting |r−v| just past
+      // 0.5·10⁻ᵈ (e.g. v=375682.490295785, d=8 → 5.0059e-9 vs 5.001e-9).
+      val slack = 2 * math.ulp(v) + 1e-12
+      Prop(again == r && math.abs(r - v) <= 0.5 * math.pow(10.0, -d) + slack)
     }
 
   // np.around golden values (scaled-rint semantics, NOT decimal
