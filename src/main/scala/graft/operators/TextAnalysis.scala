@@ -1404,6 +1404,73 @@ object TextAnalysis extends QueryPack {
         JOIN uni u2 ON u2.w = pc.w2
         CROSS JOIN tot CROSS JOIN ptot
         WHERE cxy >= 5
-        ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50"""))
+        ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50""")),
+
+    // -------------------- length-bucketed batch shaping (padding audit)
+    // The fairseq/T5 batching step sequential packing (q_text_pack)
+    // does NOT cover: group documents into power-of-two length buckets
+    // (16..512 tokens; longer docs truncate to 512) and shape
+    // fixed-capacity batches per (source, bucket) — batch rows
+    // B = 4096 div bucket, so every batch costs the same 4096 padded
+    // tokens. Output per (source, bucket): doc count, batch count
+    // (ceil-div), real vs padded token totals and the padding waste in
+    // ppm — the number a batching strategy is judged by. All integer
+    // arithmetic; the bucket is a 6-way CASE, not a float log2, so
+    // boundary docs (exactly 64 tokens) bucket identically in both
+    // engines. Scale shape: one map-side projection into a
+    // partial+final hash aggregate keyed (source, bucket) —
+    // |sources|·6 result rows at ANY corpus size, no window, no join.
+    "q_text_length_buckets" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(filter(split(col("text"), " "), x => x =!= ""))
+              .cast("long"))
+          .withColumn("bucket",
+            when(col("n_tokens") <= 16, 16L)
+              .when(col("n_tokens") <= 32, 32L)
+              .when(col("n_tokens") <= 64, 64L)
+              .when(col("n_tokens") <= 128, 128L)
+              .when(col("n_tokens") <= 256, 256L)
+              .otherwise(512L))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least(col("n_tokens"), col("bucket"))).as("real_tokens"))
+          .select(col("source"), col("bucket"), col("n_docs"),
+            expr("(n_docs + (4096 div bucket) - 1) div (4096 div bucket)")
+              .as("n_batches"),
+            col("real_tokens"),
+            (col("n_docs") * col("bucket")).as("padded_tokens"),
+            expr("(n_docs * bucket - real_tokens) * 1000000" +
+              " div (n_docs * bucket)").as("waste_ppm"))
+          .orderBy("source", "bucket"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        b AS (
+          SELECT source, n_tokens,
+                 CAST(CASE WHEN n_tokens <= 16 THEN 16
+                           WHEN n_tokens <= 32 THEN 32
+                           WHEN n_tokens <= 64 THEN 64
+                           WHEN n_tokens <= 128 THEN 128
+                           WHEN n_tokens <= 256 THEN 256
+                           ELSE 512 END AS BIGINT) AS bucket
+          FROM t),
+        g AS (
+          SELECT source, bucket, count(*) AS n_docs,
+                 CAST(sum(least(n_tokens, bucket)) AS BIGINT)
+                   AS real_tokens
+          FROM b GROUP BY 1, 2)
+        SELECT source, bucket, n_docs,
+               (n_docs + (4096 // bucket) - 1) // (4096 // bucket)
+                 AS n_batches,
+               real_tokens,
+               n_docs * bucket AS padded_tokens,
+               (n_docs * bucket - real_tokens) * 1000000
+                 // (n_docs * bucket) AS waste_ppm
+        FROM g ORDER BY source, bucket"""))
   )
 }
