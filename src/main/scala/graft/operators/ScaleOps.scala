@@ -1584,6 +1584,61 @@ object ScaleOps extends QueryPack {
         SELECT e.epoch, band, n_docs, w, emitted_docs, emitted_tokens,
                emitted_tokens * 1000000 // epoch_tokens AS share_ppm
         FROM emitted e JOIN totals t ON t.epoch = e.epoch
-        ORDER BY e.epoch, band"""))
+        ORDER BY e.epoch, band""")),
+
+    // ------------------- rendezvous (HRW) sharding + resize-churn audit
+    // Consistent shard assignment, the property range partitioning and
+    // mod-N hashing both lack: each doc hashes once PER SHARD
+    // (md5(doc_id || ':' || shard)) and lands on the argmax — so
+    // growing the fleet 8 → 9 shards moves ONLY the docs whose new
+    // max is the new shard (~1/9 of the corpus), instead of
+    // reshuffling ~8/9 the way (doc_id % N) does. Output per original
+    // shard: doc count, docs that move under the resize, and churn in
+    // ppm — the audit that proves a shard-fleet resize won't trigger
+    // a full 100 TB rewrite. Everything is md5-integer arithmetic
+    // (argmax by (hash, shard) struct: total order, engine-identical);
+    // the per-doc work is a map-side 9-element array scan, and only
+    // the 8-row (shard, counts) aggregate shuffles. No join, no
+    // window, no state: the assignment IS a pure function of doc_id.
+    "q_scale_rendezvous" -> GraftQuery(
+      run = (s, d) => {
+        def pick(n: Int): String =
+          s"array_max(transform(sequence(0, ${n - 1}), sh -> struct(" +
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST(sh AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h, " +
+            "sh AS sh))).sh"
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr(pick(8)).as("shard"), expr(pick(9)).as("shard9"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .select(col("shard"), col("n_docs"), col("n_moved"),
+            expr("n_moved * 1000000 div n_docs").as("churn_ppm"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, sh,
+                 ('0x'||substr(md5(doc_id::VARCHAR || ':' || sh::VARCHAR),
+                               1, 8))::BIGINT AS hv
+          FROM documents, generate_series(0, 8) t(sh)),
+        a AS (
+          -- hv*16 + sh: same total order as (hv, sh) since sh < 16,
+          -- and DuckDB's max_by takes a scalar ordering key
+          SELECT doc_id,
+                 CAST(max_by(sh, hv * 16 + sh) FILTER (WHERE sh < 8)
+                   AS INT) AS shard,
+                 CAST(max_by(sh, hv * 16 + sh) AS INT) AS shard9
+          FROM h GROUP BY doc_id),
+        g AS (
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_moved
+          FROM a GROUP BY 1)
+        SELECT shard, n_docs, n_moved,
+               n_moved * 1000000 // n_docs AS churn_ppm
+        FROM g ORDER BY shard"""))
   )
 }
