@@ -1639,6 +1639,98 @@ object ScaleOps extends QueryPack {
           FROM a GROUP BY 1)
         SELECT shard, n_docs, n_moved,
                n_moved * 1000000 // n_docs AS churn_ppm
-        FROM g ORDER BY shard"""))
+        FROM g ORDER BY shard""")),
+
+    // --------------- group-aware split + train/test leakage audit
+    // The GroupKFold lesson applied to corpus splits: hashing DOCS into
+    // train/valid/test lets near-duplicates (re-crawls of one page)
+    // straddle the boundary and leak training text into eval. Group =
+    // the lead-64-char digest (the re-crawl key — the corpus'
+    // shared-prefix docs are exactly such re-crawls); the audit
+    // contrasts a doc-hash split against a group-hash split on the
+    // same 80/10/10 grid: per scheme, split sizes, groups that span
+    // >1 split, and the exact count of intra-group pairs straddling
+    // splits — (n² − Σ nₛ²)/2 per group, always even ÷ 2, so the
+    // leakage metric is integer-exact. The group scheme lands at 0/0
+    // BY CONSTRUCTION, which is the point: assignment is a pure
+    // per-row hash either way (no join), and the audit is two hash
+    // aggregates — group-keyed then scheme-keyed — carrying counts,
+    // never text. At 100 TB that is one shuffle of (scheme, group)
+    // count rows, each a few integers.
+    "q_scale_group_split" -> GraftQuery(
+      run = (s, d) => {
+        def splitOf(key: String): org.apache.spark.sql.Column =
+          expr(s"CASE WHEN CAST(conv(substr(md5($key), 1, 8), 16, 10) " +
+            "AS BIGINT) % 10 < 8 THEN 'train' WHEN CAST(conv(substr(" +
+            s"md5($key), 1, 8), 16, 10) AS BIGINT) % 10 = 8 " +
+            "THEN 'valid' ELSE 'test' END")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(substring(col("text"), 1, 64)).as("g"))
+          .withColumn("s_doc", splitOf("CAST(doc_id AS STRING)"))
+          .withColumn("s_grp", splitOf("g"))
+        val long = base.select(lit("by_doc").as("scheme"), col("g"),
+            col("s_doc").as("split"))
+          .unionByName(base.select(lit("by_group").as("scheme"), col("g"),
+            col("s_grp").as("split")))
+        val perSplit = long.groupBy("scheme", "g", "split")
+          .agg(count(lit(1)).as("n"))
+        perSplit.groupBy("scheme", "g")
+          .agg(sum(col("n")).as("n_tot"),
+            sum(col("n") * col("n")).as("sq"),
+            count(lit(1)).as("n_splits"),
+            sum(when(col("split") === "train", col("n")).otherwise(0L))
+              .as("n_train"),
+            sum(when(col("split") === "valid", col("n")).otherwise(0L))
+              .as("n_valid"),
+            sum(when(col("split") === "test", col("n")).otherwise(0L))
+              .as("n_test"))
+          .groupBy("scheme")
+          .agg(sum(col("n_train")).as("n_train"),
+            sum(col("n_valid")).as("n_valid"),
+            sum(col("n_test")).as("n_test"),
+            sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+              .as("split_groups"),
+            expr("sum((n_tot * n_tot - sq) div 2)").as("leaked_pairs"))
+          .orderBy("scheme")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, md5(substr(text, 1, 64)) AS g FROM documents),
+        sp AS (
+          SELECT doc_id, g,
+                 CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                        % 10 < 8 THEN 'train'
+                      WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                        % 10 = 8 THEN 'valid' ELSE 'test' END AS s_doc,
+                 CASE WHEN ('0x'||substr(md5(g),1,8))::BIGINT
+                        % 10 < 8 THEN 'train'
+                      WHEN ('0x'||substr(md5(g),1,8))::BIGINT
+                        % 10 = 8 THEN 'valid' ELSE 'test' END AS s_grp
+          FROM base),
+        lng AS (
+          SELECT 'by_doc' AS scheme, g, s_doc AS split FROM sp
+          UNION ALL SELECT 'by_group', g, s_grp FROM sp),
+        per AS (
+          SELECT scheme, g, split, count(*) AS n
+          FROM lng GROUP BY 1, 2, 3),
+        grp AS (
+          SELECT scheme, g, sum(n) AS n_tot, sum(n*n) AS sq,
+                 count(*) AS n_splits,
+                 sum(CASE WHEN split = 'train' THEN n ELSE 0 END)
+                   AS n_train,
+                 sum(CASE WHEN split = 'valid' THEN n ELSE 0 END)
+                   AS n_valid,
+                 sum(CASE WHEN split = 'test' THEN n ELSE 0 END) AS n_test
+          FROM per GROUP BY 1, 2)
+        SELECT scheme,
+               CAST(sum(n_train) AS BIGINT) AS n_train,
+               CAST(sum(n_valid) AS BIGINT) AS n_valid,
+               CAST(sum(n_test) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS split_groups,
+               CAST(sum((n_tot*n_tot - sq) // 2) AS BIGINT)
+                 AS leaked_pairs
+        FROM grp GROUP BY scheme ORDER BY scheme"""))
   )
 }
