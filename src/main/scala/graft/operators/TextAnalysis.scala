@@ -445,6 +445,74 @@ object TextAnalysis extends QueryPack {
                w, n_occurrences, n_docs
         FROM counts ORDER BY n_occurrences DESC, w LIMIT 50""")),
 
+    // ------------------------------- vocabulary coverage curve (OOV audit)
+    // The tokenizer-design decision q_text_vocab's top-50 list doesn't
+    // answer: what fraction of corpus TOKENS does a vocab of size K
+    // cover (equivalently, the OOV rate a K-entry tokenizer pays)?
+    // One word-count aggregate, then each cut K is a
+    // TakeOrderedAndProject top-K leg (per-partition top-K merged
+    // on the driver — NO global window over the vocabulary, which is
+    // the anti-pattern a web-scale Zipf vocab would break) summed to
+    // covered tokens. Ties rank (count desc, word) so every cut is
+    // total-ordered and engine-identical; coverage is integer ppm.
+    // Cuts sit at {5, 15, 30} because the synthetic corpus draws from
+    // a 31-word vocabulary — on a real corpus the same legs run at
+    // {1e4, 5e4, 1e5} with identical plan shape (K-bounded, not
+    // vocab-bounded).
+    "q_text_vocab_coverage" -> GraftQuery(
+      run = (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .persist()
+        val totals = counts
+          .agg(sum(col("c")).as("total_tokens"),
+            count(lit(1)).as("distinct_words"))
+        val cuts = Seq(5, 15, 30).map { k =>
+          counts.orderBy(col("c").desc, col("w")).limit(k)
+            .agg(coalesce(sum(col("c")), lit(0L)).as("covered_tokens"),
+              count(lit(1)).as("words_used"))
+            .select(lit(k.toLong).as("vocab_cut"), col("covered_tokens"),
+              col("words_used"))
+        }.reduce(_.unionByName(_))
+        val out = cuts.crossJoin(broadcast(totals))
+          .select(col("vocab_cut"), col("words_used"),
+            col("distinct_words"), col("covered_tokens"),
+            col("total_tokens"),
+            expr("covered_tokens * 1000000 div total_tokens")
+              .as("coverage_ppm"))
+          .orderBy("vocab_cut")
+        // materialize, then release the word-count cache (three cut
+        // legs + totals read it; returning the lazy plan would pin it)
+        val rows = out.collect()
+        counts.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        counts AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                       count(*) AS distinct_words
+                FROM counts),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+               FROM counts),
+        cut(vocab_cut) AS (VALUES (CAST(5 AS BIGINT)), (15), (30)),
+        cov AS (
+          SELECT cut.vocab_cut,
+                 CAST(count(*) AS BIGINT) AS words_used,
+                 CAST(coalesce(sum(rk.c), 0) AS BIGINT) AS covered_tokens
+          FROM cut JOIN rk ON rk.r <= cut.vocab_cut
+          GROUP BY 1)
+        SELECT vocab_cut, words_used, distinct_words, covered_tokens,
+               total_tokens,
+               covered_tokens * 1000000 // total_tokens AS coverage_ppm
+        FROM cov CROSS JOIN tot
+        ORDER BY vocab_cut""")),
+
     // --------------------------------------------------- PII redaction
     // Detect-and-redact for emails / phone numbers / IPv4s — the
     // scrubbing pass every corpus runs before training. Pure per-row
