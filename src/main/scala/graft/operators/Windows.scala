@@ -580,6 +580,80 @@ object Windows extends QueryPack {
                CAST(sum(attributed) AS BIGINT) AS n_attributed,
                CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
                CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
-        FROM p GROUP BY user_id ORDER BY user_id"""))
+        FROM p GROUP BY user_id ORDER BY user_id""")),
+
+    // --------------------------- CUSUM changepoint over hourly volumes
+    // Sequential-change detection the PSI drift gate (q_scale_drift)
+    // doesn't cover: WHEN did a metric shift, not whether two
+    // snapshots differ. Per event type, the one-sided CUSUM over
+    // hourly counts — s_i = max(0, s_{i−1} + (c_i − mean − slack)) —
+    // looks like an un-distributable recursion, but the clamp
+    // decomposes by the max-drawdown identity s_i = P_i − min(P_0..P_i)
+    // (P = prefix sum of deviations, P_0 = 0) into two per-type ordered
+    // windows: a running sum and a running min. Partitions are event
+    // types; each window is bounded by the TIME RANGE (hours), not the
+    // corpus size, so a 100 TB year is still ~9k rows per type after
+    // the count aggregate. A deterministic burst (hours ≡ 0..7 mod 97
+    // doubled) injects real changepoints the same way q_scale_late_data
+    // injects jitter; all arithmetic is milli-scaled integers, so both
+    // engines trace the identical CUSUM path. Output per type: hours,
+    // peak CUSUM, alarm-hour count and the first alarm hour.
+    "q_window_cusum" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("h"))
+          .groupBy("event_type", "h")
+          .agg(count(lit(1)).as("c0"))
+          .withColumn("c",
+            expr("c0 * (CASE WHEN h % 97 < 8 THEN 2 ELSE 1 END)"))
+        val means = hourly.groupBy("event_type")
+          .agg(expr("(sum(c) * 1000) div count(1)").as("mean_milli"))
+        val scored = hourly.join(broadcast(means), "event_type")
+          .withColumn("x", expr("c * 1000 - mean_milli - 500"))
+          .withColumn("p", sum(col("x")).over(w))
+          .withColumn("s",
+            col("p") - least(lit(0L), min(col("p")).over(w)))
+        scored.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            max(col("s")).as("max_cusum_milli"),
+            sum(when(col("s") > 8000L, 1L).otherwise(0L))
+              .as("n_alarm_hours"),
+            min(when(col("s") > 8000L, col("h"))).as("first_alarm_hour"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH hh AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                 count(*) AS c0
+          FROM events GROUP BY 1, 2),
+        hb AS (
+          SELECT event_type, h,
+                 c0 * (CASE WHEN h % 97 < 8 THEN 2 ELSE 1 END) AS c
+          FROM hh),
+        m AS (
+          SELECT event_type, (sum(c) * 1000) // count(*) AS mean_milli
+          FROM hb GROUP BY 1),
+        p AS (
+          SELECT hb.event_type, h,
+                 CAST(sum(c * 1000 - mean_milli - 500) OVER (
+                   PARTITION BY hb.event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+          FROM hb JOIN m ON m.event_type = hb.event_type),
+        cs AS (
+          SELECT event_type, h,
+                 p - least(0, min(p) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING)) AS s
+          FROM p)
+        SELECT event_type, count(*) AS n_hours,
+               CAST(max(s) AS BIGINT) AS max_cusum_milli,
+               CAST(sum(CASE WHEN s > 8000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_alarm_hours,
+               CAST(min(CASE WHEN s > 8000 THEN h END) AS BIGINT)
+                 AS first_alarm_hour
+        FROM cs GROUP BY event_type ORDER BY event_type"""))
   )
 }
