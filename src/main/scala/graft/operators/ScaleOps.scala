@@ -25,6 +25,26 @@ object ScaleOps extends QueryPack {
 
   private val Salts = 16
 
+  /** Rendezvous (HRW) shard pick over n shards as a SQL expression:
+    * per shard, hash md5(doc_id ':' shard) to a 32-bit integer and
+    * take the argmax (ties → highest shard via the struct order —
+    * deterministic either way). Shared by the rendezvous audit and
+    * the GDPR delete-cost audit so both see the SAME layout. */
+  private def hrwShardSql(n: Int): String =
+    s"array_max(transform(sequence(0, ${n - 1}), sh -> struct(" +
+      "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+      "CAST(sh AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h, " +
+      "sh AS sh))).sh"
+
+  /** DuckDB mirror of [[hrwShardSql]]'s per-(doc, shard) hash rows —
+    * argmax via the order-equivalent hv*16+sh composite downstream. */
+  private def hrwHashCte(n: Int): String = s"""
+        hrw AS (
+          SELECT doc_id, sh,
+                 ('0x'||substr(md5(doc_id::VARCHAR || ':' || sh::VARCHAR),
+                               1, 8))::BIGINT AS hv
+          FROM documents, generate_series(0, ${n - 1}) t(sh))"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- salted aggregation
@@ -1601,29 +1621,20 @@ object ScaleOps extends QueryPack {
     // the 8-row (shard, counts) aggregate shuffles. No join, no
     // window, no state: the assignment IS a pure function of doc_id.
     "q_scale_rendezvous" -> GraftQuery(
-      run = (s, d) => {
-        def pick(n: Int): String =
-          s"array_max(transform(sequence(0, ${n - 1}), sh -> struct(" +
-            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
-            "CAST(sh AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h, " +
-            "sh AS sh))).sh"
+      run = (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            expr(pick(8)).as("shard"), expr(pick(9)).as("shard9"))
+            expr(hrwShardSql(8)).as("shard"),
+            expr(hrwShardSql(9)).as("shard9"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L))
               .as("n_moved"))
           .select(col("shard"), col("n_docs"), col("n_moved"),
             expr("n_moved * 1000000 div n_docs").as("churn_ppm"))
-          .orderBy("shard")
-      },
-      oracle = Some("""
-        WITH h AS (
-          SELECT doc_id, sh,
-                 ('0x'||substr(md5(doc_id::VARCHAR || ':' || sh::VARCHAR),
-                               1, 8))::BIGINT AS hv
-          FROM documents, generate_series(0, 8) t(sh)),
+          .orderBy("shard"),
+      oracle = Some(s"""
+        WITH ${hrwHashCte(9)},
         a AS (
           -- hv*16 + sh: same total order as (hv, sh) since sh < 16,
           -- and DuckDB's max_by takes a scalar ordering key
@@ -1631,7 +1642,7 @@ object ScaleOps extends QueryPack {
                  CAST(max_by(sh, hv * 16 + sh) FILTER (WHERE sh < 8)
                    AS INT) AS shard,
                  CAST(max_by(sh, hv * 16 + sh) AS INT) AS shard9
-          FROM h GROUP BY doc_id),
+          FROM hrw GROUP BY doc_id),
         g AS (
           SELECT shard, count(*) AS n_docs,
                  CAST(sum(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END)
@@ -1731,6 +1742,59 @@ object ScaleOps extends QueryPack {
                  AS BIGINT) AS split_groups,
                CAST(sum((n_tot*n_tot - sq) // 2) AS BIGINT)
                  AS leaked_pairs
-        FROM grp GROUP BY scheme ORDER BY scheme"""))
+        FROM grp GROUP BY scheme ORDER BY scheme""")),
+
+    // ----------------- right-to-be-forgotten delete-cost audit (GDPR)
+    // Before executing a deletion batch at 100 TB you want its WRITE
+    // BILL: which shards must rewrite, and at what amplification
+    // (docs rewritten per doc deleted — immutable storage rewrites a
+    // whole shard to drop one row). Deletion set = doc_id ≡ 0 mod 131
+    // (a deterministic stand-in for the request list); shards are the
+    // SAME rendezvous layout as q_scale_rendezvous (shared
+    // [[hrwShardSql]]), so the audit prices the layout the engine
+    // actually ships. Per shard: docs, deletions, chars going away,
+    // the rewrite flag, and amplification in ppm; one map-side
+    // projection into an 8-row aggregate — the audit costs one scan
+    // regardless of corpus size, which is the point of running it
+    // BEFORE the rewrite.
+    "q_scale_gdpr_delete" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            expr(hrwShardSql(8)).as("shard"),
+            (col("doc_id") % 131 === 0).cast("long").as("del"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("del")).as("n_deleted"),
+            sum(col("n_chars") * col("del")).as("chars_deleted"))
+          .select(col("shard"), col("n_docs"), col("n_deleted"),
+            col("chars_deleted"),
+            (col("n_deleted") > 0L).cast("long").as("must_rewrite"),
+            when(col("n_deleted") > 0L,
+              expr("n_docs * 1000000 div n_deleted")).otherwise(0L)
+              .as("amplification_ppm"))
+          .orderBy("shard"),
+      oracle = Some(s"""
+        WITH ${hrwHashCte(8)},
+        a AS (
+          SELECT doc_id,
+                 CAST(max_by(sh, hv * 16 + sh) AS INT) AS shard
+          FROM hrw GROUP BY doc_id),
+        j AS (
+          SELECT a.shard, d.n_chars,
+                 CASE WHEN d.doc_id % 131 = 0 THEN 1 ELSE 0 END AS del
+          FROM a JOIN documents d ON d.doc_id = a.doc_id),
+        g AS (
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(del) AS BIGINT) AS n_deleted,
+                 CAST(sum(n_chars * del) AS BIGINT) AS chars_deleted
+          FROM j GROUP BY 1)
+        SELECT shard, n_docs, n_deleted, chars_deleted,
+               CAST(CASE WHEN n_deleted > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS must_rewrite,
+               CASE WHEN n_deleted > 0
+                    THEN n_docs * 1000000 // n_deleted
+                    ELSE 0 END AS amplification_ppm
+        FROM g ORDER BY shard"""))
   )
 }
