@@ -66,6 +66,33 @@ class SplitShardingSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     got shouldBe expectedRows
   }
 
+  test("gdpr delete audit: shard layout identical to the rendezvous " +
+    "audit, deletion set exact, amplification identity holds") {
+    assume(haveData)
+    val got = SparkEntry.queries("q_scale_gdpr_delete")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // same layout as q_scale_rendezvous: per-shard doc counts agree
+    val rdv = SparkEntry.queries("q_scale_rendezvous")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach { case (shard, nDocs, _, _, _, _) =>
+      nDocs shouldBe rdv(shard)
+    }
+    // the deletion set is exactly doc_id % 131 == 0, shard-assigned
+    // by the independent JVM HRW recomputation
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expDeleted = docs.filter(_ % 131 == 0)
+      .groupBy(id => hrwShard(id, 8)).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (shard, nDocs, nDel, _, rewrite, amp) =>
+      nDel shouldBe expDeleted.getOrElse(shard, 0L)
+      rewrite shouldBe (if (nDel > 0) 1L else 0L)
+      amp shouldBe (if (nDel > 0) nDocs * 1000000L / nDel else 0L)
+    }
+    got.map(_._3).sum shouldBe docs.count(_ % 131 == 0).toLong
+  }
+
   test("length buckets: doc totals conserved, batch count is the exact " +
     "ceil-div, waste consistent with real vs padded") {
     assume(haveData)
