@@ -306,6 +306,45 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** Band rows for SEVERAL (bands × rows) configurations from ONE pass
+    * over the shingle sets: the 16 affine minhashes are computed once
+    * per doc (identical family to [[minhashBandRows]]) and regrouped
+    * per config — config (b, r) with b·r ≤ 16 bands mins[r·j .. r·j+r−1]
+    * into band j. Emits (doc_id, cfg, band, key); one corpus scan
+    * serves every configuration in the sweep. */
+  private[operators] def minhashBandRowsSweep(
+      docs: org.apache.spark.sql.Dataset[(Long, Seq[String])],
+      cfgs: Seq[(Int, Int)])
+      : org.apache.spark.sql.Dataset[(Long, String, Int, String)] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, dsh) =>
+        if (dsh.isEmpty) Iterator.empty
+        else {
+          val mins = Array.fill(16)(Long.MaxValue)
+          dsh.foreach { sh =>
+            val dg = md.digest(sh.getBytes("UTF-8"))
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            var i = 0
+            while (i < 16) {
+              val v = ((2L * i + 3L) * h + 12289L * i + 1L) % 2147483647L
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          cfgs.iterator.flatMap { case (b, r) =>
+            (0 until b).iterator.map { j =>
+              (id, s"${b}x$r", j,
+                (0 until r).map(k => mins(r * j + k)).mkString(","))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Band-bucket clique ceiling. A bucket BELOW this emits its full
     * pair clique; an oversized bucket — a mega-cluster of
     * near-identical docs (boilerplate pages, templated spam) — is the
@@ -1223,6 +1262,99 @@ object Dedup extends QueryPack {
         LEFT JOIN (SELECT u.doc_id, g.n FROM ur u JOIN urg g USING (k))
           urg2 ON urg2.doc_id = d.doc_id
         LEFT JOIN nearf ON nearf.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----------------------- LSH banding parameter sweep (S-curve tuning)
+    // q_dedup_lsh_eval measures ONE banding; this sweeps the (bands ×
+    // rows) grid {8×2, 4×4, 2×8} over the SAME 16 minhashes — the
+    // tuning table that decides the S-curve operating point at 100 TB:
+    // more bands / shorter keys catch lower-similarity pairs (recall ↑,
+    // precision ↓ → more verification work), fewer bands / longer keys
+    // invert the trade. All three configs band the same per-doc
+    // signature from ONE corpus pass ([[minhashBandRowsSweep]]); each
+    // config's candidates come from the shared capped pair generator
+    // and score against the same exact-Jaccard ≥ 0.5 truth. The output
+    // is 3 rows, materialized so the band/truth caches release.
+    "q_dedup_lsh_sweep" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val cfgs = Seq((8, 2), (4, 4), (2, 8))
+        val truth = jaccardPairs(s, shingles(s, d), 0.5)
+          .select(col("d1"), col("d2")).persist()
+        val rowsAll = minhashBandRowsSweep(
+            shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])],
+            cfgs)
+          .toDF("doc_id", "cfg", "band", "key").persist()
+        rowsAll.count() // one materialization serves all three configs
+        val perCfg = cfgs.map { case (b, r) =>
+          val cand = bandPairs(
+            rowsAll.filter(col("cfg") === s"${b}x$r")
+              .select("doc_id", "band", "key"))
+          val hits = cand.join(truth, Seq("d1", "d2"))
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+            .select(lit(s"${b}x$r").as("config"),
+              lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+              col("n_truth"), col("n_candidates"), col("n_hits"),
+              // both ratios zero-guarded: ANSI div-by-zero throws on an
+              // empty corpus (the EmptyInputSpec shape)
+              when(col("n_truth") > 0L,
+                expr("n_hits * 1000000 div n_truth")).otherwise(0L)
+                .as("recall_ppm"),
+              when(col("n_candidates") > 0L,
+                expr("n_hits * 1000000 div n_candidates")).otherwise(0L)
+                .as("precision_ppm"))
+        }.reduce(_.unionByName(_)).orderBy("config")
+        val out = perCfg.collect()
+        truth.unpersist(); rowsAll.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(out: _*), perCfg.schema)
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $cappedShinglesCte,
+        mh AS (SELECT doc_id, seed,
+                      min(((2*seed+3) * ('0x'||substr(md5(s),1,8))::BIGINT
+                           + 12289*seed + 1) % 2147483647) AS h
+               FROM shingles, generate_series(0,15) t(seed)
+               GROUP BY doc_id, seed),
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT d1, d2 FROM common
+          JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+          WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5),
+        cfg(config, n_bands, rows_per_band) AS (VALUES
+          ('2x8', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+          ('4x4', 4, 4), ('8x2', 8, 2)),
+        bnd AS (SELECT cfg.config, mh.doc_id,
+                       seed // rows_per_band AS band,
+                       string_agg(h::VARCHAR, ',' ORDER BY seed) AS key
+                FROM mh CROSS JOIN cfg
+                GROUP BY 1, 2, 3),
+        cand AS (SELECT DISTINCT a.config, a.doc_id AS d1, b.doc_id AS d2
+                 FROM bnd a JOIN bnd b
+                   ON a.config = b.config AND a.band = b.band
+                      AND a.key = b.key AND a.doc_id < b.doc_id),
+        sel AS (
+          SELECT cfg.config, cfg.n_bands, cfg.rows_per_band,
+                 (SELECT count(*) FROM truth) AS t,
+                 (SELECT count(*) FROM cand c
+                  WHERE c.config = cfg.config) AS c,
+                 (SELECT count(*) FROM cand c JOIN truth
+                    ON truth.d1 = c.d1 AND truth.d2 = c.d2
+                  WHERE c.config = cfg.config) AS h
+          FROM cfg)
+        SELECT config, n_bands, rows_per_band,
+               CAST(t AS BIGINT) AS n_truth,
+               CAST(c AS BIGINT) AS n_candidates,
+               CAST(h AS BIGINT) AS n_hits,
+               CAST(h * 1000000 // t AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN c > 0 THEN h * 1000000 // c ELSE 0 END
+                    AS BIGINT) AS precision_ppm
+        FROM sel ORDER BY config"""))
   )
 }
