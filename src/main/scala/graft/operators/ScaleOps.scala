@@ -1795,6 +1795,62 @@ object ScaleOps extends QueryPack {
                CASE WHEN n_deleted > 0
                     THEN n_docs * 1000000 // n_deleted
                     ELSE 0 END AS amplification_ppm
-        FROM g ORDER BY shard"""))
+        FROM g ORDER BY shard""")),
+
+    // ------------------- join-key skew audit (the pre-salting check)
+    // q_scale_salted_join APPLIES the fix; this query makes the
+    // DECISION: project the candidate join key's weight distribution
+    // onto a 32-way hash layout and report (a) the heaviest key's
+    // share and (b) the heaviest partition's load relative to perfect
+    // balance (1e6 ppm = uniform) — the number that says whether a
+    // shuffle on this key stalls on one reducer. Orders ⋈ lineitem on
+    // custkey is the candidate edge here (customers skew by activity).
+    // Two hash aggregates (key weights → partition loads), both
+    // map-side combinable; output is one row of integers, identical
+    // at any scale because shares are ratios.
+    "q_scale_skew_audit" -> GraftQuery(
+      run = (s, d) => {
+        val keyed = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("w"))
+        val parts = keyed
+          .withColumn("p",
+            expr("CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), " +
+              "16, 10) AS BIGINT) % 32"))
+          .groupBy("p").agg(sum(col("w")).as("pw"))
+        keyed.agg(sum(col("w")).as("n_rows"),
+            count(lit(1)).as("n_keys"), max(col("w")).as("top_key_w"))
+          .crossJoin(broadcast(parts.agg(max(col("pw")).as("max_part_w"),
+            count(lit(1)).as("n_parts"))))
+          .select(col("n_rows"), col("n_keys"), col("top_key_w"),
+            expr("top_key_w * 1000000 div n_rows").as("top_key_share_ppm"),
+            col("max_part_w"), col("n_parts"),
+            // heaviest partition vs perfect balance: 1e6 = uniform,
+            // 2e6 = one reducer carries 2x its fair share
+            expr("max_part_w * 32 * 1000000 div n_rows")
+              .as("max_part_balance_ppm"))
+      },
+      oracle = Some("""
+        WITH kw AS (
+          SELECT o.o_custkey AS k, count(*) AS w
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1),
+        pw AS (
+          SELECT ('0x'||substr(md5(k::VARCHAR),1,8))::BIGINT % 32 AS p,
+                 CAST(sum(w) AS BIGINT) AS pw
+          FROM kw GROUP BY 1),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys,
+                     CAST(max(w) AS BIGINT) AS top_key_w
+              FROM kw),
+        pp AS (SELECT max(pw) AS max_part_w, count(*) AS n_parts FROM pw)
+        SELECT n_rows, n_keys, top_key_w,
+               top_key_w * 1000000 // n_rows AS top_key_share_ppm,
+               max_part_w, n_parts,
+               max_part_w * 32 * 1000000 // n_rows
+                 AS max_part_balance_ppm
+        FROM t CROSS JOIN pp"""))
   )
 }
