@@ -431,6 +431,48 @@ object Aggregates extends QueryPack {
                CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_outliers
         FROM dev JOIN mad USING (l_returnflag)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------ exact distinct via bitmap words (bit_or)
+    // The roaring-bitmap mechanism in relational form: distinct users
+    // per event type WITHOUT count_distinct's per-key dedup state —
+    // user ids pack 63 per word (word = id div 63, bit = id mod 63;
+    // 63 not 64 because a shift into the sign bit overflows DuckDB's
+    // checked <<), per (type, word) the words bit_or together (map-side
+    // combinable, fixed 8 bytes of state per word regardless of how
+    // many rows hit it), and the distinct count is Σ bit_count(word).
+    // At 100 TB the shuffle carries one word per (type, word-range,
+    // task) — dense id spaces compress ~64× vs shipping ids — and
+    // bitmap words UNION across shards by bit_or, the mergeability
+    // count_distinct lacks. count_distinct rides along to prove
+    // equality on every row.
+    "q_agg_bitmap_distinct" -> GraftQuery(
+      run = (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("user_id div 63").as("word_idx"),
+            expr("shiftleft(1L, CAST(user_id % 63 AS INT))").as("bit"))
+          .groupBy("event_type", "word_idx")
+          .agg(expr("bit_or(bit)").as("word"),
+            countDistinct(col("bit")).as("check_bits"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_words"),
+            expr("CAST(sum(bit_count(word)) AS BIGINT)").as("n_distinct"),
+            sum(col("check_bits")).as("n_distinct_check"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type, user_id // 63 AS word_idx,
+                 (1::BIGINT << CAST(user_id % 63 AS INT)) AS bit
+          FROM events),
+        w AS (
+          SELECT event_type, word_idx,
+                 bit_or(bit) AS word,
+                 count(DISTINCT bit) AS check_bits
+          FROM b GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_words,
+               CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct,
+               CAST(sum(check_bits) AS BIGINT) AS n_distinct_check
+        FROM w GROUP BY event_type ORDER BY event_type"""))
   )
 }
