@@ -81,12 +81,33 @@ object Bench {
       n.startsWith("q_ms_") || n.startsWith("q_text_bpe_")
     val rerun = firstPass.filterNot(p => cacheBuilders(p._1) || p._2 < 0)
       .sortBy(-_._2).take(10).map(_._1).toSet
-    val results = firstPass.map { case (name, t) =>
-      if (rerun(name))
-        name -> math.min(t, time(name, SparkEntry.queries(name)))
-      else name -> t
-    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // The re-run block gets its OWN canary bracket: min-of-2 fails when
+    // ambient load arrives mid-run (round 5: overall canary 1.83, and a
+    // 9 s first-pass outlier stood because the rerun itself ran loaded).
+    // Emitting (first, rerun) per query plus the bracket lets a reader
+    // discount a loaded rerun per query instead of trusting the min.
+    val rerunCanaryBefore = canaryProbe()
+    val rerunTimes = firstPass.collect { case (name, t) if rerun(name) =>
+      name -> (t, time(name, SparkEntry.queries(name)))
+    }
+    val rerunCanaryAfter = canaryProbe()
+    val rerunByName = rerunTimes.toMap
+    val results = firstPass.map { case (name, t) =>
+      rerunByName.get(name) match {
+        // a crashed rerun (-1) must not overwrite a working first pass
+        case Some((first, second)) if second >= 0 =>
+          name -> math.min(first, second)
+        case _ => name -> t
+      }
+    }
+    val rerunPairs = rerunTimes.sortBy(_._1).map { case (k, (a, b)) =>
+      "\"" + k + "\":{\"first\":" + r3(a) + ",\"rerun\":" + r3(b) + "}"
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_RERUN $rerunPairs""")
+    println(s"""BENCH_RERUN_CANARY {"before":${r3(rerunCanaryBefore)},"after":${r3(
+        rerunCanaryAfter)},"ratio_vs_start":${r3(
+        math.max(rerunCanaryBefore, rerunCanaryAfter) / canaryStart)}}""")
     // Full per-query detail on its OWN line, before the metric line —
     // for humans and the judge reading the whole log. Failures (-1
     // entries) are also named explicitly so they can't hide.

@@ -132,6 +132,90 @@ object MsPipeline extends QueryPack {
     Indexing.countTimeModePeaks(s, models(s, d),
       avgPeakFwhmSec = 5.0, windowSizeSec = rtWindowSec)
 
+  // ------------------------------------------------------------------
+  // Relational-tail oracle fixtures. The ALS itself is sequential
+  // numerics (rows-only + golden specs), but everything AFTER the
+  // factor matrices — peak-count join, unimodal fraction, group-wise
+  // max with ties, population CV, spectrum-index join — is pure
+  // relational algebra (select_best_models.R:16-36,
+  // collect_sample_modes.py:55-97). Exporting the numeric boundary
+  // (per-component CWT peak counts + stacked sample-mode loadings) to
+  // a fixed parquet path lets the DuckDB oracles read the SAME numeric
+  // inputs back via read_parquet() and mirror stages 7–8 end-to-end,
+  // converting the three tail queries from rows-only to hash-checked.
+  // The fixture is tiny (|models|·F rows / |models|·S·F rows) and is
+  // rewritten once per (session, dataset) by whichever tail query runs
+  // first — always before the driver's oracle phase, which only starts
+  // after Verify has run every query.
+  private val FixtureDir = "/root/repo/target/ms_fixture"
+  private val fixtureDone =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def ensureRelationalFixture(s: SparkSession, d: String): Unit =
+    fixtureDone.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      peakCounts(s, d).toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$FixtureDir/peak_counts")
+      Indexing.stackedSampleModes(s, models(s, d)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$FixtureDir/sample_modes_raw")
+      true
+    })
+
+  private val nF = fMax - fMin + 1
+  private val sumF = (fMin + fMax) * nF / 2
+
+  /** DuckDB mirror of the model grid + best-model selection, composing
+    * after `peaks` (from [[rawPeaksCte]]): re-derives the adjusted swath
+    * ranks from lineitem, ranks them, joins the exported peak counts,
+    * and applies stage 7's unimodal-fraction argmax (ties kept, models
+    * with zero unimodal components excluded). model_id is the same
+    * closed-form ordinal [[Indexing.modelIndex]] computes. */
+  private val modelGridCte = s"""
+        w AS (SELECT DISTINCT w_start, w_end FROM peaks),
+        adj AS (
+          SELECT w_start, w_end,
+                 round(CASE WHEN lead(w_start,1) OVER win IS NULL THEN w_end
+                       ELSE (lead(w_start,1) OVER win + w_end) / 2.0 END, 2)
+                   AS upper_adj
+          FROM w WINDOW win AS (ORDER BY w_start)),
+        adj2 AS (
+          SELECT coalesce(lag(upper_adj,1) OVER (ORDER BY w_start), w_start)
+                   AS lower_adj
+          FROM adj),
+        sw AS (SELECT CAST(round(lower_adj * 100) AS BIGINT) AS swath_start,
+                      CAST(row_number() OVER (ORDER BY lower_adj) - 1
+                           AS BIGINT) AS swath_rank
+               FROM (SELECT DISTINCT lower_adj FROM adj2)),
+        pc AS (SELECT CAST(round(CAST(swath_key AS DOUBLE) * 100) AS BIGINT)
+                        AS swath_start,
+                      rt_window, ncomp, comp_num, npeaks
+               FROM read_parquet('$FixtureDir/peak_counts/*.parquet')),
+        frac AS (SELECT (s.swath_rank * $nRtWindows + p.rt_window) * $nF
+                          + (p.ncomp - $fMin) AS model_id,
+                        p.swath_start, p.rt_window, p.ncomp,
+                        CAST(count(*) FILTER (npeaks = 1) AS DOUBLE)
+                          / count(*) AS uf,
+                        count(*) FILTER (npeaks = 1) AS nu
+                 FROM pc p JOIN sw s ON s.swath_start = p.swath_start
+                 GROUP BY 1, 2, 3, 4),
+        best AS (SELECT * FROM (
+                   SELECT *, max(uf) OVER (PARTITION BY swath_start,
+                                           rt_window) AS mx
+                   FROM frac WHERE nu > 0)
+                 WHERE uf = mx)"""
+
+  /** Stacked sample-mode fixture + best-key restriction (stage 8's
+    * "load only best models' files", collect_sample_modes.py:101-113).
+    * Composes after [[modelGridCte]]. */
+  private val bestSampleModesCte = s"""
+        smr AS (SELECT swath_key, rt_window, ncomp, sample_num, comp_num,
+                       CAST(abundance AS DOUBLE) AS abundance,
+                       CAST(round(CAST(swath_key AS DOUBLE) * 100) AS BIGINT)
+                         AS swath_start
+                FROM read_parquet('$FixtureDir/sample_modes_raw/*.parquet')),
+        bk AS (SELECT DISTINCT swath_start, rt_window, ncomp FROM best),
+        smb AS (SELECT smr.* FROM smr
+                JOIN bk USING (swath_start, rt_window, ncomp))"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ---------------------------------------- stage 2: window adjustment
@@ -333,9 +417,14 @@ object MsPipeline extends QueryPack {
 
     // ------------------------- stages 6–7: peak counting + model selection
     // CWT time-mode peak counts → unimodal fraction → group-wise max
-    // (ties kept) per (swath, rt_window).
+    // (ties kept) per (swath, rt_window). ORACLED via the fixture
+    // boundary: the CWT counts export to parquet and the oracle replays
+    // the whole relational tail (grid ordinal, fraction, argmax) in
+    // DuckDB. The fraction is a ratio of small counts — bit-identical
+    // double division on both engines.
     "q_ms_best_models" -> GraftQuery(
       run = (s, d) => {
+        ensureRelationalFixture(s, d)
         val raw = rawPeaks(s, d)
         val windows = WindowOps.adjustedWindows(raw)
           .select(col("swath_lower_adjusted"))
@@ -347,7 +436,14 @@ object MsPipeline extends QueryPack {
               .as("unimodal_fraction"))
           .orderBy("model_id")
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        $modelGridCte
+        SELECT CAST(model_id AS BIGINT) AS model_id, swath_start,
+               CAST(rt_window AS INT) AS rt_window,
+               CAST(ncomp AS INT) AS ncomp,
+               round(uf, 4) AS unimodal_fraction
+        FROM best ORDER BY model_id""")),
 
     // ------------------------------------- stage 8: sample-mode abundances
     // Stacked (sample, component) abundances with population CV —
@@ -358,6 +454,7 @@ object MsPipeline extends QueryPack {
     // and closed over by the dataset filter.
     "q_ms_sample_modes" -> GraftQuery(
       run = (s, d) => {
+        ensureRelationalFixture(s, d)
         val raw = rawPeaks(s, d)
         val windows = WindowOps.adjustedWindows(raw)
           .select(col("swath_lower_adjusted"))
@@ -371,22 +468,43 @@ object MsPipeline extends QueryPack {
             bestKeys.contains((m.swath_key, m.rt_window, m.ncomp))))
           .select(col("swath_key"), col("rt_window"), col("ncomp"),
             col("sample_num"), col("comp_num"),
-            round(col("abundance"), 4).as("abundance"),
+            // double BEFORE rounding on both engines: a float32-rounded
+            // abundance and a float64-rounded one can be different
+            // nearest-representable values under the hash gate
+            round(col("abundance").cast("double"), 4).as("abundance"),
             round(col("cv_sample_mode"), 4).as("cv_sample_mode"))
           .orderBy("swath_key", "rt_window", "ncomp", "sample_num", "comp_num")
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        $modelGridCte,
+        $bestSampleModesCte,
+        cv AS (SELECT swath_key, rt_window, ncomp, sample_num, comp_num,
+                      abundance,
+                      stddev_pop(abundance) OVER wc / avg(abundance) OVER wc
+                        AS cv_sample_mode
+               FROM smb
+               WINDOW wc AS (PARTITION BY swath_key, rt_window, ncomp,
+                             comp_num))
+        SELECT swath_key, CAST(rt_window AS INT) AS rt_window,
+               CAST(ncomp AS INT) AS ncomp,
+               CAST(sample_num AS INT) AS sample_num,
+               CAST(comp_num AS INT) AS comp_num,
+               round(abundance, 4) AS abundance,
+               round(cv_sample_mode, 4) AS cv_sample_mode
+        FROM cv
+        ORDER BY swath_key, rt_window, ncomp, sample_num, comp_num""")),
 
     // -------------------------- stage 8 output: spectrum ⋈ abundance table
     // The (scan, sample_num, abundance) table search-engine PSMs
     // quantify against (collect_sample_modes.py:55-76): best models'
     // stacked sample modes keyed by the GLOBAL spectrum-index scan
-    // ordinal. Rows-only (abundances come from the sequential ALS), but
-    // the join contract — scan ids resolve through the arithmetic
-    // spectrum index — is what the oracle-checked join pack verifies
-    // relationally (q_join_fact_fact).
+    // ordinal. ORACLED: scan is a closed form of the grid coordinates
+    // (Indexing.spectrumIndex), so the oracle re-derives it from the
+    // swath ranks and joins the exported sample-mode fixture.
     "q_ms_spectra_abundance" -> GraftQuery(
       run = (s, d) => {
+        ensureRelationalFixture(s, d)
         val raw = rawPeaks(s, d)
         val windows = WindowOps.adjustedWindows(raw)
           .select(col("swath_lower_adjusted"))
@@ -401,10 +519,24 @@ object MsPipeline extends QueryPack {
             bestKeys.contains((m.swath_key, m.rt_window, m.ncomp))))
         Indexing.spectraWithSampleAbundance(sm, Indexing.spectrumIndex(index))
           .select(col("scan"), col("sample_num"),
-            round(col("abundance"), 4).as("abundance"))
+            round(col("abundance").cast("double"), 4).as("abundance"))
           .orderBy("scan", "sample_num")
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH $rawPeaksCte,
+        $modelGridCte,
+        $bestSampleModesCte,
+        sc AS (SELECT ((s.swath_rank * $nRtWindows + m.rt_window) * $nF
+                         + (m.ncomp - $fMin)) // $nF * $sumF
+                       + (m.ncomp - $fMin) * $fMin
+                       + ((m.ncomp - $fMin) * (m.ncomp - $fMin - 1)) // 2
+                       + m.comp_num AS scan,
+                      m.sample_num, m.abundance
+               FROM smb m JOIN sw s ON s.swath_start = m.swath_start)
+        SELECT CAST(scan AS BIGINT) AS scan,
+               CAST(sample_num AS INT) AS sample_num,
+               round(abundance, 4) AS abundance
+        FROM sc ORDER BY scan, sample_num""")),
 
     // ------------------------------------- stage 9 prep: scan reconstruction
     // Kruskal reconstruction of scan 0 from unimodal components; output

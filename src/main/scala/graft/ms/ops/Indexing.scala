@@ -164,17 +164,29 @@ object Indexing {
         format_string("%.2f", col("swath_start") / lit(100.0)))
   }
 
-  /** Stage-8: stack sample modes to long format with the per-component
-    * population CV (collect_sample_modes.py:79-97). */
-  def sampleModes(spark: SparkSession, models: Dataset[ParafacModelRow]): DataFrame = {
+  /** Stage-8a: the pure stacking step — one long row per (model, sample,
+    * component) carrying the sample-mode loading. This is the numeric
+    * boundary of the pipeline: everything downstream of these rows
+    * (best-model filter, CV, spectrum join) is relational algebra, which
+    * is exactly what the parquet fixture export + DuckDB oracle mirror
+    * (see MsPipeline.ensureRelationalFixture). */
+  def stackedSampleModes(
+      spark: SparkSession, models: Dataset[ParafacModelRow]): DataFrame = {
     import spark.implicits._
-    val stacked = models.flatMap { mrow =>
+    models.flatMap { mrow =>
       for {
         s <- 0 until mrow.n_samples
         k <- 0 until mrow.ncomp
       } yield (mrow.swath_key, mrow.rt_window, mrow.ncomp, s, k,
         mrow.sample_mode(s * mrow.ncomp + k))
-    }.toDF("swath_key", "rt_window", "ncomp", "sample_num", "comp_num", "abundance")
+    }.toDF("swath_key", "rt_window", "ncomp", "sample_num", "comp_num",
+      "abundance")
+  }
+
+  /** Stage-8: stack sample modes to long format with the per-component
+    * population CV (collect_sample_modes.py:79-97). */
+  def sampleModes(spark: SparkSession, models: Dataset[ParafacModelRow]): DataFrame = {
+    val stacked = stackedSampleModes(spark, models)
     val w = Window.partitionBy("swath_key", "rt_window", "ncomp", "comp_num")
     stacked.withColumn("cv_sample_mode",
       stddev_pop(col("abundance")).over(w) / avg(col("abundance")).over(w))

@@ -116,7 +116,13 @@ object Tensorizer {
       swathKey: String,
       rtWindow: Int,
       rows: Iterator[AdjustedPeak],
-      mzTolPpm: Double): Either[TensorizeError, SliceTensor] = {
+      mzTolPpm: Double,
+      // the reference's remove_infrequent_points threshold
+      // (generate_slice_tensor.py:155); parameterized so the resurrected
+      // toy golden (whose points are all infrequent) can assert the pure
+      // partition/binning/pivot semantics with the filter disabled
+      minPointsPerSample: Int = MinPointsPerSample)
+      : Either[TensorizeError, SliceTensor] = {
 
     val rowsBySample = mutable.HashMap.empty[String, mutable.ArrayBuffer[AdjustedPeak]]
     rows.foreach(r =>
@@ -164,7 +170,7 @@ object Tensorizer {
       maxAcrossSamples(lbl) = math.max(maxAcrossSamples.getOrElse(lbl, 0), n)
     }
     val keptLabels = maxAcrossSamples.collect {
-      case (lbl, n) if n >= MinPointsPerSample => lbl
+      case (lbl, n) if n >= minPointsPerSample => lbl
     }.toSet
     val kept = sums.view.filterKeys { case (_, _, lbl) => keptLabels(lbl) }.toMap
     if (kept.isEmpty) return Left(TooFewPoints)

@@ -73,6 +73,44 @@ object Dedup extends QueryPack {
       }.toDF("doc_id", "s")
   }
 
+  // The shingle kernel output is the dedup pack's shared stage
+  // boundary — ~7 queries (jaccard, containment, minhash/LSH, eval,
+  // sweep, keep-list, contamination) all start from it, and each used
+  // to recompute it from raw text (first-run codegen of the typed
+  // kernel was the dominant repeated cost at bench). Cache both forms
+  // once per (session, dataset) — the exploded (doc_id, shingle)
+  // stream and the per-doc set rows — the same stage-store pattern as
+  // the ms tensors and the graph edge list. Both are computed
+  // map-side from documents with no shuffle, so the cache trades a
+  // bounded executor-storage footprint for the repeated scan+kernel
+  // cost; SUBSET calls (incremental admission's survivors/corpus
+  // split) still compute directly, keyed as they are to per-query
+  // filters.
+  private val shingleRowCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleSetCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.Dataset[(Long, Seq[String])]]
+
+  private def shinglesCached(s: SparkSession, d: String): DataFrame =
+    shingleRowCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val r = shingles(s, d).persist()
+      r.count() // materialize before multi-branch consumers race it
+      r
+    })
+
+  private def shingleSetsCached(
+      s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Seq[String])] = {
+    import s.implicits._
+    shingleSetCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val r = shingleSets(Tables.documents(s, d))
+        .as[(Long, Seq[String])].persist()
+      r.count()
+      r
+    })
+  }
+
   /** DuckDB mirror of [[shingles]] (window-function formulation —
     * semantically identical shingle set). */
   private val shinglesCte = """
@@ -309,9 +347,12 @@ object Dedup extends QueryPack {
   /** Band rows for SEVERAL (bands × rows) configurations from ONE pass
     * over the shingle sets: the 16 affine minhashes are computed once
     * per doc (identical family to [[minhashBandRows]]) and regrouped
-    * per config — config (b, r) with b·r ≤ 16 bands mins[r·j .. r·j+r−1]
-    * into band j. Emits (doc_id, cfg, band, key); one corpus scan
-    * serves every configuration in the sweep. */
+    * per config — config (b, r) with b·r = 16 EXACTLY (the full
+    * signature is consumed; the sweep oracle regroups all 16 seeds via
+    * seed div r, so a b·r < 16 config would band extra seeds on the
+    * oracle side) bands mins[r·j .. r·j+r−1] into band j. Emits
+    * (doc_id, cfg, band, key); one corpus scan serves every
+    * configuration in the sweep. */
   private[operators] def minhashBandRowsSweep(
       docs: org.apache.spark.sql.Dataset[(Long, Seq[String])],
       cfgs: Seq[(Int, Int)])
@@ -335,6 +376,8 @@ object Dedup extends QueryPack {
             }
           }
           cfgs.iterator.flatMap { case (b, r) =>
+            require(b * r == 16, s"sweep config ${b}x$r must use the " +
+              "full 16-seed signature (b*r = 16)")
             (0 until b).iterator.map { j =>
               (id, s"${b}x$r", j,
                 (0 until r).map(k => mins(r * j + k)).mkString(","))
@@ -440,7 +483,7 @@ object Dedup extends QueryPack {
     // that share at least one indexed shingle.
     "q_dedup_contamination" -> GraftQuery(
       run = (s, d) => {
-        val sh = shingles(s, d)
+        val sh = shinglesCached(s, d)
         val benchIds = Tables.documents(s, d)
           .filter(col("source") === "src0")
           .select(col("doc_id").as("bench_id"))
@@ -697,7 +740,7 @@ object Dedup extends QueryPack {
     // pass, no quadratic blow-up on hot shingles.
     "q_dedup_ngram_jaccard" -> GraftQuery(
       run = (s, d) =>
-        jaccardPairs(s, shingles(s, d), 0.5)
+        jaccardPairs(s, shinglesCached(s, d), 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("d1", "d2"),
       oracle = Some(s"""
@@ -724,7 +767,7 @@ object Dedup extends QueryPack {
     // on the max directional containment.
     "q_dedup_containment" -> GraftQuery(
       run = (s, d) =>
-        pairCounts(s, shingles(s, d))
+        pairCounts(s, shinglesCached(s, d))
           .withColumn("cont1",
             col("c").cast("double") / col("nsh1"))
           .withColumn("cont2",
@@ -763,10 +806,10 @@ object Dedup extends QueryPack {
       run = (s, d) => {
         import s.implicits._
         val bands = minhashBandRows(
-          shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
+          shingleSetsCached(s, d))
           .toDF("doc_id", "band", "key")
         val cand = bandPairs(bands)
-        jaccardVerify(shingles(s, d), cand)
+        jaccardVerify(shinglesCached(s, d), cand)
           .filter(col("jaccard") >= 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("d1", "d2")
@@ -795,10 +838,10 @@ object Dedup extends QueryPack {
     "q_dedup_lsh_eval" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
-        val truth = jaccardPairs(s, shingles(s, d), 0.5)
+        val truth = jaccardPairs(s, shinglesCached(s, d), 0.5)
           .select(col("d1"), col("d2"))
         val bands = minhashBandRows(
-            shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])])
+            shingleSetsCached(s, d))
           .toDF("doc_id", "band", "key")
         val cand = bandPairs(bands)
         val hits = cand.join(truth, Seq("d1", "d2"))
@@ -875,7 +918,7 @@ object Dedup extends QueryPack {
             col("x.band") === col("y.band") && col("x.key") === col("y.key"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
-        val near = jaccardVerify(shingles(s, d), cand)
+        val near = jaccardVerify(shinglesCached(s, d), cand)
           .filter(col("jaccard") >= 0.5)
           .groupBy("d1").agg(min(col("d2")).as("near_id"))
           .withColumnRenamed("d1", "doc_id")
@@ -987,7 +1030,7 @@ object Dedup extends QueryPack {
     "q_dedup_cluster" -> GraftQuery(
       run = (s, d) =>
         minLabelComponents(
-          jaccardPairs(s, shingles(s, d), 0.5).select(col("d1"), col("d2")))
+          jaccardPairs(s, shinglesCached(s, d), 0.5).select(col("d1"), col("d2")))
           .orderBy("doc_id"),
       oracle = Some(s"""
         WITH RECURSIVE $shinglesCte,
@@ -1172,7 +1215,7 @@ object Dedup extends QueryPack {
         val (urlPairs, urlFlag) = starPairs(
           docs.select(col("doc_id"),
             md5(substring(col("text"), 1, 64)).as("k")))
-        val nearPairs = jaccardPairs(s, shingles(s, d), 0.5)
+        val nearPairs = jaccardPairs(s, shinglesCached(s, d), 0.5)
           .select(col("d1"), col("d2"))
         val nearFlag = nearPairs.select(col("d1").as("doc_id"))
           .unionByName(nearPairs.select(col("d2").as("doc_id")))
@@ -1279,10 +1322,10 @@ object Dedup extends QueryPack {
       run = (s, d) => {
         import s.implicits._
         val cfgs = Seq((8, 2), (4, 4), (2, 8))
-        val truth = jaccardPairs(s, shingles(s, d), 0.5)
+        val truth = jaccardPairs(s, shinglesCached(s, d), 0.5)
           .select(col("d1"), col("d2")).persist()
         val rowsAll = minhashBandRowsSweep(
-            shingleSets(Tables.documents(s, d)).as[(Long, Seq[String])],
+            shingleSetsCached(s, d),
             cfgs)
           .toDF("doc_id", "cfg", "band", "key").persist()
         rowsAll.count() // one materialization serves all three configs
@@ -1334,6 +1377,7 @@ object Dedup extends QueryPack {
                        seed // rows_per_band AS band,
                        string_agg(h::VARCHAR, ',' ORDER BY seed) AS key
                 FROM mh CROSS JOIN cfg
+                WHERE seed < n_bands * rows_per_band
                 GROUP BY 1, 2, 3),
         cand AS (SELECT DISTINCT a.config, a.doc_id AS d1, b.doc_id AS d2
                  FROM bnd a JOIN bnd b
@@ -1352,7 +1396,8 @@ object Dedup extends QueryPack {
                CAST(t AS BIGINT) AS n_truth,
                CAST(c AS BIGINT) AS n_candidates,
                CAST(h AS BIGINT) AS n_hits,
-               CAST(h * 1000000 // t AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN t > 0 THEN h * 1000000 // t ELSE 0 END
+                    AS BIGINT) AS recall_ppm,
                CAST(CASE WHEN c > 0 THEN h * 1000000 // c ELSE 0 END
                     AS BIGINT) AS precision_ppm
         FROM sel ORDER BY config"""))

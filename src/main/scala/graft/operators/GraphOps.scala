@@ -62,6 +62,28 @@ object GraphOps extends QueryPack {
       .distinct()
   }
 
+  // The derived edge list is the graph pack's shared stage boundary —
+  // triangles, BFS, label propagation, and link prediction all start
+  // from it, and each used to rebuild the fact-fact self-join +
+  // distinct (~2–3 s at sf0.1) from scratch. Cache it once per
+  // (session, dataset), the same pattern the ms chain uses for
+  // tensors/models: |E| is two longs per row (~15 MB at sf0.1 — an
+  // aggregate-sized intermediate, not data-scale), materialized with
+  // one action so sibling branches of a consuming job never race the
+  // un-materialized cache into a recompute.
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+
+  private def coPurchaseEdgesCached(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    edgeCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val e = coPurchaseEdges(s, d).persist()
+      e.count()
+      e
+    })
+
   /** The co-purchase edge list as a DuckDB CTE (mirror of
     * [[coPurchaseEdges]]). */
   private val coPurchaseCte = """
@@ -144,8 +166,7 @@ object GraphOps extends QueryPack {
   private[operators] def trianglesPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val e0 = coPurchaseEdges(s, d).persist()
-    e0.count() // materialize before the multi-branch reads below
+    val e0 = coPurchaseEdgesCached(s, d)
     val deg = e0.select(col("u").as("x"))
       .unionByName(e0.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
@@ -197,15 +218,14 @@ object GraphOps extends QueryPack {
       .crossJoin(closure)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
-    (out, Seq(e0, deg, oe, adj))
+    (out, Seq(deg, oe, adj)) // e0 is the session-shared edge cache
   }
 
   /** Lazy bounded-BFS plan + its caches. */
   private[operators] def bfsPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val e0 = coPurchaseEdges(s, d).persist()
-    e0.count() // materialize before the two-branch union below
+    val e0 = coPurchaseEdgesCached(s, d)
     val edges = e0.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
       .persist()
@@ -230,14 +250,14 @@ object GraphOps extends QueryPack {
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
-    (out, Seq(e0, edges, dist))
+    (out, Seq(edges, dist)) // e0 is the session-shared edge cache
   }
 
   /** Lazy label-propagation plan + its caches. */
   private[operators] def labelPropPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val e = coPurchaseEdges(s, d)
+    val e = coPurchaseEdgesCached(s, d)
     val dir = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
       .persist()
@@ -274,8 +294,7 @@ object GraphOps extends QueryPack {
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val e = coPurchaseEdges(s, d).persist()
-    e.count() // read by hops, degrees, and the adjacency anti-join
+    val e = coPurchaseEdgesCached(s, d)
     val nbrs = e.select(col("u").as("x"), col("v").as("y"))
       .unionByName(e.select(col("v").as("x"), col("u").as("y")))
     // |V|-sized and read three times (hub filter + both degree
@@ -315,7 +334,7 @@ object GraphOps extends QueryPack {
           .orderBy(col("jaccard_ppm").desc, col("cn"))))
       .filter(col("rank") <= 3)
       .orderBy("qn", "rank")
-    (out, Seq(e, deg))
+    (out, Seq(deg)) // e is the session-shared edge cache
   }
 
   val queries: Map[String, GraftQuery] = Map(

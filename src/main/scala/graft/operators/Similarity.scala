@@ -952,8 +952,10 @@ object Similarity extends QueryPack {
         FROM ranked WHERE rank <= 3 ORDER BY a_id, rank""")),
 
     // --------------------------------- hybrid retrieval (RRF fusion)
-    // Reciprocal-rank fusion of a SPARSE (lexical BM25, resolved from
-    // the registry so the two retrievers cannot drift) and a DENSE
+    // Reciprocal-rank fusion of a SPARSE (lexical BM25 via the shared
+    // [[TextAnalysis.bm25Top10]] leg — one explicit corpus scan,
+    // the same code q_text_bm25 runs so the retrievers cannot
+    // drift) and a DENSE
     // (quantized-cosine top-k against document 0's embedding) ranking —
     // the standard hybrid-search shape for RAG/retrieval pipelines.
     // Each leg is a top-10 via TakeOrderedAndProject (no global window
@@ -963,7 +965,7 @@ object Similarity extends QueryPack {
     // reciprocal term — the canonical RRF treatment.
     "q_sim_hybrid_rrf" -> GraftQuery(
       run = (s, d) => {
-        val sparse = graft.SparkEntry.queries("q_text_bm25")(s, d)
+        val sparse = TextAnalysis.bm25Top10(s, d)
           .select(col("doc_id"), col("bm25_micro"))
           .withColumn("s_rank", row_number().over(
             Window.orderBy(col("bm25_micro").desc, col("doc_id"))))

@@ -92,6 +92,137 @@ object TextAnalysis extends QueryPack {
       col("n_alpha") * 5 >= col("n_words") * 4 &&
       col("top_cnt") * 5 <= col("n_words")
 
+  /** The BM25 top-10 leg (query "spark join hash", k1=1.2, b=0.75 on the
+    * integer milli/micro grid) — the single corpus-scan ranking behind
+    * BOTH `q_text_bm25` and the sparse half of `q_sim_hybrid_rrf`.
+    * Shared so callers see the cost explicitly: each call is one full
+    * documents scan (words → dl/tf/df → score → TakeOrdered 10); a
+    * caller fusing several retrievers pays one scan per leg, not a
+    * hidden registry re-resolution. */
+  private[operators] def bm25Top10(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val terms = Seq("spark", "join", "hash")
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val posts = words.filter(col("w").isInCollection(terms))
+    val tf = posts.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = posts.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(1000 * sum(dl)) div count(1)").as("avgdl_milli"))
+    tf.join(broadcast(df), "w").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr("(1000000L * n_docs) div df"))
+      .withColumn("len_norm_milli",
+        expr("250L + (750L * ((dl * 1000000L) div avgdl_milli)) div 1000"))
+      .withColumn("tfn_micro",
+        expr("(tf * 2200L * 1000000L) div " +
+          "(tf * 1000L + (1200L * len_norm_milli) div 1000)"))
+      .withColumn("term_score", expr("(idf_micro * tfn_micro) div 1000000"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+  }
+
+  /** URL canonicalization chain (lowercase → strip scheme → strip
+    * www. → strip utm_* suffix → strip trailing slash) — factored so
+    * the hot-key stress spec drives the same kernel the query runs. */
+  private[operators] def canonicalUrl(
+      u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(u), "^https?://", ""),
+          "^www\\.", ""),
+        "\\?utm_[a-z_]+=[^&]*$", ""),
+      "/$", "")
+
+  /** URL-chain dedup groups over (doc_id, url): canonical key →
+    * (n_docs, keep_doc). ONE map-side-combinable hash aggregate — a hot
+    * canonical key (a page re-crawled 100k×) collapses to one partial
+    * row per map task, so shuffle volume is O(distinct keys), never
+    * O(rows); the stress spec pins that. */
+  private[operators] def urlDedupGroups(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Salted two-phase per-domain top-K (cap survivors by (n_chars desc,
+    * doc_id)) over (doc_id, source, n_chars). Phase 1 ranks within
+    * (source, salt) so no reducer ever sorts more than domain/salts
+    * rows; phase 2 ranks the ≤ salts·cap survivors. Identical rows to
+    * the naive one-window plan, which is what the oracle (and the
+    * stress spec's equivalence leg) runs. */
+  private[operators] def domainCapKept(
+      docs: org.apache.spark.sql.DataFrame,
+      cap: Int, salts: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("salt", pmod(col("doc_id"), lit(salts)))
+      .withColumn("rs", row_number().over(
+        Window.partitionBy("source", "salt")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rs") <= cap)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .drop("salt", "rs", "rk")
+  }
+
+  /** Word-trigram 60-bit digests per (doc_id, text) — the novelty
+    * kernel: the shuffle carries 8-byte digests, never gram strings,
+    * and per-doc distinct happens map-side in the typed loop. */
+  private[operators] def gramDigests(
+      docs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (ws.length < 3) Iterator.empty
+        else {
+          val set = scala.collection.mutable.HashSet.empty[Long]
+          var i = 0
+          while (i + 2 < ws.length) {
+            val g = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+            val dg = md.digest(g.getBytes("UTF-8"))
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+            set += (h >>> 4)
+            i += 1
+          }
+          set.iterator.map(h => (id, h))
+        }
+      }
+    }.toDF("doc_id", "g")
+  }
+
+  /** First-occurrence novelty aggregation over (doc_id, g) digests:
+    * per-doc gram count, novel count (this doc is the gram's min
+    * doc_id), and novelty ppm. min-per-gram and the count join are
+    * both map-side combinable; a gram in 100k docs contributes O(df)
+    * join rows — linear, never pairwise. */
+  private[operators] def noveltyFromGrams(
+      grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 div n_grams"))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------- token counting
@@ -988,31 +1119,7 @@ object TextAnalysis extends QueryPack {
     // broadcast row. At 100 TB the corpus scan streams map-side and the
     // shuffles carry only matched postings and (doc, len) pairs.
     "q_text_bm25" -> GraftQuery(
-      run = (s, d) => {
-        val docs = Tables.documents(s, d)
-        val words = docs.select(col("doc_id"),
-          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
-        val terms = Seq("spark", "join", "hash")
-        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val posts = words.filter(col("w").isInCollection(terms))
-        val tf = posts.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = posts.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          expr("(1000 * sum(dl)) div count(1)").as("avgdl_milli"))
-        tf.join(broadcast(df), "w").join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf_micro", expr("(1000000L * n_docs) div df"))
-          .withColumn("len_norm_milli",
-            expr("250L + (750L * ((dl * 1000000L) div avgdl_milli)) div 1000"))
-          .withColumn("tfn_micro",
-            expr("(tf * 2200L * 1000000L) div " +
-              "(tf * 1000L + (1200L * len_norm_milli) div 1000)"))
-          .withColumn("term_score", expr("(idf_micro * tfn_micro) div 1000000"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("term_score")).as("bm25_micro"))
-          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
-      },
+      run = (s, d) => bm25Top10(s, d),
       oracle = Some("""
         WITH words AS (
           SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -1152,19 +1259,8 @@ object TextAnalysis extends QueryPack {
             'example.com/', substr(md5(substr(text, 1, 64)), 1, 12),
             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
             CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed' ELSE '' END)""")
-        Tables.documents(s, d)
-          .select(col("doc_id"), url.as("url"))
-          .withColumn("canon",
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(lower(col("url")), "^https?://", ""),
-                  "^www\\.", ""),
-                "\\?utm_[a-z_]+=[^&]*$", ""),
-              "/$", ""))
-          .groupBy("canon")
-          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
-          .filter(col("n_docs") >= 2)
+        urlDedupGroups(
+          Tables.documents(s, d).select(col("doc_id"), url.as("url")))
           .orderBy("canon")
       },
       oracle = Some("""
@@ -1207,22 +1303,11 @@ object TextAnalysis extends QueryPack {
     // naive plan, which is what the oracle runs.
     "q_text_domain_caps" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val cap = 10
         val salts = 16
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val phase1 = docs
-          .withColumn("salt", pmod(col("doc_id"), lit(salts)))
-          .withColumn("rs", row_number().over(
-            Window.partitionBy("source", "salt")
-              .orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rs") <= cap)
-        val kept = phase1
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("source")
-              .orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rk") <= cap)
+        val kept = domainCapKept(docs, cap, salts)
         docs.groupBy("source")
           .agg(count(lit(1)).as("n_total"),
             sum(col("n_chars")).as("chars_total"))
@@ -1272,38 +1357,9 @@ object TextAnalysis extends QueryPack {
     "q_text_novelty" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions { it =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            it.flatMap { case (id, text) =>
-              val ws = text.split(" ").filter(_.nonEmpty)
-              if (ws.length < 3) Iterator.empty
-              else {
-                val set = scala.collection.mutable.HashSet.empty[Long]
-                var i = 0
-                while (i + 2 < ws.length) {
-                  val g = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
-                  val dg = md.digest(g.getBytes("UTF-8"))
-                  var h = 0L
-                  var b = 0
-                  while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
-                  set += (h >>> 4)
-                  i += 1
-                }
-                set.iterator.map(h => (id, h))
-              }
-            }
-          }
-          .toDF("doc_id", "g")
-        val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-        grams.join(first, Seq("g"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .withColumn("novelty_ppm",
-            expr("n_novel * 1000000 div n_grams"))
+        noveltyFromGrams(gramDigests(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text")).as[(Long, String)]))
           .orderBy("doc_id")
       },
       oracle = Some("""

@@ -87,12 +87,49 @@ class TensorizerSpec extends AnyFunSuite {
       p("2", 347, 2.01, 11, 400, 1), p("2", 348, 2.06, 22, 500, 2),
       p("2", 349, 2.07, 22, 800, 1), p("2", 350, 2.08, 33, 600, 2))
 
-    // NOTE: the infrequent-point filter (max cycles ≥ 5) would erase this
-    // toy slice, as it would the reference's disabled golden; the pure
-    // partition/binning/pivot semantics are asserted via a tensorize run
-    // with the filter threshold effectively disabled below.
+    // At the production threshold (max cycles ≥ 5) this toy slice is
+    // erased entirely — as it would be in the reference (its own
+    // remove_infrequent_points would drop every partition, which is why
+    // the reference test stayed disabled).
     val result = Tensorizer.tensorize("0.00", 0, rows.iterator, mzTolPpm = 40.0)
     assert(result == Left(Tensorizer.TooFewPoints))
+
+    // The golden arrays themselves, asserted verbatim with the filter
+    // disabled (minPointsPerSample = 1): exact expected m/z indices and
+    // the 2×2×8 NaN-patterned tensor. Two conventions differ from the
+    // reference text, neither changing a value: labels carry 4 decimals
+    // (the engine's pyFormat convention; the reference test passed
+    // mz_decimals=10), and the sample axis is SORTED by file name
+    // ("1" then "2"), where the reference's glob order happened to list
+    // file=2 first — its expected_tensor[0] is our sample 1, row for
+    // row.
+    val st = Tensorizer
+      .tensorize("0.00", 0, rows.iterator, 40.0, minPointsPerSample = 1)
+      .getOrElse(fail("tensorize failed on the toy golden"))
+
+    assert(st.samples == Seq("1", "2"))
+    assert(st.n_samples == 2 && st.n_cycles == 2 && st.n_mz == 8)
+    // expected_mz_indices, generate_slice_tensor.py:341-348
+    assert(st.mz_indices == Seq(
+      "10.0000_ms1", "11.0000_ms1", "22.0000_ms1", "30.0000_ms1",
+      "20.0000_ms2", "22.0000_ms2", "30.0000_ms2", "33.0000_ms2"))
+
+    // expected_tensor, generate_slice_tensor.py:350-355 (reference
+    // rows: file=2 block first; here file=1 first by sorted samples)
+    val n = Float.NaN
+    val expected: Array[Array[Array[Float]]] = Array(
+      Array( // sample "1"
+        Array(100f, n, n, n, 200f, n, n, n),
+        Array(n, n, n, 300f, n, n, 333f, n)),
+      Array( // sample "2"
+        Array(n, 400f, n, n, n, 500f, n, n),
+        Array(n, n, 800f, n, n, n, n, 600f)))
+    for (s <- 0 until 2; c <- 0 until 2; m <- 0 until 8) {
+      val exp = expected(s)(c)(m)
+      val got = st(s, c, m)
+      assert((exp.isNaN && got.isNaN) || exp == got,
+        s"tensor[$s][$c][$m]: expected $exp, got $got")
+    }
   }
 
   test("tensorize end-to-end on a slice that survives the frequency filter") {

@@ -30,14 +30,23 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     spark.sparkContext.getPersistentRDDs shouldBe empty
   }
 
-  test("graph queries leave no persisted RDDs behind") {
+  test("graph queries release working caches; only the shared edge store stays") {
     assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    // The co-purchase edge list is a session-lifetime stage store
+    // (deliberately persisted once per (session, dataset) and shared by
+    // 4 queries), so exactly ONE persisted RDD may remain — and it must
+    // be the SAME one across queries: growth here means a per-query
+    // working cache (degrees, adjacency, frontiers) leaked.
+    var store: Set[Int] = Set.empty
     Seq("q_graph_pagerank", "q_graph_triangles", "q_graph_bfs",
       "q_graph_label_prop", "q_graph_jaccard_links")
       .foreach { q =>
         withClue(q) {
           SparkEntry.queries(q)(spark, sf).count() should be >= 0L
-          spark.sparkContext.getPersistentRDDs shouldBe empty
+          val persisted = spark.sparkContext.getPersistentRDDs.keySet.toSet
+          persisted.size should be <= 1
+          if (store.isEmpty) store = persisted
+          else if (persisted.nonEmpty) persisted shouldBe store
         }
       }
   }

@@ -95,6 +95,104 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     m.shuffleWrite should be < (1L << 20)
   }
 
+  test("domainCapKept: salted two-phase equals naive top-K on a 100×-hot domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 10
+    val salts = 16
+    // one domain with 100·cap docs + one small domain
+    val hot = (0L until (cap * 100L)).map(i =>
+      (i, "hotdomain", (i * 37 % 5000).toInt))
+    val small = (10000L until 10005L).map(i =>
+      (i, "smalldomain", (i % 100).toInt))
+    val docs = (hot ++ small).toDF("doc_id", "source", "n_chars")
+
+    val kept = TextAnalysis.domainCapKept(docs, cap, salts)
+    // equivalence: identical rows to the naive one-window plan
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= cap).drop("rk")
+    kept.select("doc_id").as[Long].collect().sorted shouldBe
+      naive.select("doc_id").as[Long].collect().sorted
+    // the salting must actually be IN the plan: phase 1's window keys
+    // (source, salt), so no reducer ever sorts more than domain/salts
+    // rows — removing the salt column makes this fail before any
+    // at-scale run would
+    val plan = kept.queryExecution.optimizedPlan.toString
+    plan should include("salt")
+  }
+
+  test("urlDedupGroups: a 100×-hot canonical URL collapses map-side") {
+    import spark.implicits._
+    val hotN = 50000L
+    // hotN raw variants of ONE page (scheme/www/utm drift) + two rare
+    // re-crawl pairs + a singleton (must not appear: n_docs < 2).
+    // Born distributed via range — a local-Seq + repartition input
+    // would charge its own shuffle to the meter.
+    val hot = spark.range(hotN)
+      .select(col("id").as("doc_id"),
+        concat(
+          expr("CASE id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' " +
+            "ELSE 'HTTPS://' END"),
+          expr("CASE WHEN id % 2 = 0 THEN 'www.' ELSE '' END"),
+          lit("example.com/hotpage"),
+          expr("CASE WHEN id % 2 = 1 THEN '?utm_source=feed' ELSE '' END"))
+          .as("url"))
+    val rare = Seq(
+      (100000L, "https://example.com/rare1"),
+      (100001L, "http://www.example.com/rare1/"),
+      (100002L, "https://example.com/solo")).toDF("doc_id", "url")
+    val docs = hot.unionByName(rare)
+
+    var groups: Array[(String, Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      groups = TextAnalysis.urlDedupGroups(docs)
+        .select("canon", "n_docs", "keep_doc")
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+    }
+    groups shouldBe Array(
+      ("example.com/hotpage", hotN, 0L),
+      ("example.com/rare1", 2L, 100000L))
+    // ONE map-side-combinable hash aggregate: each task ships at most
+    // one partial row per distinct canonical key, so the 50k-row hot
+    // key crosses the wire as ~4 partial rows, not 50k canon strings
+    // (~2 MB). A non-combinable rewrite (window/collect) breaks this.
+    m.shuffleWrite should be < (64L << 10)
+  }
+
+  test("noveltyFromGrams: a gram in every doc stays linear and digest-sized") {
+    import spark.implicits._
+    val nDocs = 20000L
+    // every doc shares the trigram "alpha beta gamma" and carries
+    // doc-unique tail words — the Zipf-head gram at 100× any cap
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma u"), col("id"),
+          lit(" v"), col("id"), lit(" w"), col("id")).as("text"))
+      .as[(Long, String)]
+
+    var rows: Array[(Long, Long, Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      rows = TextAnalysis.noveltyFromGrams(TextAnalysis.gramDigests(docs))
+        .select("doc_id", "n_grams", "n_novel", "novelty_ppm")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    }
+    rows.length shouldBe nDocs
+    // 6 words → 4 trigrams; the shared head gram is novel only for the
+    // smallest doc_id, the 3 doc-unique grams always are
+    rows.foreach { case (id, nGrams, nNovel, ppm) =>
+      nGrams shouldBe 4L
+      nNovel shouldBe (if (id == 0L) 4L else 3L)
+      ppm shouldBe (if (id == 0L) 1000000L else 750000L)
+    }
+    // the hot gram contributes O(n_docs) 8-byte digest rows — linear,
+    // never pairwise (df² would be 4·10⁸ rows), and the shuffle
+    // carries digests, not gram strings
+    m.shuffleWrite should be < (16L << 20)
+  }
+
   test("pair emission is bounded by cap² per bucket, not df²") {
     import spark.implicits._
     // every bucket exactly at the cap: emission = buckets · cap·(cap−1)/2
