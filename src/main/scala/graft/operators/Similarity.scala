@@ -1720,13 +1720,16 @@ object Similarity extends QueryPack {
                  FROM dots JOIN nrm na ON na.vec_id = 0
                            JOIN nrm nb ON nb.vec_id = n_id
                  ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id LIMIT 8),
+        -- restrict to the 8 candidates BEFORE the pairwise join: filtering
+        -- inside the join's WHERE leaves the planner free to build the
+        -- full n²·dim element join first (observed OOM at sf0.1); this
+        -- form pairs 8 vectors, not the corpus
+        uc AS (SELECT * FROM u WHERE vec_id IN (SELECT n_id FROM cand)),
         sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
                         sum(a.x*b.x)/(na.nrm*nb.nrm) AS sim
-                 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 FROM uc a JOIN uc b ON a.i = b.i AND a.vec_id <> b.vec_id
                  JOIN nrm na ON na.vec_id = a.vec_id
                  JOIN nrm nb ON nb.vec_id = b.vec_id
-                 WHERE a.vec_id IN (SELECT n_id FROM cand)
-                   AND b.vec_id IN (SELECT n_id FROM cand)
                  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
         s1 AS (SELECT n_id, rel, CAST(0 AS DOUBLE) AS penalty,
                       0.7*rel AS mmr_score, 1 AS step

@@ -223,6 +223,102 @@ object TextAnalysis extends QueryPack {
         expr("n_novel * 1000000 div n_grams"))
   }
 
+  // ------------------------------------------------------------------
+  // BPE oracle generation. The trainer is greedy-sequential (merge k's
+  // pair counts depend on merge k−1), which long kept it rows-only —
+  // but each merge APPLICATION is expressible with window functions:
+  // for l ≠ r adjacent occurrences can never overlap (an overlap at
+  // i, i+1 would force r = l), so every occurrence merges; for l = r
+  // the left-to-right scan merges at even relative offsets within each
+  // maximal same-symbol run (gaps-and-islands + parity). So the WHOLE
+  // 8-merge session unrolls into 8 chained CTE stages — pair count →
+  // argmax with the (count desc, l, r) tie-break → windowed apply —
+  // and both BPE queries become hash-checked.
+  private val BpeK = 8
+
+  private def bpeStage(k: Int): String = s"""
+  occ$k AS (
+    SELECT w, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+    FROM syms${k - 1}),
+  best$k AS (
+    SELECT sym AS l, nxt AS r, sum(freq) AS cnt
+    FROM occ$k WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+  brk$k AS (
+    SELECT o.w, o.freq, o.pos, o.sym, b.l, b.r, b.cnt,
+           CASE WHEN o.sym = b.l AND o.nxt IS NOT DISTINCT FROM b.r
+                THEN 1 ELSE 0 END AS occ,
+           CASE WHEN lag(o.sym) OVER (PARTITION BY o.w ORDER BY o.pos)
+                     IS DISTINCT FROM o.sym THEN 1 ELSE 0 END AS brk
+    FROM occ$k o CROSS JOIN best$k b),
+  run$k AS (
+    SELECT *, sum(brk) OVER (PARTITION BY w ORDER BY pos) AS run_id
+    FROM brk$k),
+  rel$k AS (
+    SELECT *, row_number() OVER (PARTITION BY w, run_id ORDER BY pos) - 1
+                AS rel
+    FROM run$k),
+  ms$k AS (
+    SELECT *, CASE WHEN occ = 1 AND (l <> r OR rel % 2 = 0)
+                   THEN 1 ELSE 0 END AS mstart
+    FROM rel$k),
+  cons$k AS (
+    SELECT *, coalesce(lag(mstart) OVER (PARTITION BY w ORDER BY pos), 0)
+                AS consumed
+    FROM ms$k),
+  syms$k AS (
+    SELECT w, freq,
+           row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+           CASE WHEN mstart = 1 THEN l || r ELSE sym END AS sym
+    FROM cons$k WHERE consumed = 0)"""
+
+  private val bpeBaseCte = """
+  words AS (
+    SELECT w, count(*) AS freq FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents)
+    GROUP BY w),
+  syms0 AS (
+    SELECT w, freq, i - 1 AS pos, substr(w, i, 1) AS sym
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) t)"""
+
+  private val bpeStagesCte = (1 to BpeK).map(bpeStage).mkString(",")
+
+  private val bpeTrainOracle: String =
+    "WITH" + bpeBaseCte + "," + bpeStagesCte + ",\n  merges AS (" +
+      (1 to BpeK).map(k =>
+        s"""SELECT $k AS merge_rank, l AS "left", r AS "right",
+            cnt AS pair_count FROM best$k""").mkString(" UNION ALL ") +
+      """)
+SELECT CAST(merge_rank AS INT) AS merge_rank, "left", "right",
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM merges ORDER BY merge_rank"""
+
+  private val bpeEncodeOracle: String =
+    "WITH" + bpeBaseCte + "," + bpeStagesCte + s""",
+  fin AS (SELECT w, count(*) AS n_tok FROM syms$BpeK GROUP BY w),
+  occw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents),
+  perdoc AS (
+    SELECT o.doc_id,
+           CAST(sum(length(o.w)) AS BIGINT) AS chars_in,
+           CAST(sum(f.n_tok) AS BIGINT) AS tokens_out
+    FROM occw o JOIN fin f ON f.w = o.w
+    GROUP BY o.doc_id)
+SELECT d.doc_id,
+       coalesce(p.chars_in, 0) AS chars_in,
+       coalesce(p.tokens_out, 0) AS tokens_out,
+       CASE WHEN coalesce(p.chars_in, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round_even(10000.0 * p.tokens_out / p.chars_in, 0)
+                 / 10000.0
+       END AS compression
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------- token counting
@@ -1153,21 +1249,27 @@ object TextAnalysis extends QueryPack {
     // sequentially-greedy, so no SQL oracle (golden spec instead).
     "q_text_bpe_train" -> GraftQuery(
       run = (s, d) => {
-        val m = BpeTrainer.trainCached(s, d, Tables.documents(s, d), 8)
+        val m = BpeTrainer.trainCached(s, d, Tables.documents(s, d), BpeK)
         s.createDataFrame(m).orderBy("merge_rank")
-      }),
+      },
+      // ORACLED (was rows-only): the 8-stage windowed unroll — see
+      // bpeStage's overlap argument for why each greedy apply step is
+      // relational
+      oracle = Some(bpeTrainOracle)),
 
     // ------------------------- BPE encoding with the learned merges
     // train → collect the k-row merge table → apply map-side across
-    // the corpus; reports per-document compression. Rows-only (the
-    // merge table is the sequential trainer's output); the encode
-    // kernel itself is golden-tested in BpeTrainerSpec.
+    // the corpus; reports per-document compression. ORACLED: the
+    // oracle re-learns the merges with the same 8-stage unroll, counts
+    // final tokens per VOCAB word, and joins back to per-doc word
+    // occurrences (compression re-rounded half-even on both engines).
     "q_text_bpe_encode" -> GraftQuery(
       run = (s, d) => {
-        val merges = BpeTrainer.trainCached(s, d, Tables.documents(s, d), 8)
+        val merges = BpeTrainer.trainCached(s, d, Tables.documents(s, d), BpeK)
           .map(m => (m.left, m.right))
         BpeTrainer.encode(s, Tables.documents(s, d), merges)
-      }),
+      },
+      oracle = Some(bpeEncodeOracle)),
 
     // --------------------------------------- content-defined chunking
     // Rabin-style content-defined chunk boundaries (the storage-dedup /

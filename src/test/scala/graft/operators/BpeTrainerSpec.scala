@@ -69,6 +69,70 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       Seq("ab", "ab")
   }
 
+  test("windowed apply model (the DuckDB oracle's rule) equals mergeSeq") {
+    // The BPE oracle unrolls each greedy merge application into window
+    // functions: for l ≠ r every adjacent occurrence merges (overlap
+    // would force r = l); for l = r the left-to-right scan merges at
+    // EVEN relative offsets within each maximal same-symbol run. This
+    // model must equal the sequential kernel on every input — the whole
+    // soundness argument of the q_text_bpe_* oracles, checked here by
+    // exhaustive enumeration over a small alphabet (covers runs,
+    // alternations, and boundary cases far past any hand-picked list).
+    def windowedModel(sym: Array[String], l: String, r: String): Seq[String] = {
+      val n = sym.length
+      // islands: run id per position over equal consecutive symbols
+      val runId = new Array[Int](n)
+      for (i <- 1 until n)
+        runId(i) = if (sym(i) == sym(i - 1)) runId(i - 1) else runId(i - 1) + 1
+      val rel = new Array[Int](n)
+      for (i <- 1 until n)
+        rel(i) = if (runId(i) == runId(i - 1)) rel(i - 1) + 1 else 0
+      val mstart = Array.tabulate(n) { i =>
+        i + 1 < n && sym(i) == l && sym(i + 1) == r &&
+          (l != r || rel(i) % 2 == 0)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < n) {
+        if (mstart(i)) { out += (l + r); i += 2 } // consumed = lag(mstart)
+        else { out += sym(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val alphabet = Seq("a", "b")
+    def seqs(len: Int): Seq[List[String]] =
+      if (len == 0) Seq(Nil)
+      else for (s <- seqs(len - 1); c <- alphabet) yield c :: s
+    for {
+      len <- 0 to 7
+      s <- seqs(len)
+      l <- alphabet
+      r <- alphabet
+    } {
+      val arr = s.toArray
+      withClue(s"seq=$s merge=($l,$r): ") {
+        windowedModel(arr, l, r) shouldBe
+          BpeTrainer.mergeSeq(arr, l, r).toSeq
+      }
+    }
+    // multi-char merged symbols (later ranks): runs of "ab" etc.
+    val syms2 = Seq("ab", "a", "b")
+    def seqs2(len: Int): Seq[List[String]] =
+      if (len == 0) Seq(Nil)
+      else for (s <- seqs2(len - 1); c <- syms2) yield c :: s
+    for {
+      s <- seqs2(5)
+      l <- syms2
+      r <- syms2
+    } {
+      val arr = s.toArray
+      withClue(s"seq=$s merge=($l,$r): ") {
+        windowedModel(arr, l, r) shouldBe
+          BpeTrainer.mergeSeq(arr, l, r).toSeq
+      }
+    }
+  }
+
   test("encode reports the compression the learned merges buy") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaaa"), (2L, "xy"))

@@ -193,6 +193,26 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     m.shuffleWrite should be < (16L << 20)
   }
 
+  test("no real band bucket approaches the star-edge cap at test scale") {
+    import spark.implicits._
+    // The LSH oracles (lsh_eval, lsh_sweep) emit the FULL clique per
+    // band bucket while the Spark side degrades buckets above
+    // MaxBandBucket to star edges — a documented asymmetry that is
+    // sound only while no real bucket reaches the cap. Pin that
+    // precondition on the actual corpus: if the data ever grows a
+    // mega-bucket, this fails before the oracle silently diverges.
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val maxBucket = Dedup.minhashBandRows(
+        Dedup.shingleSets(docs).as[(Long, Seq[String])])
+      .toDF("doc_id", "band", "key")
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    maxBucket should be < (Dedup.MaxBandBucket / 10L)
+  }
+
   test("pair emission is bounded by cap² per bucket, not df²") {
     import spark.implicits._
     // every bucket exactly at the cap: emission = buckets · cap·(cap−1)/2

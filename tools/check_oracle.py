@@ -7,13 +7,18 @@ schema (column names), row count, and values (sorted by all columns,
 exact match; floats compared both exactly and with 1e-9 reltol to
 separate "hash would mismatch" from "genuinely wrong").
 
-Usage: check_oracle.py OUTDIR SFDIR
+Usage: check_oracle.py OUTDIR SFDIR [--json PARITY_OUT]
+
+With --json, also writes a machine-readable parity record:
+{"sf": ..., "n_oracled": N, "n_match": M, "fails": [...], "warns": [...]}
+— the artifact the sf0.1 parity sweep commits per round.
 """
 import json, sys, math
 import duckdb
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+json_out = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -29,20 +34,21 @@ def canon(df):
     return df
 
 fails = 0
+fail_names, warn_names = [], []
 for name, sql in sorted(oracle.items()):
     try:
         got = pd.read_parquet(f"{outdir}/{name}")
     except Exception as e:
-        print(f"FAIL {name}: no spark output ({e})"); fails += 1; continue
+        print(f"FAIL {name}: no spark output ({e})"); fails += 1; fail_names.append(name); continue
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; fail_names.append(name); continue
     if sorted(got.columns) != sorted(exp.columns):
         print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
-        fails += 1; continue
+        fails += 1; fail_names.append(name); continue
     if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; fail_names.append(name); continue
     g, e = canon(got), canon(exp)
     exact = True
     for c in g.columns:
@@ -73,6 +79,7 @@ for name, sql in sorted(oracle.items()):
                     i = bad.idxmax()
                     print(f"WARN {name}: {c} close-but-not-exact "
                           f"e.g. {gv[i]!r} vs {ev[i]!r}")
+                    warn_names.append(name)
                 else:
                     i = (~close).idxmax()
                     print(f"FAIL {name}: {c} differs e.g. {gv[i]!r} vs {ev[i]!r}")
@@ -87,6 +94,12 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name} ({len(got)} rows)")
     else:
         fails += 1
+        fail_names.append(name)
 
 print(f"\n{len(oracle) - fails}/{len(oracle)} oracled queries match")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf": sfdir, "n_oracled": len(oracle),
+                   "n_match": len(oracle) - fails,
+                   "fails": fail_names, "warns": warn_names}, f, indent=1)
 sys.exit(1 if fails else 0)
