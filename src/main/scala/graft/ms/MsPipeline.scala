@@ -151,12 +151,24 @@ object MsPipeline extends QueryPack {
   private val fixtureDone =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** The fixture is SELF-SELECTING across scale factors: each export
+    * lands in a per-size subdirectory and stamps every row with the
+    * source lineitem count, and the oracle filters the glob on
+    * `n_lineitem = (SELECT count(*) FROM lineitem)` — so dumps checked
+    * at one sf can never silently read a fixture written at another
+    * (runs at different sf write different subdirs and don't clobber
+    * each other). */
   private def ensureRelationalFixture(s: SparkSession, d: String): Unit =
     fixtureDone.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      peakCounts(s, d).toDF().coalesce(1)
-        .write.mode("overwrite").parquet(s"$FixtureDir/peak_counts")
-      Indexing.stackedSampleModes(s, models(s, d)).coalesce(1)
-        .write.mode("overwrite").parquet(s"$FixtureDir/sample_modes_raw")
+      val nLine = Tables.lineitem(s, d).count()
+      peakCounts(s, d).toDF()
+        .withColumn("n_lineitem", lit(nLine)).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$FixtureDir/peak_counts/sf_$nLine")
+      Indexing.stackedSampleModes(s, models(s, d))
+        .withColumn("n_lineitem", lit(nLine)).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$FixtureDir/sample_modes_raw/sf_$nLine")
       true
     })
 
@@ -188,7 +200,8 @@ object MsPipeline extends QueryPack {
         pc AS (SELECT CAST(round(CAST(swath_key AS DOUBLE) * 100) AS BIGINT)
                         AS swath_start,
                       rt_window, ncomp, comp_num, npeaks
-               FROM read_parquet('$FixtureDir/peak_counts/*.parquet')),
+               FROM read_parquet('$FixtureDir/peak_counts/*/*.parquet')
+               WHERE n_lineitem = (SELECT count(*) FROM lineitem)),
         frac AS (SELECT (s.swath_rank * $nRtWindows + p.rt_window) * $nF
                           + (p.ncomp - $fMin) AS model_id,
                         p.swath_start, p.rt_window, p.ncomp,
@@ -211,7 +224,8 @@ object MsPipeline extends QueryPack {
                        CAST(abundance AS DOUBLE) AS abundance,
                        CAST(round(CAST(swath_key AS DOUBLE) * 100) AS BIGINT)
                          AS swath_start
-                FROM read_parquet('$FixtureDir/sample_modes_raw/*.parquet')),
+                FROM read_parquet('$FixtureDir/sample_modes_raw/*/*.parquet')
+                WHERE n_lineitem = (SELECT count(*) FROM lineitem)),
         bk AS (SELECT DISTINCT swath_start, rt_window, ncomp FROM best),
         smb AS (SELECT smr.* FROM smr
                 JOIN bk USING (swath_start, rt_window, ncomp))"""
