@@ -92,14 +92,14 @@ object Dedup extends QueryPack {
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.Dataset[(Long, Seq[String])]]
 
-  private def shinglesCached(s: SparkSession, d: String): DataFrame =
+  private[operators] def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleRowCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
       val r = shingles(s, d).persist()
       r.count() // materialize before multi-branch consumers race it
       r
     })
 
-  private def shingleSetsCached(
+  private[operators] def shingleSetsCached(
       s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[(Long, Seq[String])] = {
     import s.implicits._

@@ -534,8 +534,7 @@ object Multimodal extends QueryPack {
       run = (s, d) => {
         import s.implicits._
         val bands = graft.operators.Dedup.minhashBandRows(
-            graft.operators.Dedup.shingleSets(Tables.documents(s, d))
-              .as[(Long, Seq[String])])
+            graft.operators.Dedup.shingleSetsCached(s, d))
           .toDF("doc_id", "band", "key")
         val textPairs = graft.operators.Dedup.bandPairs(bands)
           .withColumn("in_text", lit(1L))

@@ -933,9 +933,7 @@ ORDER BY d.doc_id"""
       run = (s, d) => {
         import s.implicits._
         val m = gopherMetrics(s, d)
-        val bands = Dedup.minhashBandRows(
-            Dedup.shingleSets(Tables.documents(s, d))
-              .as[(Long, Seq[String])])
+        val bands = Dedup.minhashBandRows(Dedup.shingleSetsCached(s, d))
           .toDF("doc_id", "band", "key")
         val gm = bands.groupBy("band", "key")
           .agg(min(col("doc_id")).as("m"))

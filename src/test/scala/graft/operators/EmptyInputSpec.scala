@@ -76,7 +76,13 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_graph_label_prop", "q_sim_mmr", "q_mm_interleave",
     "q_scale_curriculum", "q_graph_jaccard_links",
     "q_text_length_buckets", "q_scale_rendezvous", "q_scale_group_split",
-    "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete", "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct")
+    "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete",
+    "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct",
+    // r6: the oracle-fixture exporters (must write an EMPTY fixture,
+    // not die in modelIndex/bestModels on a zero-slice chain) and the
+    // BPE pair (zero-word corpus → zero merges → empty encode)
+    "q_ms_best_models", "q_ms_sample_modes", "q_ms_spectra_abundance",
+    "q_text_bpe_train", "q_text_bpe_encode")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
