@@ -190,6 +190,23 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
 
+  // The verified ≥ 0.5 near-dup pair set over the full corpus is read
+  // by five queries (ngram_jaccard, lsh_eval, lsh_sweep, cluster,
+  // keep_list) and each paid the posting-list pair kernel again. The
+  // result is Zipf-small (hundreds of rows at test scale, bounded by
+  // real duplication at any scale) — the third session stage store,
+  // alongside the shingle and graph-edge caches.
+  private val nearPairCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def jaccardPairsHalfCached(
+      s: SparkSession, d: String): DataFrame =
+    nearPairCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val r = jaccardPairs(s, shinglesCached(s, d), 0.5).persist()
+      r.count()
+      r
+    })
+
   /** DuckDB mirror of the stop-shingle removal: the capped shingle
     * stream `shc` feeds ns/common in the capped-Jaccard oracles. */
   private val cappedShinglesCte = s"""
@@ -740,7 +757,7 @@ object Dedup extends QueryPack {
     // pass, no quadratic blow-up on hot shingles.
     "q_dedup_ngram_jaccard" -> GraftQuery(
       run = (s, d) =>
-        jaccardPairs(s, shinglesCached(s, d), 0.5)
+        jaccardPairsHalfCached(s, d)
           .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("d1", "d2"),
       oracle = Some(s"""
@@ -838,7 +855,7 @@ object Dedup extends QueryPack {
     "q_dedup_lsh_eval" -> GraftQuery(
       run = (s, d) => {
         import s.implicits._
-        val truth = jaccardPairs(s, shinglesCached(s, d), 0.5)
+        val truth = jaccardPairsHalfCached(s, d)
           .select(col("d1"), col("d2"))
         val bands = minhashBandRows(
             shingleSetsCached(s, d))
@@ -1030,7 +1047,7 @@ object Dedup extends QueryPack {
     "q_dedup_cluster" -> GraftQuery(
       run = (s, d) =>
         minLabelComponents(
-          jaccardPairs(s, shinglesCached(s, d), 0.5).select(col("d1"), col("d2")))
+          jaccardPairsHalfCached(s, d).select(col("d1"), col("d2")))
           .orderBy("doc_id"),
       oracle = Some(s"""
         WITH RECURSIVE $shinglesCte,
@@ -1215,7 +1232,7 @@ object Dedup extends QueryPack {
         val (urlPairs, urlFlag) = starPairs(
           docs.select(col("doc_id"),
             md5(substring(col("text"), 1, 64)).as("k")))
-        val nearPairs = jaccardPairs(s, shinglesCached(s, d), 0.5)
+        val nearPairs = jaccardPairsHalfCached(s, d)
           .select(col("d1"), col("d2"))
         val nearFlag = nearPairs.select(col("d1").as("doc_id"))
           .unionByName(nearPairs.select(col("d2").as("doc_id")))
@@ -1322,7 +1339,7 @@ object Dedup extends QueryPack {
       run = (s, d) => {
         import s.implicits._
         val cfgs = Seq((8, 2), (4, 4), (2, 8))
-        val truth = jaccardPairs(s, shinglesCached(s, d), 0.5)
+        val truth = jaccardPairsHalfCached(s, d)
           .select(col("d1"), col("d2")).persist()
         val rowsAll = minhashBandRowsSweep(
             shingleSetsCached(s, d),
