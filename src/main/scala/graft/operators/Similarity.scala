@@ -166,6 +166,124 @@ object Similarity extends QueryPack {
                FROM sc JOIN nrm na ON na.vec_id = sc.q_id
                        JOIN nrm nb ON nb.vec_id = sc.n_id)"""
 
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+
+  /** The IVF-PQ index build + top-3 ADC search, materialized to a
+    * local frame with its working caches released — memoized per
+    * (session, dataset); see the q_sim_ivfpq registry comment. */
+  private def ivfpqBuild(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val all = vecs(s, d)
+        def grid(df: org.apache.spark.sql.DataFrame, key: String) =
+          df.select(col(key), posexplode(col("v")).as(Seq("i", "x")))
+            .select(col(key), col("i"),
+              expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+        val uq = grid(all, "vec_id")
+        val cent = grid(all, "label")
+          .groupBy(col("label").as("c_label"), col("i").as("ci"))
+          .agg(expr("sum(xq) div count(1)").as("cq"))
+        val assign = uq.join(broadcast(cent), col("i") === col("ci"))
+          .groupBy(col("vec_id"), col("c_label"))
+          .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+            .as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("d2"), col("c_label"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("list"))
+        // the residual stream feeds four downstream branches (quadrant
+        // codes, codebook means, code selection, and the query tables);
+        // Spark does not common-subexpression-eliminate across joins, so
+        // without a cache the scan→explode→assign subtree runs 4× — the
+        // cache holds (vec, dim) Longs, ~vectors·64·24 B, trivially
+        // executor-resident at any probe-able list size
+        val resid = uq.join(assign, "vec_id")
+          .join(broadcast(cent),
+            col("list") === col("c_label") && col("i") === col("ci"))
+          .select(col("vec_id"), col("list"), col("i"),
+            expr("i div 8").as("sub"), (col("xq") - col("cq")).as("r"))
+          .persist()
+        // codebook keyed by residual QUADRANT (signs of the first two
+        // subspace coordinates): a deterministic one-step clustering
+        // that correlates with residual geometry — an id-keyed grouping
+        // averages each code to ~0 and the codes carry no signal
+        val quad = resid
+          .groupBy("vec_id", "sub")
+          .agg((lit(2) * max(when(expr("i % 8 = 0") && col("r") > 0, 1)
+              .otherwise(0)) +
+            max(when(expr("i % 8 = 1") && col("r") > 0, 1).otherwise(0)))
+            .as("code"))
+        // the codebook feeds two consumers (code selection + the query
+        // ADC tables); it is tiny (lists·subs·codes·dims rows) but its
+        // lineage re-runs the quad groupBy over the full residual stream
+        // — persist the result, not the recompute
+        val cb = resid
+          .join(quad, Seq("vec_id", "sub"))
+          .groupBy("list", "sub", "code", "i")
+          .agg(expr("sum(r) div count(1)").as("cmean"))
+          .persist()
+        val sel = resid.join(broadcast(cb.withColumnRenamed("i", "cbi")),
+            Seq("list", "sub")).filter(col("i") === col("cbi"))
+          .groupBy(col("vec_id"), col("sub"), col("code"))
+          .agg(sum((col("r") - col("cmean")) * (col("r") - col("cmean")))
+            .as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "sub")
+              .orderBy(col("d2"), col("code"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"))
+        val qAssign = assign.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("list").as("probe"))
+        val qs = uq.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "q_id").join(broadcast(qAssign), "q_id")
+        val qc = qs.join(broadcast(cent),
+            col("probe") === col("c_label") && col("i") === col("ci"))
+          .groupBy(col("q_id"), col("probe"))
+          .agg(sum(col("xq") * col("cq")).as("qcdot"))
+        val qtab = qs.join(broadcast(cb.withColumnRenamed("i", "cbi")),
+            col("probe") === col("list") && col("i") === col("cbi"))
+          .groupBy(col("q_id"), col("probe"), col("sub"), col("code"))
+          .agg(sum(col("xq") * col("cmean")).as("t"))
+        val out = sel.join(assign, "vec_id")
+          .join(broadcast(qtab),
+            col("list") === qtab("probe") &&
+              sel("sub") === qtab("sub") && sel("code") === qtab("code") &&
+              col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(sum(col("t")).as("adc"))
+          .join(broadcast(qc.drop("probe")), "q_id")
+          .select(col("q_id"), col("n_id"),
+            (col("qcdot") + col("adc")).as("approx_dot"))
+          // rank by the NORMALIZED score so the approximation targets
+          // the same cosine ordering the brute-force baseline uses (a
+          // raw-dot ranking would conflate norm variation with
+          // quantization loss in the recall measurement); the division
+          // of an exact Long by two exact norms is a single deterministic
+          // FP op — same value in both engines
+          .join(broadcast(all.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))),
+            "q_id")
+          .join(all.select(col("vec_id").as("n_id"),
+            col("nrm").as("n_nrm")), "n_id")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy((col("approx_dot") / (col("q_nrm") * col("n_nrm")))
+                .desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "approx_dot")
+          .orderBy("q_id", "rank")
+        // materialize the ≤ k·queries result rows, then RELEASE both
+        // caches — returning the lazy plan instead would pin resid+cb
+        // in executor storage for the session (every re-invocation,
+        // e.g. by q_sim_ivfpq_recall, stacking another copy)
+        val rows = out.collect()
+        resid.unpersist()
+        cb.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------ brute-force cosine kNN
@@ -596,115 +714,13 @@ object Similarity extends QueryPack {
     // has no FP margin anywhere. Codebook structure: 4 deterministic
     // codes per (list, subspace), membership keyed by vec_id % 4.
     "q_sim_ivfpq" -> GraftQuery(
-      run = (s, d) => {
-        val all = vecs(s, d)
-        def grid(df: org.apache.spark.sql.DataFrame, key: String) =
-          df.select(col(key), posexplode(col("v")).as(Seq("i", "x")))
-            .select(col(key), col("i"),
-              expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
-        val uq = grid(all, "vec_id")
-        val cent = grid(all, "label")
-          .groupBy(col("label").as("c_label"), col("i").as("ci"))
-          .agg(expr("sum(xq) div count(1)").as("cq"))
-        val assign = uq.join(broadcast(cent), col("i") === col("ci"))
-          .groupBy(col("vec_id"), col("c_label"))
-          .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
-            .as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id")
-              .orderBy(col("d2"), col("c_label"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_label").as("list"))
-        // the residual stream feeds four downstream branches (quadrant
-        // codes, codebook means, code selection, and the query tables);
-        // Spark does not common-subexpression-eliminate across joins, so
-        // without a cache the scan→explode→assign subtree runs 4× — the
-        // cache holds (vec, dim) Longs, ~vectors·64·24 B, trivially
-        // executor-resident at any probe-able list size
-        val resid = uq.join(assign, "vec_id")
-          .join(broadcast(cent),
-            col("list") === col("c_label") && col("i") === col("ci"))
-          .select(col("vec_id"), col("list"), col("i"),
-            expr("i div 8").as("sub"), (col("xq") - col("cq")).as("r"))
-          .persist()
-        // codebook keyed by residual QUADRANT (signs of the first two
-        // subspace coordinates): a deterministic one-step clustering
-        // that correlates with residual geometry — an id-keyed grouping
-        // averages each code to ~0 and the codes carry no signal
-        val quad = resid
-          .groupBy("vec_id", "sub")
-          .agg((lit(2) * max(when(expr("i % 8 = 0") && col("r") > 0, 1)
-              .otherwise(0)) +
-            max(when(expr("i % 8 = 1") && col("r") > 0, 1).otherwise(0)))
-            .as("code"))
-        // the codebook feeds two consumers (code selection + the query
-        // ADC tables); it is tiny (lists·subs·codes·dims rows) but its
-        // lineage re-runs the quad groupBy over the full residual stream
-        // — persist the result, not the recompute
-        val cb = resid
-          .join(quad, Seq("vec_id", "sub"))
-          .groupBy("list", "sub", "code", "i")
-          .agg(expr("sum(r) div count(1)").as("cmean"))
-          .persist()
-        val sel = resid.join(broadcast(cb.withColumnRenamed("i", "cbi")),
-            Seq("list", "sub")).filter(col("i") === col("cbi"))
-          .groupBy(col("vec_id"), col("sub"), col("code"))
-          .agg(sum((col("r") - col("cmean")) * (col("r") - col("cmean")))
-            .as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "sub")
-              .orderBy(col("d2"), col("code"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("code"))
-        val qAssign = assign.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("list").as("probe"))
-        val qs = uq.filter(col("vec_id") < 10)
-          .withColumnRenamed("vec_id", "q_id").join(broadcast(qAssign), "q_id")
-        val qc = qs.join(broadcast(cent),
-            col("probe") === col("c_label") && col("i") === col("ci"))
-          .groupBy(col("q_id"), col("probe"))
-          .agg(sum(col("xq") * col("cq")).as("qcdot"))
-        val qtab = qs.join(broadcast(cb.withColumnRenamed("i", "cbi")),
-            col("probe") === col("list") && col("i") === col("cbi"))
-          .groupBy(col("q_id"), col("probe"), col("sub"), col("code"))
-          .agg(sum(col("xq") * col("cmean")).as("t"))
-        val out = sel.join(assign, "vec_id")
-          .join(broadcast(qtab),
-            col("list") === qtab("probe") &&
-              sel("sub") === qtab("sub") && sel("code") === qtab("code") &&
-              col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id").as("n_id"))
-          .agg(sum(col("t")).as("adc"))
-          .join(broadcast(qc.drop("probe")), "q_id")
-          .select(col("q_id"), col("n_id"),
-            (col("qcdot") + col("adc")).as("approx_dot"))
-          // rank by the NORMALIZED score so the approximation targets
-          // the same cosine ordering the brute-force baseline uses (a
-          // raw-dot ranking would conflate norm variation with
-          // quantization loss in the recall measurement); the division
-          // of an exact Long by two exact norms is a single deterministic
-          // FP op — same value in both engines
-          .join(broadcast(all.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))),
-            "q_id")
-          .join(all.select(col("vec_id").as("n_id"),
-            col("nrm").as("n_nrm")), "n_id")
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("q_id")
-              .orderBy((col("approx_dot") / (col("q_nrm") * col("n_nrm")))
-                .desc, col("n_id"))))
-          .filter(col("rank") <= 3)
-          .select("q_id", "rank", "n_id", "approx_dot")
-          .orderBy("q_id", "rank")
-        // materialize the ≤ k·queries result rows, then RELEASE both
-        // caches — returning the lazy plan instead would pin resid+cb
-        // in executor storage for the session (every re-invocation,
-        // e.g. by q_sim_ivfpq_recall, stacking another copy)
-        val rows = out.collect()
-        resid.unpersist()
-        cb.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      },
+      // The materialized top-3 table is the session's INDEX-SEARCH
+      // artifact (≤ 3·queries local rows): q_sim_ivfpq_recall re-invokes
+      // this query to compare against brute force, and without the memo
+      // it paid the whole index build again. Working caches inside the
+      // build are still released per run (CacheHygieneSpec).
+      run = (s, d) => ivfpqCache.getOrElseUpdate(
+        s.sparkContext.applicationId + d, ivfpqBuild(s, d)),
       oracle = Some(s"""
         WITH $unnestCte,
         $ivfpqCtes
