@@ -442,6 +442,45 @@ object Dedup extends QueryPack {
       .distinct()
   }
 
+  /** Snakemake-parity resumable band-index store — the dedup analog of
+    * the ms chain's tensor/model/count stores: band rows persist as
+    * parquet at `storePath`; a resumed run anti-joins the doc set
+    * against the store's doc_ids, bands ONLY the missing documents, and
+    * appends. At 100 TB this is how the signature index actually lives —
+    * materialized once per ingestion batch, never recomputed for the
+    * docs already indexed; each day's work is O(batch). Returns the full
+    * store. */
+  private[operators] def bandIndexResumable(
+      s: SparkSession, docs: DataFrame, storePath: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val todo =
+      if (!fs.exists(p)) docs
+      else {
+        val done = s.read.parquet(storePath).select("doc_id").distinct()
+        docs.join(done, Seq("doc_id"), "left_anti")
+      }
+    minhashBandRows(shingleSets(todo).as[(Long, Seq[String])])
+      .toDF("doc_id", "band", "key")
+      .write.mode("append").parquet(storePath)
+    s.read.parquet(storePath)
+  }
+
+  // Registry wiring for the store: one fresh temp store per (session,
+  // dataset) so the query is deterministic and re-runnable; the RESUME
+  // semantics (second run appends only missing docs) are proven by
+  // DedupResumeSpec against explicit partial stores, the same split as
+  // the ms chain (in-memory caches in the registry, disk stores in the
+  // resumable API + specs).
+  private val bandStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bandStorePath(s: SparkSession, d: String): String =
+    bandStoreCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      java.nio.file.Files
+        .createTempDirectory("graft-band-index").toString + "/store")
+
   /** DuckDB mirror of [[minhashBandRows]] (expects `shingles` in scope —
     * compose with [[docShinglesCte]]). */
   private[graft] val minhashBandsCte = """
@@ -1417,6 +1456,37 @@ object Dedup extends QueryPack {
                     AS BIGINT) AS recall_ppm,
                CAST(CASE WHEN c > 0 THEN h * 1000000 // c ELSE 0 END
                     AS BIGINT) AS precision_ppm
-        FROM sel ORDER BY config"""))
+        FROM sel ORDER BY config""")),
+
+    // ------------------------------ durable band-index store (resume)
+    // The signature index as an ON-DISK artifact: band rows append to a
+    // parquet store via [[bandIndexResumable]] (anti-join resume — only
+    // un-indexed docs are ever banded), and the query reports the
+    // per-band index profile (rows, distinct keys, largest bucket) —
+    // the table an operator reads before choosing nprobe/cap settings.
+    // The oracle recomputes the same profile from documents; equality
+    // proves the store holds exactly the full corpus banding, however
+    // many increments built it.
+    "q_dedup_index_store" -> GraftQuery(
+      run = (s, d) => {
+        val store = bandIndexResumable(s,
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          bandStorePath(s, d))
+        store.groupBy("band", "key").agg(count(lit(1)).as("c"))
+          .groupBy("band")
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_bucket"))
+          .orderBy("band")
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $minhashBandsCte,
+        b2 AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
+        SELECT CAST(band AS INT) AS band,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_bucket
+        FROM b2 GROUP BY band ORDER BY band"""))
   )
 }
