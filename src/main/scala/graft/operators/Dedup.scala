@@ -450,7 +450,7 @@ object Dedup extends QueryPack {
     * materialized once per ingestion batch, never recomputed for the
     * docs already indexed; each day's work is O(batch). Returns the full
     * store. */
-  private[operators] def bandIndexResumable(
+  private[graft] def bandIndexResumable(
       s: SparkSession, docs: DataFrame, storePath: String): DataFrame = {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(storePath)

@@ -225,6 +225,48 @@ object DocStreams extends QueryPack {
                mm.match_id
         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 4) d
         LEFT JOIN mm ON mm.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // --------------------- streaming maintenance of the durable index
+    // The band-index store (q_dedup_index_store's on-disk artifact)
+    // maintained FROM A STREAM: each micro-batch runs the same
+    // anti-join-resume upsert via foreachBatch, so re-delivered or
+    // replayed documents are banded exactly once — the at-least-once
+    // file source composes with the idempotent store into effectively-
+    // once index maintenance. Replayed over the static table, the store
+    // must equal a from-scratch banding: the oracle is the SAME per-band
+    // profile q_dedup_index_store verifies, proving batch and streaming
+    // maintenance converge on one artifact.
+    "q_stream_index_upsert" -> GraftQuery(
+      run = (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-stream-band-index").toString + "/store"
+        val docs = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select(col("doc_id"), col("text"))
+        val q = docs.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Dedup.bandIndexResumable(s, batch, store): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(store)
+          .groupBy("band", "key").agg(count(lit(1)).as("c"))
+          .groupBy("band")
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_bucket"))
+          .orderBy("band")
+      },
+      oracle = Some(s"""
+        WITH ${Dedup.docShinglesCte},
+        ${Dedup.minhashBandsCte},
+        b2 AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
+        SELECT CAST(band AS INT) AS band,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_bucket
+        FROM b2 GROUP BY band ORDER BY band"""))
   )
 }

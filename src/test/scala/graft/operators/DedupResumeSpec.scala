@@ -47,6 +47,43 @@ class DedupResumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Dedup.bandIndexResumable(spark, docs(10), store).count() shouldBe 10L * 4
   }
 
+  test("streaming upsert across MULTIPLE micro-batches converges on the same store") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // two parquet files + maxFilesPerTrigger=1 → two micro-batches; an
+    // overlapping doc (id 2 in both files) exercises the idempotence
+    // leg: at-least-once delivery + anti-join resume = banded once
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-resume").toString
+    docs(3).write.parquet(s"$dir/land/f1.parquet")
+    docs(6).filter(col("doc_id") >= 2)
+      .write.parquet(s"$dir/land/f2.parquet")
+    val store = s"$dir/store"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      // the landing "files" are parquet DIRECTORIES (write.parquet
+      // output); the file source lists only top-level files without this
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/land")
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.bandIndexResumable(spark, b, store): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val viaStream = spark.read.parquet(store)
+      .select("doc_id", "band", "key")
+      .as[(Long, Int, String)].collect().sorted
+    val direct = Dedup.minhashBandRows(
+        Dedup.shingleSets(docs(6)).as[(Long, Seq[String])])
+      .collect().sorted
+    viaStream shouldBe direct
+  }
+
   test("the store equals a from-scratch banding regardless of increments") {
     import spark.implicits._
     val store = java.nio.file.Files
