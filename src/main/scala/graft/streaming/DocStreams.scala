@@ -251,7 +251,20 @@ object DocStreams extends QueryPack {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.read.parquet(store)
+        // a zero-file (or zero-row) source may fire no batch at all, so
+        // the store was never created — an empty corpus is an empty
+        // profile, not a read error
+        val p = new org.apache.hadoop.fs.Path(store)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val rows =
+          if (!fs.exists(p))
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType),
+                StructField("band", IntegerType),
+                StructField("key", StringType))))
+          else s.read.parquet(store)
+        rows
           .groupBy("band", "key").agg(count(lit(1)).as("c"))
           .groupBy("band")
           .agg(sum(col("c")).as("n_rows"),

@@ -82,7 +82,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // not die in modelIndex/bestModels on a zero-slice chain) and the
     // BPE pair (zero-word corpus → zero merges → empty encode)
     "q_ms_best_models", "q_ms_sample_modes", "q_ms_spectra_abundance",
-    "q_text_bpe_train", "q_text_bpe_encode")
+    "q_text_bpe_train", "q_text_bpe_encode",
+    // the durable band-index stores: a zero-row corpus must still
+    // CREATE the store (an append of an empty frame), not die reading
+    // a never-written path
+    "q_dedup_index_store")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
@@ -101,7 +105,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // exist (and be empty), not throw
     Seq("q_stream_tumbling", "q_stream_sessionize",
       "q_stream_static_join", "q_stream_outer_join",
-      "q_stream_admission", "q_stream_video_admission").foreach { q =>
+      "q_stream_admission", "q_stream_video_admission",
+      "q_stream_index_upsert").foreach { q =>
       withClue(q) {
         noException should be thrownBy
           SparkEntry.queries(q)(spark, emptyDir).count()
