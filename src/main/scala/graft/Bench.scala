@@ -83,7 +83,10 @@ object Bench {
     // would hide it exactly like the ms chain's
     val cacheBuilders = (n: String) =>
       n.startsWith("q_ms_") || n.startsWith("q_text_bpe_") ||
-        n == "q_dedup_cluster" || n == "q_graph_bfs" ||
+        n == "q_dedup_cluster" || // builds the shingle-row + near-pair caches
+        n == "q_dedup_lsh_eval" || // builds the shingle-SET cache
+        n == "q_dedup_index_store" || // first pass writes the band store
+        n == "q_graph_bfs" || // builds the co-purchase edge cache
         n == "q_sim_ivfpq" // memoized index build: a rerun hits the memo
     val rerun = firstPass.filterNot(p => cacheBuilders(p._1) || p._2 < 0)
       .sortBy(-_._2).take(10).map(_._1).toSet

@@ -160,15 +160,23 @@ object MsPipeline extends QueryPack {
     * each other). */
   private def ensureRelationalFixture(s: SparkSession, d: String): Unit =
     fixtureDone.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val nLine = Tables.lineitem(s, d).count()
+      // count AND content checksum: two datasets with equal row counts
+      // (a regenerated corpus, a different seed) must not cross-read
+      // each other's fixture through the count filter alone
+      val idRow = Tables.lineitem(s, d)
+        .agg(count(lit(1)), sum(col("l_orderkey") % 1000000007L)).head()
+      val nLine = idRow.getLong(0)
+      val liSum = idRow.getLong(1)
       peakCounts(s, d).toDF()
-        .withColumn("n_lineitem", lit(nLine)).coalesce(1)
+        .withColumn("n_lineitem", lit(nLine))
+        .withColumn("li_checksum", lit(liSum)).coalesce(1)
         .write.mode("overwrite")
-        .parquet(s"$FixtureDir/peak_counts/sf_$nLine")
+        .parquet(s"$FixtureDir/peak_counts/sf_${nLine}_$liSum")
       Indexing.stackedSampleModes(s, models(s, d))
-        .withColumn("n_lineitem", lit(nLine)).coalesce(1)
+        .withColumn("n_lineitem", lit(nLine))
+        .withColumn("li_checksum", lit(liSum)).coalesce(1)
         .write.mode("overwrite")
-        .parquet(s"$FixtureDir/sample_modes_raw/sf_$nLine")
+        .parquet(s"$FixtureDir/sample_modes_raw/sf_${nLine}_$liSum")
       true
     })
 
@@ -201,7 +209,9 @@ object MsPipeline extends QueryPack {
                         AS swath_start,
                       rt_window, ncomp, comp_num, npeaks
                FROM read_parquet('$FixtureDir/peak_counts/*/*.parquet')
-               WHERE n_lineitem = (SELECT count(*) FROM lineitem)),
+               WHERE n_lineitem = (SELECT count(*) FROM lineitem)
+                 AND li_checksum = (SELECT sum(l_orderkey % 1000000007)
+                                    FROM lineitem)),
         frac AS (SELECT (s.swath_rank * $nRtWindows + p.rt_window) * $nF
                           + (p.ncomp - $fMin) AS model_id,
                         p.swath_start, p.rt_window, p.ncomp,
@@ -225,7 +235,9 @@ object MsPipeline extends QueryPack {
                        CAST(round(CAST(swath_key AS DOUBLE) * 100) AS BIGINT)
                          AS swath_start
                 FROM read_parquet('$FixtureDir/sample_modes_raw/*/*.parquet')
-                WHERE n_lineitem = (SELECT count(*) FROM lineitem)),
+                WHERE n_lineitem = (SELECT count(*) FROM lineitem)
+                  AND li_checksum = (SELECT sum(l_orderkey % 1000000007)
+                                     FROM lineitem)),
         bk AS (SELECT DISTINCT swath_start, rt_window, ncomp FROM best),
         smb AS (SELECT smr.* FROM smr
                 JOIN bk USING (swath_start, rt_window, ncomp))"""

@@ -375,6 +375,12 @@ object Dedup extends QueryPack {
       cfgs: Seq[(Int, Int)])
       : org.apache.spark.sql.Dataset[(Long, String, Int, String)] = {
     import docs.sparkSession.implicits._
+    // fail fast on the driver at plan construction, not per document
+    // inside the executor-side kernel
+    cfgs.foreach { case (b, r) =>
+      require(b * r == 16, s"sweep config ${b}x$r must use the " +
+        "full 16-seed signature (b*r = 16)")
+    }
     docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, dsh) =>
@@ -393,8 +399,6 @@ object Dedup extends QueryPack {
             }
           }
           cfgs.iterator.flatMap { case (b, r) =>
-            require(b * r == 16, s"sweep config ${b}x$r must use the " +
-              "full 16-seed signature (b*r = 16)")
             (0 until b).iterator.map { j =>
               (id, s"${b}x$r", j,
                 (0 until r).map(k => mins(r * j + k)).mkString(","))
@@ -455,17 +459,44 @@ object Dedup extends QueryPack {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val todo =
+    val fresh =
       if (!fs.exists(p)) docs
       else {
         val done = s.read.parquet(storePath).select("doc_id").distinct()
         docs.join(done, Seq("doc_id"), "left_anti")
       }
+    // WITHIN-batch dedup too: a re-delivered file landing next to the
+    // original before the trigger fires puts the same doc in one batch
+    // twice; the store anti-join can't see that, and a double-banded doc
+    // would corrupt the profile permanently
+    val todo = fresh.dropDuplicates("doc_id")
     minhashBandRows(shingleSets(todo).as[(Long, Seq[String])])
       .toDF("doc_id", "band", "key")
       .write.mode("append").parquet(storePath)
     s.read.parquet(storePath)
   }
+
+  /** The per-band index profile (rows, distinct keys, largest bucket)
+    * over band rows — ONE implementation consumed by both the batch
+    * store query and the streaming upsert, so the "batch and streaming
+    * converge on one artifact" claim stays enforced by construction. */
+  private[graft] def bandIndexProfile(store: DataFrame): DataFrame =
+    store.groupBy("band", "key").agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_bucket"))
+      .orderBy("band")
+
+  /** DuckDB mirror of [[bandIndexProfile]] (composes after `bands` from
+    * [[minhashBandsCte]]) — shared by the same two oracles. */
+  private[graft] val bandIndexProfileSql = """
+        b2 AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
+        SELECT CAST(band AS INT) AS band,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_bucket
+        FROM b2 GROUP BY band ORDER BY band"""
 
   // Registry wiring for the store: one fresh temp store per (session,
   // dataset) so the query is deterministic and re-runnable; the RESUME
@@ -1468,25 +1499,13 @@ object Dedup extends QueryPack {
     // proves the store holds exactly the full corpus banding, however
     // many increments built it.
     "q_dedup_index_store" -> GraftQuery(
-      run = (s, d) => {
-        val store = bandIndexResumable(s,
+      run = (s, d) => bandIndexProfile(
+        bandIndexResumable(s,
           Tables.documents(s, d).select(col("doc_id"), col("text")),
-          bandStorePath(s, d))
-        store.groupBy("band", "key").agg(count(lit(1)).as("c"))
-          .groupBy("band")
-          .agg(sum(col("c")).as("n_rows"),
-            count(lit(1)).as("n_keys"),
-            max(col("c")).as("max_bucket"))
-          .orderBy("band")
-      },
+          bandStorePath(s, d))),
       oracle = Some(s"""
         WITH $shinglesCte,
         $minhashBandsCte,
-        b2 AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
-        SELECT CAST(band AS INT) AS band,
-               CAST(sum(c) AS BIGINT) AS n_rows,
-               CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(max(c) AS BIGINT) AS max_bucket
-        FROM b2 GROUP BY band ORDER BY band"""))
+        $bandIndexProfileSql"""))
   )
 }

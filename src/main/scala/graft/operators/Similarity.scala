@@ -173,7 +173,7 @@ object Similarity extends QueryPack {
   /** The IVF-PQ index build + top-3 ADC search, materialized to a
     * local frame with its working caches released — memoized per
     * (session, dataset); see the q_sim_ivfpq registry comment. */
-  private def ivfpqBuild(
+  private[operators] def ivfpqBuild(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val all = vecs(s, d)
         def grid(df: org.apache.spark.sql.DataFrame, key: String) =

@@ -246,12 +246,17 @@ object TextAnalysis extends QueryPack {
     FROM occ$k WHERE nxt IS NOT NULL
     GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
   brk$k AS (
+    -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
+    -- merges before rank $k, best$k is EMPTY and a cross join would
+    -- wipe every symbol row (emptying the whole vocabulary downstream);
+    -- with null l/r the occ predicate is never true and syms$k passes
+    -- through unchanged — matching the trainer's early-stop
     SELECT o.w, o.freq, o.pos, o.sym, b.l, b.r, b.cnt,
            CASE WHEN o.sym = b.l AND o.nxt IS NOT DISTINCT FROM b.r
                 THEN 1 ELSE 0 END AS occ,
            CASE WHEN lag(o.sym) OVER (PARTITION BY o.w ORDER BY o.pos)
                      IS DISTINCT FROM o.sym THEN 1 ELSE 0 END AS brk
-    FROM occ$k o CROSS JOIN best$k b),
+    FROM occ$k o LEFT JOIN best$k b ON TRUE),
   run$k AS (
     SELECT *, sum(brk) OVER (PARTITION BY w ORDER BY pos) AS run_id
     FROM brk$k),

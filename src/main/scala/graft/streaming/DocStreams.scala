@@ -264,22 +264,11 @@ object DocStreams extends QueryPack {
                 StructField("band", IntegerType),
                 StructField("key", StringType))))
           else s.read.parquet(store)
-        rows
-          .groupBy("band", "key").agg(count(lit(1)).as("c"))
-          .groupBy("band")
-          .agg(sum(col("c")).as("n_rows"),
-            count(lit(1)).as("n_keys"),
-            max(col("c")).as("max_bucket"))
-          .orderBy("band")
+        Dedup.bandIndexProfile(rows)
       },
       oracle = Some(s"""
         WITH ${Dedup.docShinglesCte},
         ${Dedup.minhashBandsCte},
-        b2 AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
-        SELECT CAST(band AS INT) AS band,
-               CAST(sum(c) AS BIGINT) AS n_rows,
-               CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(max(c) AS BIGINT) AS max_bucket
-        FROM b2 GROUP BY band ORDER BY band"""))
+        ${Dedup.bandIndexProfileSql}"""))
   )
 }

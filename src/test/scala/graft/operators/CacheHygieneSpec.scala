@@ -24,8 +24,11 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
 
   test("q_sim_ivfpq leaves no persisted RDDs behind") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
-    val r1 = SparkEntry.queries("q_sim_ivfpq")(spark, sf).count()
-    val r2 = SparkEntry.queries("q_sim_ivfpq")(spark, sf).count()
+    // drive the BUILD directly, twice — the registry entry memoizes its
+    // result per session, so invoking the query twice would compare the
+    // memo to itself and never exercise repeat-build hygiene
+    val r1 = Similarity.ivfpqBuild(spark, sf).count()
+    val r2 = Similarity.ivfpqBuild(spark, sf).count()
     r1 shouldBe r2
     spark.sparkContext.getPersistentRDDs shouldBe empty
   }

@@ -47,6 +47,20 @@ class DedupResumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Dedup.bandIndexResumable(spark, docs(10), store).count() shouldBe 10L * 4
   }
 
+  test("a document duplicated WITHIN one increment is banded exactly once") {
+    // the store anti-join can't see intra-batch duplicates (a
+    // re-delivered file landing next to the original before the
+    // trigger); the kernel must dedup the batch itself or the store is
+    // permanently corrupted
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-band-dupbatch").toString + "/store"
+    val withDup = docs(4).unionByName(docs(4).filter(col("doc_id") === 2))
+    val s1 = Dedup.bandIndexResumable(spark, withDup, store)
+    s1.count() shouldBe 4L * 4
+    s1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 4).count() shouldBe 0L
+  }
+
   test("streaming upsert across MULTIPLE micro-batches converges on the same store") {
     import spark.implicits._
     import org.apache.spark.sql.types._

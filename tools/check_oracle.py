@@ -18,7 +18,12 @@ import duckdb
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
-json_out = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
+json_out = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    if i + 1 >= len(sys.argv):
+        sys.exit("--json requires an output path")
+    json_out = sys.argv[i + 1]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -79,7 +84,8 @@ for name, sql in sorted(oracle.items()):
                     i = bad.idxmax()
                     print(f"WARN {name}: {c} close-but-not-exact "
                           f"e.g. {gv[i]!r} vs {ev[i]!r}")
-                    warn_names.append(name)
+                    if name not in warn_names:
+                        warn_names.append(name)
                 else:
                     i = (~close).idxmax()
                     print(f"FAIL {name}: {c} differs e.g. {gv[i]!r} vs {ev[i]!r}")
