@@ -164,7 +164,10 @@ object MsPipeline extends QueryPack {
       // (a regenerated corpus, a different seed) must not cross-read
       // each other's fixture through the count filter alone
       val idRow = Tables.lineitem(s, d)
-        .agg(count(lit(1)), sum(col("l_orderkey") % 1000000007L)).head()
+        .agg(count(lit(1)),
+          // coalesce: sum over an EMPTY table is null (the zero-row
+          // robustness shape EmptyInputSpec drives)
+          coalesce(sum(col("l_orderkey") % 1000000007L), lit(0L))).head()
       val nLine = idRow.getLong(0)
       val liSum = idRow.getLong(1)
       peakCounts(s, d).toDF()
