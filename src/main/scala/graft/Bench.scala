@@ -86,6 +86,7 @@ object Bench {
         n == "q_dedup_cluster" || // builds the shingle-row + near-pair caches
         n == "q_dedup_lsh_eval" || // builds the shingle-SET cache
         n == "q_dedup_index_store" || // first pass writes the band store
+        n == "q_sim_index_store" || // first pass writes the IVF store
         n == "q_graph_bfs" || // builds the co-purchase edge cache
         n == "q_sim_ivfpq" // memoized index build: a rerun hits the memo
     val rerun = firstPass.filterNot(p => cacheBuilders(p._1) || p._2 < 0)

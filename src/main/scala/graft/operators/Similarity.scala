@@ -170,6 +170,71 @@ object Similarity extends QueryPack {
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.DataFrame]
 
+  // ------------------------------------------------------------------
+  // Durable IVF-assignment store — the vector-index twin of the dedup
+  // pack's band-index store: (vec_id, list) assignments persist as
+  // append-mode parquet with anti-join resume, so indexing a new
+  // embedding batch is O(batch), never a rebuild. Centroids are the
+  // integer-grid label means over the FULL corpus (the same
+  // deterministic quantizer q_sim_ivfpq uses), so the assignment is
+  // increment-independent: however many batches built the store, it
+  // equals a from-scratch assignment — which is exactly what the
+  // oracle recomputes.
+  private val ivfStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfStorePath(s: SparkSession, d: String): String =
+    ivfStoreCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString + "/store")
+
+  /** Resumable assignment upsert: anti-join against the store's
+    * vec_ids (plus WITHIN-batch dedup — a re-delivered vector must not
+    * be assigned twice), assign only the missing vectors to their
+    * nearest integer-grid centroid (L2 on the 1e-6 grid, ties to the
+    * smaller label), append, return the full store. `allVecs` supplies
+    * the centroid basis and must be the full corpus; `batch` is the
+    * increment to index. */
+  private[operators] def ivfAssignResumable(
+      s: SparkSession, allVecs: DataFrame, batch: DataFrame,
+      storePath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(p)) batch
+      else batch.join(
+        s.read.parquet(storePath).select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val todo = fresh.dropDuplicates("vec_id")
+    def grid(df: DataFrame, key: String) =
+      df.select(col(key), posexplode(col("v")).as(Seq("i", "x")))
+        .select(col(key), col("i"),
+          expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("xq"))
+    val cent = grid(allVecs, "label")
+      .groupBy(col("label").as("c_label"), col("i").as("ci"))
+      .agg(expr("sum(xq) div count(1)").as("cq"))
+    grid(todo, "vec_id").join(broadcast(cent), col("i") === col("ci"))
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+        .as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("list"))
+      .write.mode("append").parquet(storePath)
+    s.read.parquet(storePath)
+  }
+
+  /** Per-list index profile over store rows (vec_id, list) — the
+    * index-health table an operator reads before sizing nprobe. */
+  private[operators] def ivfIndexProfile(store: DataFrame): DataFrame =
+    store.groupBy("list")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy("list")
+
   /** The IVF-PQ index build + top-3 ADC search, materialized to a
     * local frame with its working caches released — memoized per
     * (session, dataset); see the q_sim_ivfpq registry comment. */
@@ -1143,6 +1208,42 @@ object Similarity extends QueryPack {
                  AS needs_rebalance
         FROM old LEFT JOIN arr ON arr.c_label = old.c_label
         ORDER BY list""")),
+
+    // ---------------------------- durable IVF-assignment store (resume)
+    // The vector index as an ON-DISK artifact: q_sim_ivf_incremental
+    // measures the in-plan O(batch) admission math; this persists the
+    // assignments through [[ivfAssignResumable]] — the query itself
+    // indexes the corpus in TWO increments (the 80% "existing" corpus,
+    // then everything) through one store, and the oracle's from-scratch
+    // assignment must equal the result, proving increment-independence
+    // on every run. Output = the per-list index-health profile.
+    "q_sim_index_store" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+        val store = ivfStorePath(s, d)
+        ivfAssignResumable(s, all,
+          all.filter(col("vec_id") % 5 =!= 4), store)
+        ivfIndexProfile(ivfAssignResumable(s, all, all, store))
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        xq AS (SELECT vec_id, i, floor(x * 1000000.0 + 0.5)::BIGINT AS xq
+               FROM u),
+        cent AS (SELECT label AS c_label, i,
+                        sum(floor(x * 1000000.0 + 0.5)::BIGINT) // count(*)
+                          AS cq
+                 FROM u GROUP BY label, i),
+        asg AS (SELECT vec_id, c_label AS list FROM (
+                  SELECT xq.vec_id, cent.c_label,
+                         row_number() OVER (PARTITION BY xq.vec_id
+                           ORDER BY sum((xq.xq - cent.cq)*(xq.xq - cent.cq)),
+                                    cent.c_label) AS rn
+                  FROM xq JOIN cent ON cent.i = xq.i
+                  GROUP BY xq.vec_id, cent.c_label) WHERE rn = 1)
+        SELECT list, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(vec_id) AS BIGINT) AS min_vec,
+               CAST(max(vec_id) AS BIGINT) AS max_vec
+        FROM asg GROUP BY list ORDER BY list""")),
 
     // ------------------------------------- measured rank quality (MRR/NDCG)
     // Beyond set-overlap recall: POSITION-aware retrieval quality of the

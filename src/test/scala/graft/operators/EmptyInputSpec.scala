@@ -86,7 +86,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // the durable band-index stores: a zero-row corpus must still
     // CREATE the store (an append of an empty frame), not die reading
     // a never-written path
-    "q_dedup_index_store")
+    "q_dedup_index_store", "q_sim_index_store")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
