@@ -163,4 +163,17 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     w should be > 0L
     w should be < textBytes / 2
   }
+
+  test("the band-index store build shuffles band keys, never shingles or text") {
+    assume(haveData)
+    // the build path is map-side end-to-end (shingle kernel → minhash →
+    // banding → parquet append); the only exchanges are the resume
+    // anti-join's doc_id probe and the profile's (band, key) aggregate —
+    // 4 band-key rows (~40-char signatures) per doc, which at the test
+    // corpus' short documents is the same order as the text itself.
+    // The bound excludes the failure modes: the raw shingle stream is
+    // ~3× text volume and document bodies more again.
+    val w = shuffleWrite("q_dedup_index_store")
+    w should be < textBytes
+  }
 }
