@@ -509,8 +509,8 @@ object Dedup extends QueryPack {
 
   private def bandStorePath(s: SparkSession, d: String): String =
     bandStoreCache.getOrElseUpdate(s.sparkContext.applicationId + d,
-      java.nio.file.Files
-        .createTempDirectory("graft-band-index").toString + "/store")
+      graft.sparkutil.TempStores.scratchDir("graft-band-index")
+        + "/store")
 
   /** DuckDB mirror of [[minhashBandRows]] (expects `shingles` in scope —
     * compose with [[docShinglesCte]]). */

@@ -185,8 +185,8 @@ object Similarity extends QueryPack {
 
   private def ivfStorePath(s: SparkSession, d: String): String =
     ivfStoreCache.getOrElseUpdate(s.sparkContext.applicationId + d,
-      java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString + "/store")
+      graft.sparkutil.TempStores.scratchDir("graft-ivf-index")
+        + "/store")
 
   /** Resumable assignment upsert: anti-join against the store's
     * vec_ids (plus WITHIN-batch dedup — a re-delivered vector must not

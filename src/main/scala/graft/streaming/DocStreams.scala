@@ -239,8 +239,8 @@ object DocStreams extends QueryPack {
     // maintenance converge on one artifact.
     "q_stream_index_upsert" -> GraftQuery(
       run = (s, d) => {
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-stream-band-index").toString + "/store"
+        val store = graft.sparkutil.TempStores
+          .scratchDir("graft-stream-band-index") + "/store"
         val docs = s.readStream.schema(docSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .select(col("doc_id"), col("text"))
