@@ -1439,6 +1439,91 @@ object Similarity extends QueryPack {
                   LEFT JOIN ih ON ih.q_id = base.q_id
         ORDER BY base.q_id""")),
 
+    // ------------------------------- Matryoshka truncation recall audit
+    // Matryoshka-style embeddings are consumed at a PREFIX of their full
+    // dimension (serve at 16/32 dims, rerank at 64) — the audit that
+    // justifies the truncation is exact top-k recall of each prefix
+    // against the full-dim ranking. One broadcast of the 10 query
+    // vectors against one corpus scan computes all three rankings:
+    // graft_cosine folds over min(len(a), len(b)) elements, so slicing
+    // ONLY the broadcast side to 16/32 dims yields the prefix cosine
+    // (prefix dot over prefix norms of BOTH sides) without copying or
+    // re-normalizing the corpus arrays — at 100 TB the corpus column is
+    // read once and never materialized in truncated form. Hit counts
+    // are integers, so the oracle compare is an exact hash match.
+    "q_sim_matryoshka" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        val q = broadcast(all.filter(col("vec_id") < 10))
+        val scored = q.as("q")
+          .join(all.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosExpr.as("cos64"),
+            expr("graft_cosine(slice(q.v, 1, 32), c.v)").as("cos32"),
+            expr("graft_cosine(slice(q.v, 1, 16), c.v)").as("cos16"))
+        def top(c: String): DataFrame = scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col(c).desc, col("n_id"))))
+          .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+        val full = top("cos64")
+        val base = full.groupBy("q_id").agg(count(lit(1)).as("brute_k"))
+        def hits(c: String, as: String): DataFrame =
+          full.join(top(c), Seq("q_id", "n_id"))
+            .groupBy("q_id").agg(count(lit(1)).as(as))
+        base.join(hits("cos32", "mrl32_hits"), Seq("q_id"), "left")
+          .join(hits("cos16", "mrl16_hits"), Seq("q_id"), "left")
+          .select(col("q_id"), col("brute_k"),
+            coalesce(col("mrl32_hits"), lit(0L)).as("mrl32_hits"),
+            coalesce(col("mrl16_hits"), lit(0L)).as("mrl16_hits"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        n32 AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM u
+                WHERE i <= 32 GROUP BY vec_id),
+        n16 AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM u
+                WHERE i <= 16 GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                        sum(a.x*b.x) AS dot,
+                        sum(CASE WHEN a.i <= 32 THEN a.x*b.x ELSE 0 END)
+                          AS dot32,
+                        sum(CASE WHEN a.i <= 16 THEN a.x*b.x ELSE 0 END)
+                          AS dot16
+                 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+        t64 AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        t32 AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot32/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN n32 na ON na.vec_id = q_id
+                    JOIN n32 nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        t16 AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot16/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN n16 na ON na.vec_id = q_id
+                    JOIN n16 nb ON nb.vec_id = n_id)
+          WHERE rank <= 3),
+        base AS (SELECT q_id, count(*) AS brute_k FROM t64 GROUP BY q_id),
+        h32 AS (SELECT b.q_id AS q_id, count(*) AS mrl32_hits FROM t64 b
+                JOIN t32 t ON t.q_id = b.q_id AND t.n_id = b.n_id
+                GROUP BY 1),
+        h16 AS (SELECT b.q_id AS q_id, count(*) AS mrl16_hits FROM t64 b
+                JOIN t16 t ON t.q_id = b.q_id AND t.n_id = b.n_id
+                GROUP BY 1)
+        SELECT base.q_id, brute_k,
+               coalesce(mrl32_hits, 0) AS mrl32_hits,
+               coalesce(mrl16_hits, 0) AS mrl16_hits
+        FROM base LEFT JOIN h32 ON h32.q_id = base.q_id
+                  LEFT JOIN h16 ON h16.q_id = base.q_id
+        ORDER BY base.q_id""")),
+
     // --------------------------------------- Lloyd k-means (2 iterations)
     // Distributed k-means over the quantized embeddings — the clustering
     // primitive under SemDeDup-style corpus curation (q_dedup_semantic

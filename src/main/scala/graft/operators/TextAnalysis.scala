@@ -353,6 +353,51 @@ ORDER BY d.doc_id"""
                  AS chars_per_token
         FROM documents ORDER BY doc_id""")),
 
+    // ------------------------------- Tokenizer fertility audit (per lang)
+    // The tokenizer-efficiency table a pretraining run is budgeted from:
+    // fertility (BPE tokens per whitespace word) and bytes per token, per
+    // language — the numbers that decide whether a tokenizer under-serves
+    // a language (high fertility → fewer effective tokens per byte of
+    // corpus budget). One narrow projection (lang + three counters per
+    // doc) feeding one hash aggregate keyed by lang: partials combine
+    // map-side, only |langs| rows ever shuffle, and the parquet scan
+    // prunes to (lang, text). Ratios are integer fixed-point (ppm / ppk
+    // via floor-div on the summed counters), so the oracle compare is an
+    // exact hash match with no FP tolerance.
+    "q_text_fertility" -> GraftQuery(
+      run = (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(filter(split(col("text"), " "), w => w =!= ""))
+              .cast("long").as("ws"),
+            size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+              .cast("long").as("bpe"),
+            octet_length(col("text")).cast("long").as("b"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("ws").as("words"),
+            sum("bpe").as("tokens"), sum("b").as("bytes"))
+          .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
+            col("bytes"),
+            expr("tokens * 1000000 div words").as("fertility_ppm"),
+            expr("bytes * 1000 div tokens").as("bytes_per_token_ppk"))
+          .orderBy("lang"),
+      oracle = Some(s"""
+        WITH t AS (SELECT lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                     AS ws,
+                   len(regexp_extract_all(text, '$bpeRegex')) AS bpe,
+                   octet_length(encode(text)) AS b
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS words,
+               CAST(sum(bpe) AS BIGINT) AS tokens,
+               CAST(sum(b) AS BIGINT) AS bytes,
+               CAST(sum(bpe) * 1000000 // sum(ws) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(sum(b) * 1000 // sum(bpe) AS BIGINT)
+                 AS bytes_per_token_ppk
+        FROM t GROUP BY lang ORDER BY lang""")),
+
     // ------------------------------------------------------ quality scoring
     "q_text_quality" -> GraftQuery(
       run = (s, d) =>

@@ -62,7 +62,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_graph_label_prop", "q_sim_mmr", "q_mm_interleave",
     "q_scale_curriculum", "q_graph_jaccard_links",
     "q_text_length_buckets", "q_scale_rendezvous",
-    "q_scale_group_split", "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete", "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct")
+    "q_scale_group_split", "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete", "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct",
+    "q_sim_matryoshka", "q_text_fertility")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -86,7 +86,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // the durable band-index stores: a zero-row corpus must still
     // CREATE the store (an append of an empty frame), not die reading
     // a never-written path
-    "q_dedup_index_store", "q_sim_index_store")
+    "q_dedup_index_store", "q_sim_index_store",
+    // r6b: prefix-cosine rank audit (empty corpus → zero rankings) and
+    // the per-lang fertility aggregate (empty group-by → zero rows, the
+    // floor-div ratios must never see a zero denominator)
+    "q_sim_matryoshka", "q_text_fertility")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
