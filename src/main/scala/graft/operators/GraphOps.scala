@@ -337,6 +337,61 @@ object GraphOps extends QueryPack {
     (out, Seq(deg)) // e is the session-shared edge cache
   }
 
+  /** k-core peel threshold. Sits just below the co-purchase graph's
+    * median degree (~115 at sf0.01, ~119 at sf0.1) so the peel
+    * cascades non-trivially at both test scales: round 1 drops the
+    * sub-median tail, the survivors' degrees collapse, rounds 2–3
+    * peel the rest (sf0.01 reaches the empty fixpoint by round 3;
+    * sf0.1 retains a ~1k-node 100-core). */
+  private val KcoreK = 100L
+  private val KcoreRounds = 3
+
+  /** Lazy fixed-round k-core peel plan + its caches. `k` is a
+    * parameter so specs can drive the cascade on hand-built graphs
+    * whose degrees sit far below the registry threshold. */
+  private[operators] def kcorePlan(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Long = KcoreK)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val e0 = coPurchaseEdgesCached(s, d)
+    var e = e0
+    val caches = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    // round 0 = the unpeeled graph (node count from the degree view)
+    var rows = e.select(col("u").as("x"))
+      .unionByName(e.select(col("v").as("x"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    (1 to KcoreRounds).foreach { r =>
+      // one degree aggregate (map-side combinable) + one semi-join per
+      // end, all keyed on node id — the identical two-shuffle round at
+      // any graph size. keep is |V|-sized, never data-scale.
+      val keep = e.select(col("u").as("x"))
+        .unionByName(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select("x")
+        .persist()
+      keep.count() // read 3× below (two semi-joins + the count row)
+      // persist each round's survivor edges or round r recomputes
+      // round r−1 in both its degree branch and its count branch
+      val next = e
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist()
+      next.count()
+      caches += keep += next
+      rows = rows.unionByName(
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"),
+            col("n_edges")))
+      e = next
+    }
+    (rows.orderBy("round"), caches.result())
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- weighted PageRank
@@ -581,6 +636,49 @@ object GraphOps extends QueryPack {
           SELECT *, row_number() OVER (PARTITION BY qn
                       ORDER BY jaccard_ppm DESC, cn) AS rank
           FROM scored)
-        WHERE rank <= 3 ORDER BY qn, rank"""))
+        WHERE rank <= 3 ORDER BY qn, rank""")),
+
+    // ------------------------------------ fixed-round k-core peeling
+    // The graph-curation primitive (keep only densely-connected
+    // entities — spam/fringe removal before ranking): repeatedly drop
+    // nodes of degree < k and the edges touching them. Fixed
+    // KcoreRounds synchronous rounds keep both engines aligned the
+    // same way the PageRank/BFS/LPA unrolls do — the round-R
+    // truncation IS the semantics, and the output row for the last
+    // round shows whether the fixpoint was reached (n_nodes stable)
+    // or the peel was budget-cut. Each round costs one map-side-
+    // combinable degree aggregate plus two semi-joins, all keyed on
+    // node id; no step materializes anything bigger than the
+    // surviving edge list, so the plan survives any graph size.
+    "q_graph_kcore" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = kcorePlan(s, d)
+        materializeAndRelease(s, out, caches)
+      },
+      oracle = Some {
+        def peel(prevE: String, r: Int) = s"""
+        k$r AS (SELECT x FROM (
+                  SELECT x, count(*) AS dg FROM (
+                    SELECT u AS x FROM $prevE
+                    UNION ALL SELECT v FROM $prevE) GROUP BY x)
+                WHERE dg >= $KcoreK),
+        e$r AS (SELECT $prevE.u, $prevE.v FROM $prevE
+                JOIN k$r a ON a.x = $prevE.u
+                JOIN k$r b ON b.x = $prevE.v)"""
+        s"""
+        WITH $coPurchaseCte,
+        ${(1 to KcoreRounds.toInt).map(r => peel(s"e${r - 1}", r))
+          .mkString(",")}
+        SELECT CAST(0 AS BIGINT) AS round,
+               (SELECT count(DISTINCT x) FROM
+                 (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))
+                 AS n_nodes,
+               (SELECT count(*) FROM e0) AS n_edges
+        ${(1 to KcoreRounds.toInt).map(r => s"""
+        UNION ALL SELECT $r,
+               (SELECT count(*) FROM k$r),
+               (SELECT count(*) FROM e$r)""").mkString}
+        ORDER BY round"""
+      })
   )
 }

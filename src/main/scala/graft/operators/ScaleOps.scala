@@ -171,6 +171,60 @@ object ScaleOps extends QueryPack {
                CAST(sum(version) AS BIGINT) AS n_updated
         FROM merged GROUP BY event_type ORDER BY event_type""")),
 
+    // ---------------------- incremental materialized-view maintenance
+    // The aggregate-level sibling of row-level upsert: a stored
+    // monthly-revenue view is maintained by MERGING its partial
+    // aggregates with the partial aggregates of an arriving delta
+    // batch (orders from 1997 on), never rescanning the base. sum and
+    // count are algebraic, so merge = group-by-sum over the union of
+    // partials; avg is derived at read time from the maintained pair
+    // (the classic reason views store (sum, count), not avg). The
+    // oracle is the FULL recompute — equality is the correctness
+    // contract of incremental maintenance itself. Revenue lives on a
+    // 1e4 integer grid (one FP product per row, summed as BIGINT), so
+    // the merged and recomputed sums are bit-identical regardless of
+    // summation order. At 100 TB: the base aggregate is |groups| rows
+    // (compact, stored), the delta scan reads only the new
+    // partitions' bytes, and the merge is one map-side-combinable
+    // shuffle of two |groups|-sized inputs.
+    "q_scale_mv_maintain" -> GraftQuery(
+      run = (s, d) => {
+        val revMicro = expr(
+          "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0" +
+            " + 0.5) AS BIGINT)")
+        def partials(df: org.apache.spark.sql.DataFrame) = df
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            col("o_orderpriority"), revMicro.as("rev"))
+          .groupBy("ym", "o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev")).as("revenue_micro"))
+        val fact = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+        val cut = "DATE '1997-01-01'"
+        val baseView = partials(fact.filter(expr(s"o_orderdate < $cut")))
+        val deltaAgg = partials(fact.filter(expr(s"o_orderdate >= $cut")))
+        baseView.unionByName(deltaAgg)
+          .groupBy("ym", "o_orderpriority")
+          .agg(sum(col("n_items")).as("n_items"),
+            sum(col("revenue_micro")).as("revenue_micro"))
+          .select(col("ym"), col("o_orderpriority"), col("n_items"),
+            col("revenue_micro"),
+            expr("revenue_micro div n_items").as("avg_item_micro"))
+          .orderBy("ym", "o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 10000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_micro,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 10000.0 + 0.5) AS BIGINT))
+                    // count(*) AS BIGINT) AS avg_item_micro
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
+
     // --------------------------------------------- partition pruning
     // The other scan-elimination pattern: data laid out partitioned by a
     // filter column means a selective query READS only matching

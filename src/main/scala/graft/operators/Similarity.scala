@@ -641,6 +641,95 @@ object Similarity extends QueryPack {
         SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // --------------------------------- binary (sign) quantization ANN
+    // The compression tier below PQ: each 64-dim vector keeps ONE sign
+    // bit per coordinate — 8 bytes instead of 256 (f32), a 32×
+    // reduction — packed into two 32-bit words held in Longs. Stage 1
+    // ranks the corpus by Hamming distance (XOR + popcount, pure
+    // integer → deterministic, and for mean-centered data Hamming is
+    // a monotone proxy of angular distance); stage 2 reranks the
+    // top-20 survivors by exact cosine. At 100 TB stage 1 scans
+    // 8-byte codes corpus-wide inside whole-stage codegen while the
+    // full-precision column is fetched for 20 rows per query — the
+    // same never-scan-wide-columns shape as q_sim_rerank one tier
+    // cheaper. Packing is map-side (transform + OR-fold, codegen'd);
+    // the only shuffles are the broadcast-probe top-k windows.
+    "q_sim_binary_hamming" -> GraftQuery(
+      run = (s, d) => {
+        val all = vecs(s, d)
+        // two 32-bit words, not one 64-bit: bit 63 would force
+        // sign-bit arithmetic through shiftleft(1L, 63) = MinValue on
+        // the Spark side and an out-of-range 1<<63 on the oracle side
+        val sig = all.select(col("vec_id"),
+          expr("""aggregate(
+                    transform(v, (x, i) ->
+                      IF(x > 0D AND i < 32, shiftleft(1L, i), 0L)),
+                    0L, (a, b) -> a | b)""").as("w0"),
+          expr("""aggregate(
+                    transform(v, (x, i) ->
+                      IF(x > 0D AND i >= 32, shiftleft(1L, i - 32), 0L)),
+                    0L, (a, b) -> a | b)""").as("w1"))
+        val cand = broadcast(sig.filter(col("vec_id") < 10)).as("a")
+          .join(sig.as("c"), col("a.vec_id") =!= col("c.vec_id"))
+          .select(col("a.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            (bit_count(col("a.w0").bitwiseXOR(col("c.w0"))) +
+              bit_count(col("a.w1").bitwiseXOR(col("c.w1"))))
+              .cast("long").as("hamming"))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("hamming"), col("n_id"))))
+          .filter(col("crank") <= 20)
+          .select("q_id", "n_id", "hamming")
+        cand
+          .join(all.as("c"), col("n_id") === col("c.vec_id"))
+          .join(broadcast(all.filter(col("vec_id") < 10)).as("q"),
+            col("q_id") === col("q.vec_id"))
+          .select(col("q_id"), col("n_id"), col("hamming"),
+            cosExpr.as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cosine").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"), col("hamming"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        sig AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN x > 0 AND i <= 32
+                           THEN (1::BIGINT << (i - 1)) ELSE 0 END)
+                       AS BIGINT) AS w0,
+                  CAST(sum(CASE WHEN x > 0 AND i > 32
+                           THEN (1::BIGINT << (i - 33)) ELSE 0 END)
+                       AS BIGINT) AS w1
+                FROM u GROUP BY vec_id),
+        hd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                      CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+                      + CAST(bit_count(xor(a.w1, b.w1)) AS BIGINT)
+                        AS hamming
+               FROM sig a JOIN sig b ON b.vec_id <> a.vec_id
+               WHERE a.vec_id < 10),
+        cand AS (SELECT q_id, n_id, hamming FROM (
+                   SELECT q_id, n_id, hamming,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY hamming, n_id) AS crank
+                   FROM hd)
+                 WHERE crank <= 20),
+        dots AS (SELECT cand.q_id AS q_id, cand.n_id AS n_id,
+                        min(cand.hamming) AS hamming, sum(a.x*b.x) AS dot
+                 FROM cand JOIN u a ON a.vec_id = cand.q_id
+                           JOIN u b ON b.vec_id = cand.n_id AND b.i = a.i
+                 GROUP BY 1, 2),
+        ranked AS (
+          SELECT q_id, n_id, hamming, dot/(na.nrm*nb.nrm) AS cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot/(na.nrm*nb.nrm) DESC, n_id) AS rank
+          FROM dots JOIN nrm na ON na.vec_id = q_id
+                    JOIN nrm nb ON nb.vec_id = n_id)
+        SELECT q_id, rank, n_id, hamming, round(cosine, 4) AS cosine
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ------------------------------------- product quantization + ADC
     // The vector-DB compression tier below int8: vectors factor into 8
     // subspaces of 8 dims, each encoded as its nearest per-label

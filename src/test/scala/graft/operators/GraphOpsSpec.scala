@@ -80,6 +80,28 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     all(rows.map(_.getAs[Long]("community_size"))) shouldBe 4L
   }
 
+  test("kcore: hand-traced peel cascade reaches its fixpoint") {
+    // nodes {1,2,3,4}; edges {12,13,23,34}. Degrees 1:2, 2:2, 3:3, 4:1.
+    // k=2 peel: round 1 drops node 4 (deg 1) and edge 34 → the triangle
+    // {1,2,3} (all deg 2) survives rounds 2–3 unchanged (fixpoint).
+    val (out, caches) = GraphOps.kcorePlan(spark, dir, k = 2L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    caches.foreach(_.unpersist())
+    rows.toSeq shouldBe Seq((0L, 4L, 4L), (1L, 3L, 3L),
+      (2L, 3L, 3L), (3L, 3L, 3L))
+  }
+
+  test("kcore registry query: tiny graph peels to empty at k=100") {
+    // every degree is far below the registry threshold, so round 1
+    // already reaches the empty fixpoint — the budget-cut shape the
+    // output encodes must be (n, 0, 0, 0), never an error
+    val rows = SparkEntry.queries("q_graph_kcore")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq((0L, 4L, 4L), (1L, 0L, 0L),
+      (2L, 0L, 0L), (3L, 0L, 0L))
+  }
+
   test("lift: hand-computed association lift with the support floor") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-lift").toString
