@@ -90,7 +90,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // r6b: prefix-cosine rank audit (empty corpus → zero rankings) and
     // the per-lang fertility aggregate (empty group-by → zero rows, the
     // floor-div ratios must never see a zero denominator)
-    "q_sim_matryoshka", "q_text_fertility")
+    "q_sim_matryoshka", "q_text_fertility",
+    // r6c: sign-bit packing over an empty corpus, a zero-edge peel
+    // (every round must emit its (r, 0, 0) row, not die), and a
+    // delta-merge where both partial sides are empty
+    "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
