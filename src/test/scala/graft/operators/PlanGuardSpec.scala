@@ -340,5 +340,30 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include regex "PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\]"
   }
 
+  test("MV maintenance merges partials without a third exchange") {
+    assume(haveData)
+    // both partial aggregates hash-partition on the SAME view keys, so
+    // the merge aggregate must sit directly on the Union — a third
+    // hash exchange would mean the merge re-shuffles |groups| rows it
+    // already owns (and at 100 TB, that the maintenance path lost its
+    // co-partitioning with the stored view)
+    val p = plan("q_scale_mv_maintain")
+    p should include ("Union")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+    p should not include "SortMergeJoin"
+  }
+
+  test("binary-Hamming stage 1 shuffles only the top-k survivors") {
+    assume(haveData)
+    // sign packing and the Hamming scan are map-side (query batch
+    // broadcast); the ONLY hash exchange is the per-query top-k
+    // window, and a WindowGroupLimit must bound it map-side first so
+    // the shuffle carries candidate triples, not the corpus
+    val p = plan("q_sim_binary_hamming")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include ("WindowGroupLimit")
+    p should not include "SortMergeJoin"
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
