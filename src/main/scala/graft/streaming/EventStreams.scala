@@ -467,6 +467,78 @@ object EventStreams extends QueryPack {
         SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ------------------ streaming materialized-view maintenance
+    // The streaming twin of q_scale_mv_maintain: an hourly-revenue
+    // view maintained from a landing directory replayed as a GENUINE
+    // multi-batch stream (the table lands as 4 files,
+    // maxFilesPerTrigger=1 → 4 micro-batches). Each batch writes its
+    // partial aggregates under its own batch_id partition (overwrite →
+    // a re-executed batch replaces itself, the idempotent-sink recipe),
+    // and the view is the read-time merge of all partials — the
+    // segment-store shape (append partials, compact/merge on read)
+    // that keeps streaming ingestion O(batch) with no stateful
+    // operator at all. Values live on a 1e4 integer grid so the
+    // 4-batch merge is bit-equal to the one-shot aggregate; the
+    // oracle is the full batch recompute — equality is the view-
+    // maintenance contract, exactly as in the batch twin.
+    "q_stream_mv_maintain" -> GraftQuery(
+      run = (s, d) => {
+        val landing = graft.sparkutil.TempStores
+          .scratchDir("graft-mv-landing")
+        val store = graft.sparkutil.TempStores
+          .scratchDir("graft-mv-store") + "/view"
+        graft.Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+        val stream = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        withStreamShufflePartitions(s) {
+          val q = stream.writeStream
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                batch
+                  .select(col("event_type"),
+                    expr("(ts div 1000) div 3600000000").as("h"),
+                    expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+                      .as("vm"))
+                  .groupBy("event_type", "h")
+                  .agg(count(lit(1)).as("n_events"),
+                    sum(col("vm")).as("sum_value_micro"))
+                  .write.mode("overwrite")
+                  .parquet(s"$store/batch_id=$batchId")
+            }
+            .start()
+          q.awaitTermination()
+        }
+        // a zero-file source fires no batch: the store was never
+        // created — an empty corpus is an empty view, not a read error
+        val p = new org.apache.hadoop.fs.Path(store)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val partials =
+          if (!fs.exists(p))
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("event_type", StringType),
+                StructField("h", LongType),
+                StructField("n_events", LongType),
+                StructField("sum_value_micro", LongType))))
+          else s.read.parquet(store)
+        partials.groupBy("event_type", "h")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_value_micro")).as("sum_value_micro"))
+          .orderBy("event_type", "h")
+      },
+      oracle = Some("""
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_micro
+        FROM events GROUP BY 1, 2 ORDER BY event_type, h""")),
+
     // ----------------- state-bounded streaming dedup (within watermark)
     // dropDuplicatesWithinWatermark is the production form of streaming
     // dedup: per-key state is EVICTED once the watermark passes, so

@@ -114,7 +114,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Seq("q_stream_tumbling", "q_stream_sessionize",
       "q_stream_static_join", "q_stream_outer_join",
       "q_stream_admission", "q_stream_video_admission",
-      "q_stream_index_upsert").foreach { q =>
+      "q_stream_index_upsert", "q_stream_mv_maintain").foreach { q =>
       withClue(q) {
         noException should be thrownBy
           SparkEntry.queries(q)(spark, emptyDir).count()
