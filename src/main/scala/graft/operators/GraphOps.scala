@@ -346,50 +346,60 @@ object GraphOps extends QueryPack {
   private val KcoreK = 100L
   private val KcoreRounds = 3
 
-  /** Lazy fixed-round k-core peel plan + its caches. `k` is a
-    * parameter so specs can drive the cascade on hand-built graphs
-    * whose degrees sit far below the registry threshold. */
+  /** Fixed-round k-core peel; returns the per-round count table as a
+    * LOCAL frame (every count is an action the loop already ran, so
+    * deferring them into a collected plan would only re-execute the
+    * whole peel) plus an empty cache list — the per-round keep sets
+    * release before returning. `k` is a parameter so specs can drive
+    * the cascade on hand-built graphs whose degrees sit far below the
+    * registry threshold.
+    *
+    * Only the keep sets persist (|V|-bounded, read by count + both
+    * semi-join builds of every later round); the survivor EDGE rounds
+    * stay unpersisted and recompute from the shared e0 store through
+    * the semi-join chain. Two reasons: the keeps are tiny, so AQE
+    * plans every semi-join as a runtime broadcast and the whole chain
+    * is ONE map-side scan of e0 per action — and persisting the
+    * shrinking edge rounds is an anti-pattern under AQE locally
+    * (coalesced to ~1 cached partition, every later round ran
+    * single-threaded: 4.5 s round-3 joins over 443k rows, vs 1.3 s
+    * recomputed 32-way). At a scale where a keep set outgrows
+    * broadcast, the same loop holds with shuffled semi-joins keyed on
+    * node id — then persist each round and size partitions off |e_r|,
+    * the standard iterative-graph trade the PageRank loop documents. */
   private[operators] def kcorePlan(
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Long = KcoreK)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val e0 = coPurchaseEdgesCached(s, d)
     var e = e0
-    val caches = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-    // round 0 = the unpeeled graph (node count from the degree view)
-    var rows = e.select(col("u").as("x"))
-      .unionByName(e.select(col("v").as("x"))).distinct()
-      .agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    rows += ((0L,
+      e0.select(col("u").as("x"))
+        .unionByName(e0.select(col("v").as("x"))).distinct().count(),
+      e0.count()))
+    val keeps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     (1 to KcoreRounds).foreach { r =>
-      // one degree aggregate (map-side combinable) + one semi-join per
-      // end, all keyed on node id — the identical two-shuffle round at
-      // any graph size. keep is |V|-sized, never data-scale.
+      // one map-side-combinable degree aggregate + one semi-join per
+      // end, all keyed on node id — the identical round at any size
       val keep = e.select(col("u").as("x"))
         .unionByName(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k)
         .select("x")
         .persist()
-      keep.count() // read 3× below (two semi-joins + the count row)
-      // persist each round's survivor edges or round r recomputes
-      // round r−1 in both its degree branch and its count branch
+      val nKeep = keep.count()
+      keeps += keep
       val next = e
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .persist()
-      next.count()
-      caches += keep += next
-      rows = rows.unionByName(
-        keep.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(next.agg(count(lit(1)).as("n_edges")))
-          .select(lit(r.toLong).as("round"), col("n_nodes"),
-            col("n_edges")))
+      rows += ((r.toLong, nKeep, next.count()))
       e = next
     }
-    (rows.orderBy("round"), caches.result())
+    keeps.result().foreach(_.unpersist())
+    import s.implicits._
+    (rows.result().sortBy(_._1).toDF("round", "n_nodes", "n_edges"), Nil)
   }
 
   val queries: Map[String, GraftQuery] = Map(
