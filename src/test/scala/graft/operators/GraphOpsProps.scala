@@ -165,4 +165,39 @@ class GraphOpsProps extends AnyFunSuite with Matchers with BeforeAndAfterAll {
         }
       }
   }
+
+  /** Fixed-round peel in plain Scala — the sequential mirror of
+    * kcorePlan's synchronous rounds. */
+  private def brutePeel(edges: Set[(Long, Long)], k: Long,
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    var e = edges
+    val nodes0 = e.flatMap { case (u, v) => Seq(u, v) }
+    val out = scala.collection.mutable.ArrayBuffer(
+      (0L, nodes0.size.toLong, e.size.toLong))
+    (1 to rounds).foreach { r =>
+      val deg = e.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+      e = e.filter { case (u, v) => keep(u) && keep(v) }
+      out += ((r.toLong, keep.size.toLong, e.size.toLong))
+    }
+    out.toSeq
+  }
+
+  test("k-core round table matches brute force on random graphs") {
+    Seq((40, 120, 11L, 4L), (60, 200, 12L, 5L), (80, 160, 13L, 3L),
+      (50, 400, 14L, 8L))
+      .foreach { case (n, m, seed, k) =>
+        val edges = randomEdges(n, m, seed)
+        val dir = writeGraph(edges)
+        val expected = brutePeel(edges, k, 3)
+        withClue(s"n=$n m=${edges.size} seed=$seed k=$k") {
+          val (out, caches) = GraphOps.kcorePlan(spark, dir, k = k)
+          val got = out.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          caches.foreach(_.unpersist())
+          got shouldBe expected
+        }
+      }
+  }
 }
