@@ -64,7 +64,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_text_length_buckets", "q_scale_rendezvous",
     "q_scale_group_split", "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete", "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct",
     "q_sim_matryoshka", "q_text_fertility",
-    "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain")
+    "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain",
+    "q_scale_hilbert")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -94,7 +94,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // r6c: sign-bit packing over an empty corpus, a zero-edge peel
     // (every round must emit its (r, 0, 0) row, not die), and a
     // delta-merge where both partial sides are empty
-    "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain")
+    "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain",
+    "q_scale_hilbert")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
