@@ -176,4 +176,29 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     val w = shuffleWrite("q_dedup_index_store")
     w should be < textBytes
   }
+
+  test("MV maintenance shuffles view partials, never fact rows") {
+    assume(haveData)
+    // the 1997 cut and the orders join are scan-side (broadcast build);
+    // the only exchanges are the two partial aggregates and the final
+    // sort — all |groups|-sized ((ym, priority, n, sum) rows). A lost
+    // broadcast or a pre-aggregation shuffle of lineitem rows (~MBs at
+    // sf0.01) blows through the bound immediately.
+    val w = shuffleWrite("q_scale_mv_maintain")
+    w should be > 0L
+    w should be < (1L << 20)
+  }
+
+  test("binary-Hamming stage 1 shuffles top-k survivors, never codes or vectors") {
+    assume(haveData)
+    // signatures pack map-side and meet the broadcast query batch in
+    // place; WindowGroupLimit bounds the per-partition spill to 20
+    // candidate triples per query before the single exchange. The
+    // bound is half the raw vector corpus (500 × 64 f32) — shipping
+    // either the vectors or the full candidate cross-product would
+    // exceed it at once.
+    val w = shuffleWrite("q_sim_binary_hamming")
+    w should be > 0L
+    w should be < (500L * 64 * 4) / 2
+  }
 }
