@@ -45,6 +45,72 @@ object ScaleOps extends QueryPack {
                                1, 8))::BIGINT AS hv
           FROM documents, generate_series(0, ${n - 1}) t(sh))"""
 
+  // ------- multi-dimensional layout harness (zorder + hilbert share it:
+  // one definition of the grid, the Morton code, the per-file min/max
+  // stats, and the skip metric, so the two layouts can never diverge on
+  // the harness itself — only on the file-assignment curve under test)
+
+  /** Quantized (ux, vx) grid over events — the two layout dimensions. */
+  private def layoutBase(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d).select(
+      expr("CAST(user_id % 256 AS INT)").as("ux"),
+      expr("CAST(least(255.0, greatest(0.0, floor(value))) AS INT)")
+        .as("vx"))
+
+  /** 16-bit Morton interleave of (ux, vx): bit i of ux at even
+    * position 2i, bit i of vx at odd position 2i+1. */
+  private val mortonSpark: String = (0 until 8).flatMap(i => Seq(
+    s"shiftleft(shiftright(ux, $i) & 1, ${2 * i})",
+    s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})")).mkString(" + ")
+
+  /** Per-file min/max footer stats for one layout's file assignment. */
+  private def layoutFiles(
+      base: org.apache.spark.sql.DataFrame,
+      fileId: org.apache.spark.sql.Column,
+      layout: String): org.apache.spark.sql.DataFrame =
+    base.groupBy(fileId.as("file_id"))
+      .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
+      .withColumn("layout", lit(layout))
+
+  /** File stats → (layout, n_files, files_read, skip_frac) for the
+    * `value ∈ [10, 20)` band scan. */
+  private def skipMetric(
+      files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    files.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(!(col("vmx") < 10 || col("vmn") >= 20), 1)
+          .otherwise(0)).as("files_read"))
+      .withColumn("skip_frac",
+        round(lit(1.0) - col("files_read").cast("double") /
+          col("n_files"), 4))
+      .orderBy("layout")
+
+  /** DuckDB mirrors of the harness pieces above. */
+  private val layoutBaseCte = """
+        base AS (
+          SELECT CAST(user_id % 256 AS INT) AS ux,
+                 CAST(least(255.0, greatest(0.0, floor(value))) AS INT)
+                   AS vx
+          FROM events)"""
+  private val mortonDuck: String = (0 until 8).flatMap(i => Seq(
+    s"(((ux >> $i) & 1) << ${2 * i})",
+    s"(((vx >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+  private def layoutFilesCte(name: String, layout: String,
+      fileIdSql: String, from: String) = s"""
+        $name AS (SELECT '$layout' AS layout, $fileIdSql AS file_id,
+                         min(vx) AS vmn, max(vx) AS vmx
+                  FROM $from GROUP BY 1, 2)"""
+  private val skipMetricSql = """
+        SELECT layout, count(*) AS n_files,
+               CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+               round(1.0 - CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 4) AS skip_frac
+        FROM files GROUP BY layout ORDER BY layout"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- salted aggregation
@@ -366,61 +432,18 @@ object ScaleOps extends QueryPack {
     // bit math — exact in both engines.
     "q_scale_zorder" -> GraftQuery(
       run = (s, d) => {
-        // 8-bit quantized dims → 16-bit Morton code, bit i of ux at
-        // even position 2i, bit i of vx at odd position 2i+1
-        val zSpark = (0 until 8).flatMap(i => Seq(
-          s"shiftleft(shiftright(ux, $i) & 1, ${2 * i})",
-          s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})"))
-          .mkString(" + ")
-        val base = Tables.events(s, d).select(
-          expr("CAST(user_id % 256 AS INT)").as("ux"),
-          expr("CAST(least(255.0, greatest(0.0, floor(value))) AS INT)")
-            .as("vx"))
-        val zFiles = base.withColumn("z", expr(zSpark))
-          .groupBy(expr("z div 256").as("file_id"))
-          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
-          .withColumn("layout", lit("zorder"))
-        val linFiles = base
-          .groupBy(col("ux").as("file_id"))
-          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
-          .withColumn("layout", lit("linear"))
-        zFiles.union(linFiles)
-          .groupBy(col("layout"))
-          .agg(count(lit(1)).as("n_files"),
-            sum(when(!(col("vmx") < 10 || col("vmn") >= 20), 1)
-              .otherwise(0)).as("files_read"))
-          .withColumn("skip_frac",
-            round(lit(1.0) - col("files_read").cast("double") /
-              col("n_files"), 4))
-          .orderBy("layout")
+        val base = layoutBase(s, d)
+        skipMetric(
+          layoutFiles(base.withColumn("z", expr(mortonSpark)),
+            expr("z div 256"), "zorder")
+            .unionByName(layoutFiles(base, col("ux"), "linear")))
       },
-      oracle = Some {
-        val zDuck = (0 until 8).flatMap(i => Seq(
-          s"(((ux >> $i) & 1) << ${2 * i})",
-          s"(((vx >> $i) & 1) << ${2 * i + 1})"))
-          .mkString(" + ")
-        s"""
-        WITH base AS (
-          SELECT CAST(user_id % 256 AS INT) AS ux,
-                 CAST(least(255.0, greatest(0.0, floor(value))) AS INT) AS vx
-          FROM events),
-        zf AS (
-          SELECT 'zorder' AS layout, ($zDuck) // 256 AS file_id,
-                 min(vx) AS vmn, max(vx) AS vmx
-          FROM base GROUP BY 1, 2),
-        lf AS (
-          SELECT 'linear' AS layout, ux AS file_id,
-                 min(vx) AS vmn, max(vx) AS vmx
-          FROM base GROUP BY 1, 2),
+      oracle = Some(s"""
+        WITH $layoutBaseCte,
+        ${layoutFilesCte("zf", "zorder", s"($mortonDuck) // 256", "base")},
+        ${layoutFilesCte("lf", "linear", "ux", "base")},
         files AS (SELECT * FROM zf UNION ALL SELECT * FROM lf)
-        SELECT layout, count(*) AS n_files,
-               CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
-               round(1.0 - CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
-                                         THEN 1 ELSE 0 END) AS DOUBLE)
-                           / count(*), 4) AS skip_frac
-        FROM files GROUP BY layout ORDER BY layout"""
-      }),
+        $skipMetricSql""")),
 
     // --------------------------------------------- Hilbert-curve layout
     // The locality upgrade over Z-order: the Hilbert curve visits the
@@ -443,15 +466,15 @@ object ScaleOps extends QueryPack {
         // stage s (from 128 down to 1): classic xy→d step —
         //   rx = bit of x at s, ry = bit of y at s,
         //   d += s²·((3rx) xor ry), then flip (rx=1, ry=0) and swap
-        //   (ry=0) rotate the subquadrant into canonical orientation
+        //   (ry=0) rotate the subquadrant into canonical orientation.
+        // Values mask to the low bits each level (x mod s): the flip
+        // s−1−x stays non-negative, and only bits below s are
+        // consulted by later levels — same curve, no sign-bit hazards.
         def stage(df: org.apache.spark.sql.DataFrame, sBit: Int) = {
-          // mask to the low bits each level (x mod s): the flip s−1−x
-          // stays non-negative, and only bits below s are consulted
-          // by later levels — same curve, no sign-bit hazards
           val m = sBit - 1
           val rx = s"CAST((hx & $sBit) > 0 AS INT)"
           val ry = s"CAST((hy & $sBit) > 0 AS INT)"
-          df.select(col("file_ux"), col("vx"),
+          df.select(col("ux"), col("vx"),
             expr(s"hd + $sBit * $sBit * ((3 * $rx) ^ $ry)").as("hd"),
             expr(s"""CASE WHEN $ry = 0 THEN
                        CASE WHEN $rx = 1 THEN $m - (hy & $m)
@@ -463,40 +486,17 @@ object ScaleOps extends QueryPack {
                      ELSE (hy & $m) END""").as("nhy"))
             .withColumnRenamed("nhx", "hx").withColumnRenamed("nhy", "hy")
         }
-        val base = Tables.events(s, d).select(
-          expr("CAST(user_id % 256 AS INT)").as("file_ux"),
-          expr("CAST(least(255.0, greatest(0.0, floor(value))) AS INT)")
-            .as("vx"))
-          .withColumn("hx", col("file_ux")).withColumn("hy", col("vx"))
-          .withColumn("hd", lit(0))
-        val hilbert = (0 until 8).foldLeft(base) { (df, i) =>
+        val base = layoutBase(s, d)
+        val hilbert = (0 until 8).foldLeft(
+          base.withColumn("hx", col("ux")).withColumn("hy", col("vx"))
+            .withColumn("hd", lit(0))) { (df, i) =>
           stage(df, 1 << (7 - i))
         }
-        val zExpr = (0 until 8).flatMap(i => Seq(
-          s"shiftleft(shiftright(file_ux, $i) & 1, ${2 * i})",
-          s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})"))
-          .mkString(" + ")
-        val hFiles = hilbert
-          .groupBy(expr("hd div 256").as("file_id"))
-          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
-          .withColumn("layout", lit("hilbert"))
-        val zFiles = base.withColumn("z", expr(zExpr))
-          .groupBy(expr("z div 256").as("file_id"))
-          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
-          .withColumn("layout", lit("zorder"))
-        val linFiles = base
-          .groupBy(col("file_ux").as("file_id"))
-          .agg(min(col("vx")).as("vmn"), max(col("vx")).as("vmx"))
-          .withColumn("layout", lit("linear"))
-        hFiles.unionByName(zFiles).unionByName(linFiles)
-          .groupBy(col("layout"))
-          .agg(count(lit(1)).as("n_files"),
-            sum(when(!(col("vmx") < 10 || col("vmn") >= 20), 1)
-              .otherwise(0)).as("files_read"))
-          .withColumn("skip_frac",
-            round(lit(1.0) - col("files_read").cast("double") /
-              col("n_files"), 4))
-          .orderBy("layout")
+        skipMetric(
+          layoutFiles(hilbert, expr("hd div 256"), "hilbert")
+            .unionByName(layoutFiles(base.withColumn("z", expr(mortonSpark)),
+              expr("z div 256"), "zorder"))
+            .unionByName(layoutFiles(base, col("ux"), "linear")))
       },
       oracle = Some {
         def hStage(prev: String, cur: String, sBit: Int) = {
@@ -505,7 +505,7 @@ object ScaleOps extends QueryPack {
           val ry = s"CAST((hy & $sBit) > 0 AS INT)"
           s"""
         $cur AS (
-          SELECT file_ux, vx,
+          SELECT ux, vx,
                  hd + $sBit * $sBit * xor(3 * $rx, $ry) AS hd,
                  CASE WHEN $ry = 0 THEN
                    CASE WHEN $rx = 1 THEN $m - (hy & $m)
@@ -517,40 +517,17 @@ object ScaleOps extends QueryPack {
                  ELSE (hy & $m) END AS hy
           FROM $prev)"""
         }
-        val zDuck = (0 until 8).flatMap(i => Seq(
-          s"(((file_ux >> $i) & 1) << ${2 * i})",
-          s"(((vx >> $i) & 1) << ${2 * i + 1})"))
-          .mkString(" + ")
         s"""
-        WITH h0 AS (
-          SELECT CAST(user_id % 256 AS INT) AS file_ux,
-                 CAST(least(255.0, greatest(0.0, floor(value))) AS INT)
-                   AS vx,
-                 CAST(user_id % 256 AS INT) AS hx,
-                 CAST(least(255.0, greatest(0.0, floor(value))) AS INT)
-                   AS hy,
-                 0 AS hd
-          FROM events),
+        WITH $layoutBaseCte,
+        h0 AS (SELECT ux, vx, ux AS hx, vx AS hy, 0 AS hd FROM base),
         ${(0 until 8).map(i => hStage(s"h$i", s"h${i + 1}", 1 << (7 - i)))
           .mkString(",")},
-        hf AS (SELECT 'hilbert' AS layout, hd // 256 AS file_id,
-                      min(vx) AS vmn, max(vx) AS vmx
-               FROM h8 GROUP BY 1, 2),
-        zf AS (SELECT 'zorder' AS layout, ($zDuck) // 256 AS file_id,
-                      min(vx) AS vmn, max(vx) AS vmx
-               FROM h0 GROUP BY 1, 2),
-        lf AS (SELECT 'linear' AS layout, file_ux AS file_id,
-                      min(vx) AS vmn, max(vx) AS vmx
-               FROM h0 GROUP BY 1, 2),
+        ${layoutFilesCte("hf", "hilbert", "hd // 256", "h8")},
+        ${layoutFilesCte("zf", "zorder", s"($mortonDuck) // 256", "base")},
+        ${layoutFilesCte("lf", "linear", "ux", "base")},
         files AS (SELECT * FROM hf UNION ALL SELECT * FROM zf
                   UNION ALL SELECT * FROM lf)
-        SELECT layout, count(*) AS n_files,
-               CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
-               round(1.0 - CAST(sum(CASE WHEN NOT (vmx < 10 OR vmn >= 20)
-                                         THEN 1 ELSE 0 END) AS DOUBLE)
-                           / count(*), 4) AS skip_frac
-        FROM files GROUP BY layout ORDER BY layout"""
+        $skipMetricSql"""
       }),
 
     // ------------------------- data-quality constraint suite (Deequ-ish)

@@ -146,6 +146,11 @@ object EventStreams extends QueryPack {
     else df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
   }
 
+  /** Scratch (landing, store) pair per (session, dataset) for the
+    * streaming view-maintenance query — see its run() comment. */
+  private val mvScratch =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   /** Streaming micro-batch plans are sized explicitly (AQE never
     * re-plans them): 8 state-store partitions instead of the session's
     * batch setting — every stateful operator initializes one state
@@ -483,17 +488,32 @@ object EventStreams extends QueryPack {
     // maintenance contract, exactly as in the batch twin.
     "q_stream_mv_maintain" -> GraftQuery(
       run = (s, d) => {
-        val landing = graft.sparkutil.TempStores
-          .scratchDir("graft-mv-landing")
-        val store = graft.sparkutil.TempStores
-          .scratchDir("graft-mv-store") + "/view"
+        // one scratch pair per (session, dataset), reused across
+        // invocations (a bench/verify session calls a query several
+        // times; fresh dirs per call would accumulate full copies of
+        // the events table in tmp until JVM exit)
+        val (landing, store) = mvScratch.getOrElseUpdate(
+          s.sparkContext.applicationId + d,
+          (graft.sparkutil.TempStores.scratchDir("graft-mv-landing"),
+            graft.sparkutil.TempStores.scratchDir("graft-mv-store")
+              + "/view"))
         graft.Tables.events(s, d)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
           .repartition(4)
           .write.mode("overwrite").parquet(landing)
-        val stream = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", "1").parquet(landing)
+        // rebuild the store from this run's batches alone: a prior
+        // run that produced more batches than this one would otherwise
+        // leave stale batch_id partitions in the merge
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        val storeFs =
+          storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        storeFs.delete(storePath, true)
+        // the landing is self-written from Tables.events, but read it
+        // through the shared helper anyway — its ts sniff keeps this
+        // stream on the ns contract even if the landing write changes
+        val stream = eventStream(s, landing, globFilter = None,
+          maxFilesPerTrigger = Some(1))
         withStreamShufflePartitions(s) {
           val q = stream.writeStream
             .trigger(Trigger.AvailableNow())
