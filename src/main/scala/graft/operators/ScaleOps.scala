@@ -2013,6 +2013,57 @@ object ScaleOps extends QueryPack {
                max_part_w, n_parts,
                max_part_w * 32 * 1000000 // n_rows
                  AS max_part_balance_ppm
-        FROM t CROSS JOIN pp"""))
+        FROM t CROSS JOIN pp""")),
+
+    // ------------- observed-metrics quality gate (zero-extra-pass audit)
+    // Every audit in this pack so far costs its own scan; this one
+    // costs NOTHING extra: `Dataset.observe` + `Observation` attach
+    // aggregate metrics to a query already running (here a count
+    // action stands in for the real job — a write or a downstream
+    // transform), and Spark's CollectMetrics operator accumulates them
+    // on the executors as rows stream THROUGH the existing pass. At
+    // 100 TB this is the only affordable shape for per-job data-quality
+    // counters (row count, null/zero tallies, ts bounds, an exact
+    // centi-scaled checksum) — a separate validation scan would double
+    // the job's IO. The metrics come back as one literal row; the
+    // oracle recomputes them as ordinary aggregates, proving the
+    // piggybacked pass sees exactly every row.
+    "q_scale_observe" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.Observation
+        val obs = Observation("quality_gate")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("value"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_centi"))
+        val observed = ev.observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("value").isNull.cast("long")).as("n_null_value"),
+          sum((col("value") === 0.0).cast("long")).as("n_zero_value"),
+          min(expr("ts div 1000")).as("min_us"),
+          max(expr("ts div 1000")).as("max_us"),
+          sum(col("v_centi")).as("sum_value_centi"))
+        observed.count() // the host job; metrics ride this single pass
+        val m = obs.get
+        val names = Seq("n_rows", "n_null_value", "n_zero_value",
+          "min_us", "max_us", "sum_value_centi")
+        val row = org.apache.spark.sql.Row(
+          names.map(n => m.get(n).orNull): _*)
+        s.createDataFrame(
+          java.util.Collections.singletonList(row),
+          org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType, nullable = true))))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_value,
+               CAST(sum(CASE WHEN value = 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero_value,
+               min(epoch_us(ts)) AS min_us,
+               max(epoch_us(ts)) AS max_us,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_centi
+        FROM events"""))
   )
 }

@@ -448,6 +448,51 @@ ORDER BY d.doc_id"""
                    + 0.2 * (1.0 - punct_ratio), 4) AS quality
         FROM m ORDER BY doc_id""")),
 
+    // -------------------------------------- lexical diversity (per doc)
+    // The repetitiveness axis q_text_quality's surface ratios miss:
+    // templated/generated text reuses a tiny vocabulary, so per-doc
+    // type–token ratio, hapax fraction (words seen once), and the mass
+    // of the single most frequent word are the curation signals that
+    // catch it (low TTR / low hapax / high top-word ⇒ boilerplate).
+    // All ratios are exact ppm integers. Scale shape: explode →
+    // two-stage aggregate — (doc, word) counts reduce WITH map-side
+    // combine before the per-doc rollup, so a 100 KB document costs
+    // O(words) partial-agg rows, never the O(words²) a per-doc
+    // array-lambda scan would (the map-side alternative is quadratic
+    // in doc length and is why this one earns its shuffle).
+    "q_text_lexical" -> GraftQuery(
+      run = (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), w => w =!= ""))
+              .as("w"))
+        words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+            max(col("c")).as("top_freq"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+            expr("n_hapax * 1000000 div n_tokens").as("hapax_ppm"),
+            expr("top_freq * 1000000 div n_tokens").as("top_word_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w
+               WHERE w <> '' GROUP BY doc_id, w)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // sum(c) AS BIGINT) AS hapax_ppm,
+               CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_word_ppm
+        FROM wc GROUP BY doc_id ORDER BY doc_id""")),
+
     // --------------------------------------------------------- language ID
     // Stopword-lexicon hits per language; argmax with en > de > fr
     // tie-break. Lexicons are inline literals → fully map-side.

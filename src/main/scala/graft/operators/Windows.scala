@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Windows extends QueryPack {
 
+  /** Oracle for the rolling z-score anomaly gate — shared verbatim with
+    * its streaming twin (`q_stream_anomaly`): the stateful ring-buffer
+    * form must not move a single flagged row relative to the window
+    * form. */
+  val anomalyOracleSql: String = """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        w AS (SELECT user_id, event_id, us, v,
+                     count(*) OVER win AS n,
+                     sum(v) OVER win AS sm,
+                     sum(v*v) OVER win AS q
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id, us, v AS v_centi,
+               CAST(n AS BIGINT) AS n_prior,
+               CAST((n*v - sm)*(n*v - sm) * 1000000 // (n*q - sm*sm)
+                    AS BIGINT) AS z2_ppm
+        FROM w
+        WHERE n >= 8 AND n*q - sm*sm > 0
+          AND (n*v - sm)*(n*v - sm) > 9*(n*q - sm*sm)
+        ORDER BY user_id, us, event_id"""
+
   val queries: Map[String, GraftQuery] = Map(
     // Interval adjustment over the distinct sorted value domain.
     "q_window_adjust" -> GraftQuery(
@@ -654,6 +678,47 @@ object Windows extends QueryPack {
                  AS n_alarm_hours,
                CAST(min(CASE WHEN s > 8000 THEN h END) AS BIGINT)
                  AS first_alarm_hour
-        FROM cs GROUP BY event_type ORDER BY event_type"""))
+        FROM cs GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------- rolling z-score anomaly gate (per-entity telemetry)
+    // The pointwise companion to CUSUM (which finds sustained shifts):
+    // flag the single reading that jumps out of ITS OWN recent history —
+    // per user, each event is scored against the trailing 20 readings'
+    // mean/variance, and |z| > 3 flags it. The z-test is algebraically
+    // cleared of division and square roots: with n = trailing count,
+    // S = Σv, Q = Σv², flagging (v−S/n)² > 9·(nQ−S²)/n² is exactly
+    // (n·v−S)² > 9·(nQ−S²) — every quantity a 64-bit integer over
+    // centi-scaled values, so no IEEE summation order ever reaches the
+    // output (the GraphOps design rule). Headroom: v ≤ 5.7e6 centi,
+    // n ≤ 20 ⇒ (n·v−S)²·10⁶ ≤ 5e18 < 2⁶³. Scale shape: the window
+    // partitions by user_id — per-entity history sits in one task and
+    // the frame is 20 ROWS regardless of corpus size; a 100 TB stream
+    // of telemetry is billions of SMALL per-entity sorts, the shape
+    // AQE balances for free. Warm-up n ≥ 8 keeps early-history noise
+    // out (the classic false-alarm source).
+    "q_window_anomaly" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(-20, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("us"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+          // one select → one Window operator for all three running
+          // aggregates (withColumn-chaining interposes Projects that
+          // can split the frame into two Window passes)
+          .select(col("user_id"), col("event_id"), col("us"), col("v"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("v")).over(w).as("sm"),
+            sum(expr("v * v")).over(w).as("q"))
+          .withColumn("d", expr("n * q - sm * sm"))
+          .filter(col("n") >= 8 && col("d") > 0 &&
+            expr("(n*v - sm)*(n*v - sm)") > expr("9 * d"))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("v").as("v_centi"), col("n").as("n_prior"),
+            expr("(n*v - sm)*(n*v - sm) * 1000000 div d").as("z2_ppm"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      oracle = Some(anomalyOracleSql))
   )
 }

@@ -19,6 +19,12 @@ final case class UserSessions(
     n_sessions: Int, n_events: Int, last_ts: Long, cur_len: Int,
     longest_session: Int)
 
+/** Trailing-ring state for the streaming anomaly gate: the last ≤ 20
+  * centi-scaled values of one user, oldest first — exactly the ROWS
+  * BETWEEN 20 PRECEDING AND 1 PRECEDING frame of the batch form,
+  * carried across micro-batches. */
+final case class AnomalyRing(vs: Seq[Long])
+
 /** The sessionizer on Spark 4's arbitrary-state API
   * (`transformWithState`): one `ValueState[UserSessions]` per user,
   * advanced by the same fold as the `mapGroupsWithState` form. The two
@@ -249,6 +255,53 @@ object EventStreams extends QueryPack {
           (user, st.n_sessions, st.n_events, st.longest_session)
       }
       .toDF("user_id", "n_sessions", "n_events", "longest_session")
+  }
+
+  /** The streaming anomaly gate: per-user flatMapGroupsWithState holds
+    * the trailing ≤ 20 centi-values ([[AnomalyRing]]) and scores each
+    * arriving event with the same all-integer z-test as the batch
+    * window form ((n·v−S)² > 9·(nQ−S²), warm-up n ≥ 8) — see
+    * `q_window_anomaly`. Within a batch each group's rows are folded in
+    * (ts, event_id) order; across batches the ring carries, so a
+    * time-ordered replay produces exactly the batch result. State is
+    * O(20 longs) per live entity — the per-key footprint that lets the
+    * gate run forever. Public so specs can drive the state carry with
+    * maxFilesPerTrigger. */
+  def anomalyStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event],
+         state: GroupState[AnomalyRing]) =>
+          val ring = scala.collection.mutable.ArrayDeque.empty[Long]
+          state.getOption.foreach(r => ring.appendAll(r.vs))
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+          events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val v = math.floor(e.value * 100 + 0.5).toLong
+            val n = ring.length.toLong
+            if (n >= 8) {
+              var sm = 0L; var q = 0L
+              ring.foreach { x => sm += x; q += x * x }
+              val d = n * q - sm * sm
+              val dev = n * v - sm
+              if (d > 0 && dev * dev > 9 * d)
+                out += ((user, e.event_id, e.ts / 1000, v, n,
+                  dev * dev * 1000000L / d))
+            }
+            ring.append(v)
+            if (ring.length > 20) ring.removeHead()
+          }
+          state.update(AnomalyRing(ring.toSeq))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "us", "v_centi", "n_prior", "z2_ppm")
   }
 
   /** The transformWithState sessionizer stream (requires the RocksDB
@@ -620,6 +673,24 @@ object EventStreams extends QueryPack {
           .orderBy("user_id")
       },
       oracle = Some(sessionOracleSql)),
+
+    // ------------------- streaming anomaly gate (trailing-ring state)
+    // The batch z-score gate (q_window_anomaly) as a continuous
+    // pipeline: per-user state is the trailing ≤ 20 centi-values, each
+    // arriving event is scored against its own recent history with the
+    // identical integer z-test, and flags emit in Append mode as they
+    // fire — monitoring that keeps up with ingestion instead of
+    // re-scanning it. Shares the batch form's oracle verbatim: a
+    // time-ordered replay through the stateful operator must not move
+    // a single flagged row. EventStreamsSpec drives the ring across
+    // micro-batch boundaries.
+    "q_stream_anomaly" -> GraftQuery(
+      run = (s, d) => {
+        val flagged = anomalyStream(s, d, Some("events.parquet"))
+        runToMemory(s, flagged, "graft_stream_anomaly", OutputMode.Append())
+          .orderBy("user_id", "us", "event_id")
+      },
+      oracle = Some(graft.operators.Windows.anomalyOracleSql)),
 
     // --------------- sessionization on the arbitrary-state API (Spark 4)
     // The same per-user sessionizer expressed with transformWithState +

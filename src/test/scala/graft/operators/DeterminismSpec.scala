@@ -65,7 +65,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_scale_group_split", "q_text_vocab_coverage", "q_window_cusum", "q_scale_gdpr_delete", "q_dedup_lsh_sweep", "q_scale_skew_audit", "q_agg_bitmap_distinct",
     "q_sim_matryoshka", "q_text_fertility",
     "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain",
-    "q_scale_hilbert")
+    "q_scale_hilbert",
+    "q_window_anomaly", "q_text_lexical", "q_scale_observe")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -95,7 +95,13 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // (every round must emit its (r, 0, 0) row, not die), and a
     // delta-merge where both partial sides are empty
     "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain",
-    "q_scale_hilbert")
+    "q_scale_hilbert",
+    // r6d: an empty trailing frame must yield zero anomalies (not a
+    // div-by-zero on the cleared variance), per-doc lexical ratios on
+    // zero docs, and Observation metrics on a zero-row host pass
+    // (obs.get returns count 0 / null aggregates — the literal-row
+    // build must tolerate nulls)
+    "q_window_anomaly", "q_text_lexical", "q_scale_observe")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
@@ -115,7 +121,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     Seq("q_stream_tumbling", "q_stream_sessionize",
       "q_stream_static_join", "q_stream_outer_join",
       "q_stream_admission", "q_stream_video_admission",
-      "q_stream_index_upsert", "q_stream_mv_maintain").foreach { q =>
+      "q_stream_index_upsert", "q_stream_mv_maintain",
+      "q_stream_anomaly").foreach { q =>
       withClue(q) {
         noException should be thrownBy
           SparkEntry.queries(q)(spark, emptyDir).count()

@@ -89,4 +89,43 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     } finally spark.conf.unset(key)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("anomaly ring carries across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-anom").toString
+    // batch 1: user 1, 10 events alternating 10.0/20.0 — builds a ring
+    // with non-zero variance; none of these may flag (|z| ≈ 1)
+    (1 to 10).map(i =>
+        (i.toLong, i.toLong * minNs, 1L, "click",
+          if (i % 2 == 1) 10.0 else 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+    // batch 2 (separate file): a wild outlier scored against batch 1's
+    // ring — it must flag with the state built BEFORE the boundary —
+    // then a normal reading that must not flag against the (now
+    // outlier-containing) ring
+    Seq((11L, 11L * minNs, 1L, "click", 1000.0, "{}"),
+      (12L, 12L * minNs, 1L, "click", 15.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+
+    val q = EventStreams
+      .anomalyStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .writeStream.queryName("graft_stream_anom_spec").format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("graft_stream_anom_spec").collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Long]("user_id") shouldBe 1L
+    r.getAs[Long]("event_id") shouldBe 11L
+    r.getAs[Long]("v_centi") shouldBe 100000L
+    r.getAs[Long]("n_prior") shouldBe 10L
+    // hand-computed: S=15000, Q=2.5e7, d=10·Q−S²=2.5e7,
+    // dev=10·100000−15000=985000, z²·1e6 = dev²·1e6/d = 38 809 000 000
+    r.getAs[Long]("z2_ppm") shouldBe 38809000000L
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
