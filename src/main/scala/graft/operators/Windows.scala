@@ -719,6 +719,53 @@ object Windows extends QueryPack {
             expr("(n*v - sm)*(n*v - sm) * 1000000 div d").as("z2_ppm"))
           .orderBy("user_id", "us", "event_id")
       },
-      oracle = Some(anomalyOracleSql))
+      oracle = Some(anomalyOracleSql)),
+
+    // --------------- behavioral Markov transition matrix (session flow)
+    // WHERE users go next: per user the event sequence pairs each event
+    // with its predecessor type (lag over the per-entity order), and
+    // the corpus-level transition matrix is the (prev → next) count
+    // table with row-normalized probabilities in exact ppm — the
+    // session-flow structure funnels (fixed paths) and retention
+    // (fixed horizons) don't capture, and the input a sequence-model
+    // curriculum samples against. Scale shape: the lag window is
+    // per-user (bounded partitions, 1-row frame); transition counts
+    // reduce map-side to a |types|² table and the row totals are a
+    // window over THAT tiny table — joining a totals aggregate back
+    // would recompute the whole corpus pass on the second branch, so
+    // nothing corpus-sized moves (or re-runs) after the one user-keyed
+    // shuffle.
+    "q_window_markov" -> GraftQuery(
+      run = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot",
+            sum(col("n")).over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            expr("n * 1000000 div tot").as("p_ppm"))
+          .orderBy("prev_type", "next_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                          event_id
+                   FROM events),
+        sq AS (SELECT user_id, event_type AS next_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                        AS prev_type
+               FROM e),
+        t AS (SELECT prev_type, next_type, count(*) AS n FROM sq
+              WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, sum(n) AS tot FROM t GROUP BY 1)
+        SELECT t.prev_type, t.next_type, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+        FROM t JOIN tot USING (prev_type)
+        ORDER BY prev_type, next_type"""))
   )
 }

@@ -101,7 +101,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // zero docs, and Observation metrics on a zero-row host pass
     // (obs.get returns count 0 / null aggregates — the literal-row
     // build must tolerate nulls)
-    "q_window_anomaly", "q_text_lexical", "q_scale_observe")
+    "q_window_anomaly", "q_text_lexical", "q_scale_observe",
+    "q_window_markov")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

@@ -365,5 +365,42 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should not include "SortMergeJoin"
   }
 
+  test("anomaly gate plans ONE window operator and one hash exchange") {
+    assume(haveData)
+    // all three trailing aggregates (count, Σv, Σv²) must share a
+    // single Window operator — a second Window means a second pass
+    // over every sorted per-user partition; the only hash exchange is
+    // the partition-by-user shuffle (the final sort is a range
+    // exchange, the output-order contract)
+    val p = plan("q_window_anomaly")
+    "\\bWindow \\[".r.findAllIn(p).size shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "SortMergeJoin"
+  }
+
+  test("lexical diversity is explode + two map-side-combined aggregates") {
+    assume(haveData)
+    // (doc_id, word) counts must partial-aggregate BEFORE their
+    // exchange (a 100 KB doc then costs O(distinct words) shuffled
+    // rows); the per-doc rollup is the second hash exchange; no join
+    // anywhere
+    val p = plan("q_text_lexical")
+    p should include ("Generate explode")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+    p should include ("partial_count")
+    p should not include "Join"
+  }
+
+  test("observe gate reads back as a literal row, never a recompute") {
+    assume(haveData)
+    // the metrics were accumulated on the host pass inside run();
+    // the returned frame must be the one-row literal — if this plans
+    // a parquet scan, the "zero extra scans" contract silently became
+    // a second full pass
+    val p = plan("q_scale_observe")
+    p should include ("LocalTableScan")
+    p should not include "Scan parquet"
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
