@@ -219,4 +219,72 @@ class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       canon should not endWith "/"
     }
   }
+
+  // ------------------------- round-6 final-block op goldens (toy data)
+
+  private def toyDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-curation-toy").toString
+
+  test("lexical diversity golden: hand-counted TTR / hapax / top-word") {
+    import spark.implicits._
+    val dir = toyDir()
+    Seq((1L, "a b a c a b", "en", "s", 11L),
+      (2L, "x  y", "en", "s", 4L)) // double space → empty token dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_lexical")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 1: 6 tokens {a×3, b×2, c×1} → types 3, ttr 3e6/6 = 500000,
+    // hapax {c} → 166666 (floor), top a×3 → 500000
+    // doc 2: 2 tokens, all hapax → ttr/hapax 1e6, top 500000
+    rows shouldBe Array(
+      (1L, 6L, 3L, 500000L, 166666L, 500000L),
+      (2L, 2L, 2L, 1000000L, 1000000L, 500000L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("anomaly gate golden: the hand-computed z² flags exactly one row") {
+    import spark.implicits._
+    val dir = toyDir()
+    val minNs = 60L * 1000000000L
+    // the same series as EventStreamsSpec's ring-carry test — the batch
+    // window form must produce the identical single flag, pinning
+    // batch/stream equivalence to one hand-derived number
+    val base = (1 to 10).map(i => (i.toLong, i.toLong * minNs, 1L, "click",
+      if (i % 2 == 1) 10.0 else 20.0, "{}"))
+    val extra = Seq((11L, 11L * minNs, 1L, "click", 1000.0, "{}"),
+      (12L, 12L * minNs, 1L, "click", 15.0, "{}"))
+    (base ++ extra)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_window_anomaly")(spark, dir).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("event_id") shouldBe 11L
+    rows.head.getAs[Long]("n_prior") shouldBe 10L
+    rows.head.getAs[Long]("z2_ppm") shouldBe 38809000000L
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("markov golden: row-normalized transitions on a 2-user toy") {
+    import spark.implicits._
+    val dir = toyDir()
+    val minNs = 60L * 1000000000L
+    // user 1: view → view → click; user 2: view → buy
+    Seq((1L, 1L * minNs, 1L, "view", 1.0, "{}"),
+      (2L, 2L * minNs, 1L, "view", 1.0, "{}"),
+      (3L, 3L * minNs, 1L, "click", 1.0, "{}"),
+      (4L, 1L * minNs, 2L, "view", 1.0, "{}"),
+      (5L, 2L * minNs, 2L, "buy", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_window_markov")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    rows shouldBe Array(
+      ("view", "buy", 1L, 333333L),
+      ("view", "click", 1L, 333333L),
+      ("view", "view", 1L, 333333L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -391,6 +391,26 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should not include "Join"
   }
 
+  test("event-sequence windows prune the events scan to 4 columns") {
+    assume(haveData)
+    // the per-user window shuffles the whole corpus once — if column
+    // pruning regresses, the `props` string (the table's widest
+    // column) silently rides that shuffle at ~10× the bytes/row;
+    // anomaly needs (user_id, event_id, ts, value), markov
+    // (user_id, event_id, ts, event_type)
+    Seq("q_window_anomaly", "q_window_markov").foreach { q =>
+      withClue(q) {
+        val scans = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan(q)).map(_.group(1)).toSeq
+        scans should not be empty
+        scans.foreach { s =>
+          s.split(",").length should be <= 4
+          s should not include "props"
+        }
+      }
+    }
+  }
+
   test("observe gate reads back as a literal row, never a recompute") {
     assume(haveData)
     // the metrics were accumulated on the host pass inside run();
