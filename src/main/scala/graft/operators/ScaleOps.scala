@@ -291,6 +291,76 @@ object ScaleOps extends QueryPack {
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
 
+    // --------------- retraction-aware view maintenance (CDC deletes/updates)
+    // The half of incremental maintenance q_scale_mv_maintain doesn't
+    // cover: the delta is not new rows but CHANGES to existing ones —
+    // cancelled orders (deletes) and price corrections (updates), the
+    // Flink-retract-stream / Delta-CDF shape. Each change row reduces
+    // to a SIGNED partial contribution map-side (delete → (−1, −rev);
+    // update → (0, rev′−rev), the algebraic sum of its retract+insert
+    // pair), and the maintained view is base partials + signed deltas
+    // merged by the same keyed sum — no row of the stored view is
+    // recomputed from facts. Groups that empty out are dropped by the
+    // n > 0 gate (the retraction analogue of DELETE FROM view). The
+    // oracle IS the full recompute over the post-CDC state: equality
+    // is the correctness contract of retraction maintenance. All
+    // arithmetic in exact integer micros, change-set membership is a
+    // deterministic key predicate, so both engines trace identical
+    // signed sums. At 100 TB the delta pass reads only the change
+    // feed, and the merge is two |groups|-sized inputs co-partitioned
+    // on the view key.
+    "q_scale_mv_retract" -> GraftQuery(
+      run = (s, d) => {
+        val revMicro = expr(
+          "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0" +
+            " + 0.5) AS BIGINT)")
+        val isDel = expr("l_orderkey % 97 = 0")
+        val isUpd = expr("l_orderkey % 89 = 0 AND l_orderkey % 97 <> 0")
+        val fact = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            col("o_orderpriority"), revMicro.as("rev"),
+            isDel.as("is_del"), isUpd.as("is_upd"))
+        // the stored view: partials over the pre-change corpus
+        val base = fact.groupBy("ym", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
+        // the change feed: signed per-row contributions, reduced
+        // map-side to per-key deltas before they meet the view
+        val delta = fact.filter(col("is_del") || col("is_upd"))
+          .select(col("ym"), col("o_orderpriority"),
+            when(col("is_del"), -1L).otherwise(0L).as("n"),
+            when(col("is_del"), -col("rev"))
+              .otherwise(expr("(rev * 9) div 10 - rev")).as("r"))
+          .groupBy("ym", "o_orderpriority")
+          .agg(sum(col("n")).as("n"), sum(col("r")).as("r"))
+        base.unionByName(delta)
+          .groupBy("ym", "o_orderpriority")
+          .agg(sum(col("n")).as("n_items"),
+            sum(col("r")).as("revenue_micro"))
+          .filter(col("n_items") > 0)
+          .select(col("ym"), col("o_orderpriority"), col("n_items"),
+            col("revenue_micro"),
+            expr("revenue_micro div n_items").as("avg_item_micro"))
+          .orderBy("ym", "o_orderpriority")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority,
+                 CAST(floor(l_extendedprice * (1.0 - l_discount)
+                            * 10000.0 + 0.5) AS BIGINT) AS rev,
+                 l_orderkey % 97 = 0 AS is_del,
+                 l_orderkey % 89 = 0 AND l_orderkey % 97 <> 0 AS is_upd
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        s AS (SELECT ym, o_orderpriority,
+                     CASE WHEN is_upd THEN rev * 9 // 10 ELSE rev END
+                       AS rev
+              FROM f WHERE NOT is_del)
+        SELECT ym, o_orderpriority, count(*) AS n_items,
+               CAST(sum(rev) AS BIGINT) AS revenue_micro,
+               CAST(sum(rev) // count(*) AS BIGINT) AS avg_item_micro
+        FROM s GROUP BY 1, 2 ORDER BY ym, o_orderpriority""")),
+
     // --------------------------------------------- partition pruning
     // The other scan-elimination pattern: data laid out partitioned by a
     // filter column means a selective query READS only matching

@@ -102,7 +102,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // (obs.get returns count 0 / null aggregates — the literal-row
     // build must tolerate nulls)
     "q_window_anomaly", "q_text_lexical", "q_scale_observe",
-    "q_window_markov")
+    "q_window_markov", "q_scale_mv_retract")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

@@ -351,6 +351,14 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include ("Union")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
     p should not include "SortMergeJoin"
+    // same contract for the retraction form: base partials + signed
+    // delta partials hash-partition on the view key, the merge sits on
+    // the Union (no third view-key exchange), and the change feed is
+    // reduced map-side (partial aggregates) before it meets the view
+    val pr = plan("q_scale_mv_retract")
+    pr should include ("Union")
+    "Exchange hashpartitioning".r.findAllIn(pr).size shouldBe 2
+    pr should include ("partial_sum")
   }
 
   test("binary-Hamming stage 1 shuffles only the top-k survivors") {
