@@ -612,6 +612,106 @@ object EventStreams extends QueryPack {
                     AS BIGINT) AS sum_value_micro
         FROM events GROUP BY 1, 2 ORDER BY event_type, h""")),
 
+    // --------------- streaming retraction maintenance (CDC change feed)
+    // q_scale_mv_retract's signed-delta algebra fed from a STREAM: the
+    // stored view's partials sit under batch_id=base, a change feed
+    // (deterministic deletes: event_id % 97; value corrections:
+    // event_id % 89) replays through AvailableNow micro-batches, and
+    // foreachBatch writes each batch's map-side-reduced SIGNED deltas
+    // under its batch_id partition — overwrite keeps re-executed
+    // batches idempotent (the same effectively-once contract as
+    // q_stream_mv_maintain). The view is the read-time keyed sum of
+    // base + every delta partial with an n > 0 gate; the oracle is the
+    // full recompute over the post-CDC state. This is the Delta-CDF /
+    // Flink-retract ingestion shape: per batch only |changed keys|
+    // rows land, and the stored view is never recomputed from facts.
+    "q_stream_mv_retract" -> GraftQuery(
+      run = (s, d) => {
+        val (landing, store) = mvScratch.getOrElseUpdate(
+          s.sparkContext.applicationId + d + ":retract",
+          (graft.sparkutil.TempStores.scratchDir("graft-mvr-landing"),
+            graft.sparkutil.TempStores.scratchDir("graft-mvr-store")
+              + "/view"))
+        val isDel = expr("event_id % 97 = 0")
+        val isUpd = expr("event_id % 89 = 0 AND event_id % 97 <> 0")
+        val vm = expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+        // the change FEED alone lands for streaming — at scale this is
+        // the CDF directory, not the fact table
+        graft.Tables.events(s, d)
+          .filter(isDel || isUpd)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(landing)
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        val storeFs =
+          storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        storeFs.delete(storePath, true)
+        // the stored view: one-time base partials (in production these
+        // already exist; rebuilt here so the query is self-contained)
+        graft.Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("h"), vm.as("v"))
+          .groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).as("sum_value_micro"))
+          // coalesce(1): an aggregate-sized store segment, and a
+          // ZERO-row corpus must still leave one schema-bearing file
+          // (an empty multi-task write emits none, and the read-time
+          // merge would then fail schema inference)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$store/batch_id=base")
+        val stream = eventStream(s, landing, globFilter = None,
+          maxFilesPerTrigger = Some(1))
+        withStreamShufflePartitions(s) {
+          val q = stream.writeStream
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                batch
+                  .select(col("event_type"),
+                    expr("(ts div 1000) div 3600000000").as("h"),
+                    when(expr("event_id % 97 = 0"), -1L).otherwise(0L)
+                      .as("dn"),
+                    when(expr("event_id % 97 = 0"),
+                      -vm)
+                      .otherwise(expr(
+                        "(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)" +
+                          " * 9) div 10 - " +
+                          "CAST(floor(value * 10000.0 + 0.5) AS BIGINT)"))
+                      .as("dv"))
+                  .groupBy("event_type", "h")
+                  .agg(sum(col("dn")).as("n_events"),
+                    sum(col("dv")).as("sum_value_micro"))
+                  .write.mode("overwrite")
+                  .parquet(s"$store/batch_id=$batchId")
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(store)
+          .groupBy("event_type", "h")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_value_micro")).as("sum_value_micro"))
+          .filter(col("n_events") > 0)
+          .orderBy("event_type", "h")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            AS vm,
+                          event_id % 97 = 0 AS is_del,
+                          event_id % 89 = 0 AND event_id % 97 <> 0
+                            AS is_upd
+                   FROM events),
+        s AS (SELECT event_type, h,
+                     CASE WHEN is_upd THEN vm * 9 // 10 ELSE vm END AS vm
+              FROM f WHERE NOT is_del)
+        SELECT event_type, h, count(*) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS sum_value_micro
+        FROM s GROUP BY 1, 2 ORDER BY event_type, h""")),
+
     // ----------------- state-bounded streaming dedup (within watermark)
     // dropDuplicatesWithinWatermark is the production form of streaming
     // dedup: per-key state is EVICTED once the watermark passes, so
