@@ -40,8 +40,8 @@ object Windows extends QueryPack {
                              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         SELECT user_id, event_id, us, v AS v_centi,
                CAST(n AS BIGINT) AS n_prior,
-               CAST((n*v - sm)*(n*v - sm) * 1000000 // (n*q - sm*sm)
-                    AS BIGINT) AS z2_ppm
+               CAST((n*v - sm)*(n*v - sm) * 1000 // (n*q - sm*sm)
+                    AS BIGINT) AS z2_ppk
         FROM w
         WHERE n >= 8 AND n*q - sm*sm > 0
           AND (n*v - sm)*(n*v - sm) > 9*(n*q - sm*sm)
@@ -689,8 +689,11 @@ object Windows extends QueryPack {
     // S = Σv, Q = Σv², flagging (v−S/n)² > 9·(nQ−S²)/n² is exactly
     // (n·v−S)² > 9·(nQ−S²) — every quantity a 64-bit integer over
     // centi-scaled values, so no IEEE summation order ever reaches the
-    // output (the GraphOps design rule). Headroom: v ≤ 5.7e6 centi,
-    // n ≤ 20 ⇒ (n·v−S)²·10⁶ ≤ 5e18 < 2⁶³. Scale shape: the window
+    // output (the GraphOps design rule). Headroom (z² reported in ppk,
+    // not ppm, exactly for this): (n·v−S)²·10³ ≤ 2⁶³ holds up to
+    // v ≈ 4.5e6 centi (value ≈ 45,000 — 81× the corpus max of 560);
+    // past that envelope the quotient needs the split-division form or
+    // DECIMAL(38). Scale shape: the window
     // partitions by user_id — per-entity history sits in one task and
     // the frame is 20 ROWS regardless of corpus size; a 100 TB stream
     // of telemetry is billions of SMALL per-entity sorts, the shape
@@ -716,7 +719,7 @@ object Windows extends QueryPack {
             expr("(n*v - sm)*(n*v - sm)") > expr("9 * d"))
           .select(col("user_id"), col("event_id"), col("us"),
             col("v").as("v_centi"), col("n").as("n_prior"),
-            expr("(n*v - sm)*(n*v - sm) * 1000000 div d").as("z2_ppm"))
+            expr("(n*v - sm)*(n*v - sm) * 1000 div d").as("z2_ppk"))
           .orderBy("user_id", "us", "event_id")
       },
       oracle = Some(anomalyOracleSql)),

@@ -282,26 +282,36 @@ object EventStreams extends QueryPack {
          state: GroupState[AnomalyRing]) =>
           val ring = scala.collection.mutable.ArrayDeque.empty[Long]
           state.getOption.foreach(r => ring.appendAll(r.vs))
+          // running S and Q maintained on append/evict — O(1) per
+          // event instead of an O(ring) rescan in the hot path
+          var sm = 0L; var q = 0L
+          ring.foreach { x => sm += x; q += x * x }
           val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
-          events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          // sort on the µs grid, not raw ns: the batch window and the
+          // shared oracle tie-break on (ts div 1000, event_id), and a
+          // ns-typed shipment of the events table would otherwise
+          // order sub-µs neighbors differently here (the r1 ns-vs-µs
+          // hash-fail class)
+          events.toSeq.sortBy(e => (e.ts / 1000, e.event_id)).foreach { e =>
             val v = math.floor(e.value * 100 + 0.5).toLong
             val n = ring.length.toLong
             if (n >= 8) {
-              var sm = 0L; var q = 0L
-              ring.foreach { x => sm += x; q += x * x }
               val d = n * q - sm * sm
               val dev = n * v - sm
               if (d > 0 && dev * dev > 9 * d)
                 out += ((user, e.event_id, e.ts / 1000, v, n,
-                  dev * dev * 1000000L / d))
+                  dev * dev * 1000L / d))
             }
-            ring.append(v)
-            if (ring.length > 20) ring.removeHead()
+            ring.append(v); sm += v; q += v * v
+            if (ring.length > 20) {
+              val h = ring.removeHead()
+              sm -= h; q -= h * h
+            }
           }
           state.update(AnomalyRing(ring.toSeq))
           out.result().iterator
       }
-      .toDF("user_id", "event_id", "us", "v_centi", "n_prior", "z2_ppm")
+      .toDF("user_id", "event_id", "us", "v_centi", "n_prior", "z2_ppk")
   }
 
   /** The transformWithState sessionizer stream (requires the RocksDB
@@ -635,6 +645,12 @@ object EventStreams extends QueryPack {
         val isDel = expr("event_id % 97 = 0")
         val isUpd = expr("event_id % 89 = 0 AND event_id % 97 <> 0")
         val vm = expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+        // the corrected value, on the same integer grid as vm — ONE
+        // definition each of the CDC predicates and the micro scaling,
+        // captured by the foreachBatch closure below, so the change
+        // feed's filter and the delta arithmetic can never drift apart
+        val vmNew = expr(
+          "(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) * 9) div 10")
         // the change FEED alone lands for streaming — at scale this is
         // the CDF directory, not the fact table
         graft.Tables.events(s, d)
@@ -672,15 +688,8 @@ object EventStreams extends QueryPack {
                 batch
                   .select(col("event_type"),
                     expr("(ts div 1000) div 3600000000").as("h"),
-                    when(expr("event_id % 97 = 0"), -1L).otherwise(0L)
-                      .as("dn"),
-                    when(expr("event_id % 97 = 0"),
-                      -vm)
-                      .otherwise(expr(
-                        "(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)" +
-                          " * 9) div 10 - " +
-                          "CAST(floor(value * 10000.0 + 0.5) AS BIGINT)"))
-                      .as("dv"))
+                    when(isDel, -1L).otherwise(0L).as("dn"),
+                    when(isDel, -vm).otherwise(vmNew - vm).as("dv"))
                   .groupBy("event_type", "h")
                   .agg(sum(col("dn")).as("n_events"),
                     sum(col("dv")).as("sum_value_micro"))

@@ -262,7 +262,7 @@ class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows.length shouldBe 1
     rows.head.getAs[Long]("event_id") shouldBe 11L
     rows.head.getAs[Long]("n_prior") shouldBe 10L
-    rows.head.getAs[Long]("z2_ppm") shouldBe 38809000000L
+    rows.head.getAs[Long]("z2_ppk") shouldBe 38809000L
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -124,8 +124,8 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     r.getAs[Long]("v_centi") shouldBe 100000L
     r.getAs[Long]("n_prior") shouldBe 10L
     // hand-computed: S=15000, Q=2.5e7, d=10·Q−S²=2.5e7,
-    // dev=10·100000−15000=985000, z²·1e6 = dev²·1e6/d = 38 809 000 000
-    r.getAs[Long]("z2_ppm") shouldBe 38809000000L
+    // dev=10·100000−15000=985000, z²·1e3 = dev²·1e3/d = 38 809 000
+    r.getAs[Long]("z2_ppk") shouldBe 38809000L
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
