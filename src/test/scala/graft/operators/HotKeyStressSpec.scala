@@ -211,6 +211,23 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
     maxBucket should be < (Dedup.MaxBandBucket / 10L)
+    // The SWEEP bands the same signature three ways; the 8×2 config's
+    // 2-hash keys are the weakest (most collision-prone) banding in the
+    // registry — if a mega-bucket ever forms, it forms there first. Pin
+    // every sweep config, not just the 4×4 the eval query uses.
+    val sweepMax = Dedup.minhashBandRowsSweep(
+        Dedup.shingleSets(docs).as[(Long, Seq[String])],
+        Seq((8, 2), (4, 4), (2, 8)))
+      .toDF("doc_id", "cfg", "band", "key")
+      .groupBy("cfg", "band", "key").agg(count(lit(1)).as("n"))
+      .groupBy("cfg").agg(max(col("n")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sweepMax.keySet shouldBe Set("8x2", "4x4", "2x8")
+    sweepMax.foreach { case (cfg, mx) =>
+      withClue(s"config $cfg: ") {
+        mx should be < (Dedup.MaxBandBucket / 10L)
+      }
+    }
   }
 
   test("pair emission is bounded by cap² per bucket, not df²") {
