@@ -120,7 +120,11 @@ object MsPipeline extends QueryPack {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, Dataset[ParafacModelRow]]
 
-  private def tensors(s: SparkSession, d: String): Dataset[SliceTensor] =
+  // private[graft]: ParafacCrossCheckSpec equates the distributed ALS
+  // against an independent sequential kernel on these REAL slice
+  // tensors (not synthetic toys) — the stage boundary is the natural
+  // test seam, exactly as the reference's .npy artifacts were.
+  private[graft] def tensors(s: SparkSession, d: String): Dataset[SliceTensor] =
     tensorCache.getOrElseUpdate(s.sparkContext.applicationId + d,
       TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm).persist())
 

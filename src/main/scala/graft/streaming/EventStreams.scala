@@ -332,6 +332,27 @@ object EventStreams extends QueryPack {
       .toDF("user_id", "n_sessions", "n_events", "longest_session")
   }
 
+  /** The event-time-timer session-closer stream (requires the RocksDB
+    * state store provider on the session). Public so StreamRestartSpec
+    * can kill/restart it against a checkpoint — registered timers and
+    * ValueState must both survive the restart. */
+  def sessionTimeoutStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
+      .toDF("user_id", "closed_len", "last_ts_us")
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ---------------------------- tumbling event-time window with watermark
@@ -844,16 +865,7 @@ object EventStreams extends QueryPack {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          import s.implicits._
-          val closed = eventStream(s, d)
-            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-            .withWatermark("event_time", "10 minutes")
-            .as[Event]
-            .groupByKey(_.user_id)
-            .transformWithState(new SessionTimeoutProcessor,
-              TimeMode.EventTime(), OutputMode.Append(),
-              org.apache.spark.sql.Encoders.product[(Long, Int, Long)])
-            .toDF("user_id", "closed_len", "last_ts_us")
+          val closed = sessionTimeoutStream(s, d, Some("events.parquet"))
           runToMemory(s, closed, "graft_stream_session_timeout",
             OutputMode.Append()).orderBy("user_id")
         } finally prev match {
