@@ -153,10 +153,22 @@ object Dedup extends QueryPack {
     * Zipf-small. Feeds both the Jaccard and the containment scorers. */
   private[operators] def pairCounts(
       s: SparkSession, sh: DataFrame,
-      maxDf: Int = MaxShingleDf): DataFrame = {
-    import s.implicits._
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      maxDf: Int = MaxShingleDf): DataFrame =
+    pairCountsGiven(s, sh, hotSet(sh, maxDf), maxDf)
+
+  /** The stop-shingle set (df > maxDf) — one full-corpus aggregate. */
+  private def hotSet(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
+
+  /** [[pairCounts]] with the hot set supplied by the caller: the hot
+    * aggregate appears in BOTH the ns and the pair-generation lineage,
+    * so an eager caller (the session store below) persists it and pays
+    * the corpus aggregate once instead of twice. */
+  private def pairCountsGiven(
+      s: SparkSession, sh: DataFrame, hot: DataFrame,
+      maxDf: Int): DataFrame = {
+    import s.implicits._
     val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
       .select(col("doc_id"), col("s")) // anti-join puts the key first
     val ns = capped.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -167,8 +179,20 @@ object Dedup extends QueryPack {
         if (ids.length > maxDf) Iterator.empty // hard bound; hot set is gone
         else {
           java.util.Arrays.sort(ids)
-          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-            yield (ids(i), ids(j))
+          // flat while-loop emission: the for-comprehension's nested
+          // iterator wrappers allocated per element on the hottest
+          // path of the kernel (millions of pairs per corpus)
+          new Iterator[(Long, Long)] {
+            private var i = 0
+            private var j = 1
+            def hasNext: Boolean = ids.length > 1 && i < ids.length - 1
+            def next(): (Long, Long) = {
+              val p = (ids(i), ids(j))
+              j += 1
+              if (j >= ids.length) { i += 1; j = i + 1 }
+              p
+            }
+          }
         }
       }
       .toDF("d1", "d2")
@@ -190,6 +214,28 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
 
+  // The shared-shingle pair-count table (d1, d2, c, nsh1, nsh2) over
+  // the default-capped shingle space feeds BOTH near-dup scorers
+  // (Jaccard and containment) — "one pair-count computation feeds both"
+  // is a session stage store, not just a comment. Bounded: distinct
+  // doc pairs sharing ≥ 1 capped shingle, ≤ Σ C(df,2) with df ≤ maxDf.
+  private val pairCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[operators] def pairCountsCached(
+      s: SparkSession, d: String): DataFrame =
+    pairCountCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val sh = shinglesCached(s, d)
+      // hot set persisted for the materialization (it sits in both the
+      // ns and pair-gen lineage — unpersisted, the corpus-wide df
+      // aggregate ran twice per build), released right after
+      val hot = hotSet(sh, MaxShingleDf).persist()
+      val r = pairCountsGiven(s, sh, hot, MaxShingleDf).persist()
+      r.count()
+      hot.unpersist()
+      r
+    })
+
   // The verified ≥ 0.5 near-dup pair set over the full corpus is read
   // by five queries (ngram_jaccard, lsh_eval, lsh_sweep, cluster,
   // keep_list) and each paid the posting-list pair kernel again. The
@@ -202,7 +248,12 @@ object Dedup extends QueryPack {
   private def jaccardPairsHalfCached(
       s: SparkSession, d: String): DataFrame =
     nearPairCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val r = jaccardPairs(s, shinglesCached(s, d), 0.5).persist()
+      val r = pairCountsCached(s, d)
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("nsh1") + col("nsh2") - col("c")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .persist()
       r.count()
       r
     })
@@ -226,15 +277,23 @@ object Dedup extends QueryPack {
     * Convergence is O(log diameter) via pointer jumping
     * (canonical := canonical(canonical) each round). */
   private[operators] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs.persist()
-    // Materialize the pair cache with ONE action before the edge
-    // union reads it twice: the union's two branches otherwise race
-    // to fill the same not-yet-populated cache and each computes the
-    // full upstream chain (measured: the init action cost ~2× the
-    // pair generation on its own).
-    pairs.count()
-    if (sys.env.contains("GRAFT_CC_TRACE"))
-      println(f"[cc] pairs done at ${System.nanoTime() / 1e9}%.2f")
+    // Both callers (cluster, keep-list) pass the session-cached,
+    // already-materialized near-pair store, so the edge union's two
+    // branches read a populated cache — no internal persist+count
+    // needed (it used to cost one full job per call). The label tables
+    // below are O(near-dup docs) — orders of magnitude smaller than
+    // the corpus — so the loop's shuffles run at 8 partitions: each
+    // round is fixed-cost-dominated (scheduling + codegen of a tiny
+    // exchange), and 32-way task fan-out only added overhead. At
+    // 100 TB the label table is still small relative to executors'
+    // parallelism appetite; raise via spark.sql.shuffle.partitions if
+    // a corpus ever grows a billion-node near-dup graph.
+    val pairs = rawPairs
+    val s = rawPairs.sparkSession
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partKey)
+    s.conf.set(partKey, "8")
+    try {
     val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
@@ -307,9 +366,9 @@ object Dedup extends QueryPack {
       if (sys.env.contains("GRAFT_CC_TRACE"))
         println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
     }
-    pairs.unpersist()
     edgeDf.unpersist()
     labels
+    } finally s.conf.set(partKey, prevParts)
   }
 
   /** (doc_id, distinct word-3-shingle set) — stateless map-side prep
@@ -854,7 +913,7 @@ object Dedup extends QueryPack {
     // on the max directional containment.
     "q_dedup_containment" -> GraftQuery(
       run = (s, d) =>
-        pairCounts(s, shinglesCached(s, d))
+        pairCountsCached(s, d)
           .withColumn("cont1",
             col("c").cast("double") / col("nsh1"))
           .withColumn("cont2",

@@ -33,11 +33,10 @@ object ClusterProfile {
       Dedup.shinglesCached(spark, d)
     }
     println(s"[cprof]   shingle rows = ${sh.count()}")
-    val pc = time("pairCounts") {
-      val r = Dedup.pairCounts(spark, sh).persist()
-      r.count()
-      r
+    val pc = time("pairCountsCached build") {
+      Dedup.pairCountsCached(spark, d)
     }
+    println(s"[cprof]   pair rows = ${pc.count()}")
     val pairs = time("jaccard filter") {
       val r = pc
         .withColumn("jaccard",
