@@ -111,6 +111,38 @@ object ScaleOps extends QueryPack {
                            / count(*), 4) AS skip_frac
         FROM files GROUP BY layout ORDER BY layout"""
 
+  /** Retraction-maintenance kernel over a prepared fact relation with
+    * columns (ym, o_orderpriority, rev, is_del, is_upd): base partials
+    * + signed per-row delta contributions, each reduced map-side,
+    * merged by keyed sum with the n > 0 gate. Factored out of
+    * `q_scale_mv_retract` so HotKeyStressSpec can drive it with a
+    * synthetic skewed fact — the map-side signed reduction is what
+    * keeps one hot (ym, priority) group from flooding the merge
+    * shuffle, and that claim is asserted with a meter, not prose. */
+  private[operators] def retractMaintain(
+      fact: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the stored view: partials over the pre-change corpus
+    val base = fact.groupBy("ym", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
+    // the change feed: signed per-row contributions, reduced
+    // map-side to per-key deltas before they meet the view
+    val delta = fact.filter(col("is_del") || col("is_upd"))
+      .select(col("ym"), col("o_orderpriority"),
+        when(col("is_del"), -1L).otherwise(0L).as("n"),
+        when(col("is_del"), -col("rev"))
+          .otherwise(expr("(rev * 9) div 10 - rev")).as("r"))
+      .groupBy("ym", "o_orderpriority")
+      .agg(sum(col("n")).as("n"), sum(col("r")).as("r"))
+    base.unionByName(delta)
+      .groupBy("ym", "o_orderpriority")
+      .agg(sum(col("n")).as("n_items"),
+        sum(col("r")).as("revenue_micro"))
+      .filter(col("n_items") > 0)
+      .select(col("ym"), col("o_orderpriority"), col("n_items"),
+        col("revenue_micro"),
+        expr("revenue_micro div n_items").as("avg_item_micro"))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- salted aggregation
@@ -322,27 +354,7 @@ object ScaleOps extends QueryPack {
           .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
             col("o_orderpriority"), revMicro.as("rev"),
             isDel.as("is_del"), isUpd.as("is_upd"))
-        // the stored view: partials over the pre-change corpus
-        val base = fact.groupBy("ym", "o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
-        // the change feed: signed per-row contributions, reduced
-        // map-side to per-key deltas before they meet the view
-        val delta = fact.filter(col("is_del") || col("is_upd"))
-          .select(col("ym"), col("o_orderpriority"),
-            when(col("is_del"), -1L).otherwise(0L).as("n"),
-            when(col("is_del"), -col("rev"))
-              .otherwise(expr("(rev * 9) div 10 - rev")).as("r"))
-          .groupBy("ym", "o_orderpriority")
-          .agg(sum(col("n")).as("n"), sum(col("r")).as("r"))
-        base.unionByName(delta)
-          .groupBy("ym", "o_orderpriority")
-          .agg(sum(col("n")).as("n_items"),
-            sum(col("r")).as("revenue_micro"))
-          .filter(col("n_items") > 0)
-          .select(col("ym"), col("o_orderpriority"), col("n_items"),
-            col("revenue_micro"),
-            expr("revenue_micro div n_items").as("avg_item_micro"))
-          .orderBy("ym", "o_orderpriority")
+        retractMaintain(fact).orderBy("ym", "o_orderpriority")
       },
       oracle = Some("""
         WITH f AS (

@@ -230,6 +230,37 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     }
   }
 
+  test("MV retraction keeps the merge shuffle bounded under a 100× hot view key") {
+    import spark.implicits._
+    // One (ym, priority) group carries 100× the rows of every other
+    // group — the Black-Friday month of a revenue view. The signed
+    // per-row contributions MUST reduce map-side: the merge shuffle
+    // then carries O(partitions × |groups|) partial rows, not the
+    // hot group's row count. 200k hot + 2k cold input rows, every
+    // third row a delete/update; an unreduced shuffle would carry
+    // ≥ 200k × ~40 B ≈ 8 MB — assert the whole run stays under 1 MB.
+    val n = 202000L
+    val fact = spark.range(n).select(
+      when(col("id") < 200000L, lit("1997-11"))
+        .otherwise(concat(lit("1998-"),
+          lpad((col("id") % 9 + 1).cast("string"), 2, "0"))).as("ym"),
+      (col("id") % 2).cast("string").as("o_orderpriority"),
+      (col("id") % 1000 + 1).as("rev"),
+      (col("id") % 3 === 0).as("is_del"),
+      (col("id") % 3 === 1).as("is_upd"))
+    var out: Array[org.apache.spark.sql.Row] = Array.empty
+    val m = graft.ShuffleMeter.measure(spark) {
+      out = ScaleOps.retractMaintain(fact).collect()
+    }
+    // correctness under skew: the hot group survives with the exact
+    // post-CDC count (2/3 of its rows deleted... is_del drops 1/3)
+    val hot = out.filter(r => r.getString(0) == "1997-11")
+    hot.length shouldBe 2 // two priorities
+    hot.map(_.getLong(2)).sum shouldBe (200000L * 2 / 3) +- 2
+    m.shuffleWrite should be > 0L
+    m.shuffleWrite should be < (1L << 20)
+  }
+
   test("pair emission is bounded by cap² per bucket, not df²") {
     import spark.implicits._
     // every bucket exactly at the cap: emission = buckets · cap·(cap−1)/2

@@ -361,6 +361,24 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     pr should include ("partial_sum")
   }
 
+  test("streaming MV twins merge the store in one map-side-combined exchange") {
+    assume(haveData)
+    // The read-time merge over the batch_id-partitioned partial store
+    // must be a single hash-aggregate pass: partial_sum map-side, ONE
+    // hash exchange of |groups|-sized partials, final aggregate — no
+    // join, no second view-key exchange. Building the plan executes
+    // the stream (sf0.001, a few micro-batches) — the merge plan is
+    // only constructible against a populated store.
+    Seq("q_stream_mv_maintain", "q_stream_mv_retract").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+        p should include ("partial_sum")
+        p should not include "Join"
+      }
+    }
+  }
+
   test("binary-Hamming stage 1 shuffles only the top-k survivors") {
     assume(haveData)
     // sign packing and the Hamming scan are map-side (query batch
