@@ -278,12 +278,14 @@ object TextAnalysis extends QueryPack {
            CASE WHEN mstart = 1 THEN l || r ELSE sym END AS sym
     FROM cons$k WHERE consumed = 0)"""
 
-  private val bpeBaseCte = """
+  private val wordsCte = """
   words AS (
     SELECT w, count(*) AS freq FROM (
       SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
       FROM documents)
-    GROUP BY w),
+    GROUP BY w)"""
+
+  private val bpeBaseCte = wordsCte + """,
   syms0 AS (
     SELECT w, freq, i - 1 AS pos, substr(w, i, 1) AS sym
     FROM words,
@@ -323,6 +325,152 @@ SELECT d.doc_id,
        END AS compression
 FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer oracle generation. The trainer
+  // ([[UnigramTrainer]]) is Viterbi inference + hard-EM prune rounds,
+  // every quantity on an integer grid — so, like the BPE session, the
+  // WHOLE training unrolls into generated SQL: a 12-position DP block
+  // per round (candidate key = (Σcost·32 + n)·8 + (4−len): min() gives
+  // the Viterbi value AND the longest-piece tie-break in one integer),
+  // a single-path recursive walk reconstructs each word's segmentation
+  // from the per-position best-length table, usage counts refit the
+  // piece frequencies, and the relative prune floor keeps or drops
+  // pieces. Both unigram queries and the tokenizer-comparison query
+  // are hash-checked end to end.
+  private val UniMaxW = UnigramTrainer.MaxWordLen
+
+  /** One Viterbi DP block over `words` with vocabulary `voc`
+    * (columns p, f); defines dp${tag}_k, bp$tag, path$tag (recursive),
+    * pieces$tag. */
+  private def uniDpBlock(tag: String, voc: String): String = {
+    val stages = (1 to UniMaxW).map { k =>
+      val cands = (1 to math.min(4, k)).map { l =>
+        s"""SELECT d.w,
+               (d.dv + (40 - (length(bin(greatest(v.f, 1))) - 1)) * 32 + 1)
+                 * 8 + ${4 - l} AS ck
+            FROM dp${tag}_${k - l} d JOIN $voc v
+              ON length(d.w) >= $k
+                 AND v.p = substr(d.w, ${k - l + 1}, $l)"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""
+  dp${tag}_$k AS MATERIALIZED (
+    SELECT w, min(ck) // 8 AS dv, 4 - (min(ck) % 8) AS bl
+    FROM ($cands) GROUP BY w)"""
+    }.mkString(",")
+    val bp = (1 to UniMaxW).map(k =>
+      s"SELECT w, CAST($k AS BIGINT) AS pos, CAST(bl AS BIGINT) AS bl " +
+        s"FROM dp${tag}_$k").mkString("\n    UNION ALL\n    ")
+    s"""
+  dp${tag}_0 AS MATERIALIZED (
+    SELECT w, CAST(0 AS BIGINT) AS dv, 0 AS bl FROM words),$stages,
+  bp$tag AS MATERIALIZED (
+    $bp),
+  path$tag AS (
+    SELECT w, CAST(length(w) AS BIGINT) AS pos FROM words
+    WHERE length(w) >= 1
+    UNION ALL
+    SELECT p.w, p.pos - b.bl FROM path$tag p
+    JOIN bp$tag b ON b.w = p.w AND b.pos = p.pos
+    WHERE p.pos - b.bl > 0),
+  pieces$tag AS MATERIALIZED (
+    SELECT p.w,
+           substr(p.w, CAST(p.pos - b.bl + 1 AS INT), CAST(b.bl AS INT))
+             AS piece
+    FROM path$tag p JOIN bp$tag b ON b.w = p.w AND b.pos = p.pos)"""
+  }
+
+  /** Seed vocabulary: every 1..4-gram; len ≥ 2 needs weighted freq ≥
+    * the floor, single chars unconditional (never prunable). */
+  private val uniBaseCte = s"""
+  usubs AS (
+    SELECT substr(w, i, l) AS p, sum(freq) AS f
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) ti,
+         LATERAL (SELECT unnest([1, 2, 3, 4]) AS l) tl
+    WHERE i + l - 1 <= length(w)
+    GROUP BY 1),
+  voc0 AS MATERIALIZED (SELECT p, CAST(f AS BIGINT) AS f FROM usubs
+           WHERE length(p) = 1 OR f >= ${UnigramTrainer.MinSeedFreq}),
+  uchars AS (SELECT p FROM voc0 WHERE length(p) = 1)"""
+
+  /** One hard-EM round: segment with voc${r−1}, refit usage, prune. */
+  private def uniRound(r: Int): String =
+    uniDpBlock(r.toString, s"voc${r - 1}") + s""",
+  usage$r AS MATERIALIZED (SELECT piece AS p, CAST(sum(wd.freq) AS BIGINT) AS f
+              FROM pieces$r pc JOIN words wd ON wd.w = pc.w GROUP BY 1),
+  tot$r AS (SELECT sum(f) AS t FROM usage$r),
+  voc$r AS MATERIALIZED (
+    SELECT u.p, u.f FROM usage$r u CROSS JOIN tot$r
+    WHERE length(u.p) >= 2 AND u.f * 10000 >= t
+    UNION ALL
+    SELECT c.p, coalesce(u.f, CAST(0 AS BIGINT)) AS f
+    FROM uchars c LEFT JOIN usage$r u ON u.p = c.p)"""
+
+  private val uniTrainCtes =
+    uniBaseCte + "," + (1 to UnigramTrainer.Rounds).map(uniRound).mkString(",")
+
+  private val uniFinalVoc = s"voc${UnigramTrainer.Rounds}"
+
+  private val uniTrainOracle: String =
+    "WITH RECURSIVE" + wordsCte + "," + uniTrainCtes + s"""
+SELECT p AS piece, CAST(length(p) AS INT) AS piece_len, f AS freq
+FROM $uniFinalVoc ORDER BY freq DESC, piece"""
+
+  private val uniEncodeOracle: String =
+    "WITH RECURSIVE" + wordsCte + "," + uniTrainCtes + "," +
+      uniDpBlock("3", uniFinalVoc) + s""",
+  ufin AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+           FROM path3 GROUP BY w),
+  occw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents),
+  perdoc AS (
+    SELECT o.doc_id,
+           CAST(sum(length(o.w)) AS BIGINT) AS chars_in,
+           CAST(sum(f.n_tok) AS BIGINT) AS tokens_out
+    FROM occw o JOIN ufin f ON f.w = o.w
+    GROUP BY o.doc_id)
+SELECT d.doc_id,
+       coalesce(p.chars_in, 0) AS chars_in,
+       coalesce(p.tokens_out, 0) AS tokens_out,
+       CASE WHEN coalesce(p.chars_in, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round_even(10000.0 * p.tokens_out / p.chars_in, 0)
+                 / 10000.0
+       END AS compression
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+  /** Both tokenizers, one table: the corpus-level fertility /
+    * compression comparison (the number a tokenizer choice is actually
+    * judged by). Combines the BPE 8-stage unroll and the unigram
+    * train+encode unroll in one statement. */
+  private val uniCmpOracle: String =
+    "WITH RECURSIVE" + bpeBaseCte + "," + bpeStagesCte + "," +
+      uniTrainCtes + "," + uniDpBlock("3", uniFinalVoc) + s""",
+  bfin AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+           FROM syms$BpeK GROUP BY w),
+  ufin AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+           FROM path3 GROUP BY w),
+  tots AS (SELECT CAST(sum(freq) AS BIGINT) AS total_words,
+                  CAST(sum(freq * length(w)) AS BIGINT) AS total_chars
+           FROM words),
+  bt AS (SELECT CAST(sum(wd.freq * f.n_tok) AS BIGINT) AS total_tokens
+         FROM words wd JOIN bfin f ON f.w = wd.w),
+  ut AS (SELECT CAST(sum(wd.freq * f.n_tok) AS BIGINT) AS total_tokens
+         FROM words wd JOIN ufin f ON f.w = wd.w)
+SELECT * FROM (
+  SELECT 'bpe' AS tokenizer, total_words, total_tokens,
+         total_tokens * 1000 // total_words AS fertility_milli,
+         total_chars * 1000 // total_tokens AS chars_per_token_milli
+  FROM tots, bt WHERE total_words > 0 AND total_tokens > 0
+  UNION ALL
+  SELECT 'unigram', total_words, total_tokens,
+         total_tokens * 1000 // total_words,
+         total_chars * 1000 // total_tokens
+  FROM tots, ut WHERE total_words > 0 AND total_tokens > 0)
+ORDER BY tokenizer"""
 
   val queries: Map[String, GraftQuery] = Map(
 
@@ -1363,6 +1511,74 @@ ORDER BY d.doc_id"""
         BpeTrainer.encode(s, Tables.documents(s, d), merges)
       },
       oracle = Some(bpeEncodeOracle)),
+
+    // --------------------- unigram-LM tokenizer training (prune rounds)
+    // The OTHER tokenizer family (SentencePiece-style): seed with all
+    // frequent substrings, then hard-EM rounds of Viterbi segmentation
+    // + usage refit + relative-floor pruning — see [[UnigramTrainer]].
+    // Fully hash-checked: the whole train unrolls into the generated
+    // DP oracle above.
+    "q_text_unigram_train" -> GraftQuery(
+      run = (s, d) => {
+        val v = UnigramTrainer.trainCached(s, d, Tables.documents(s, d))
+        import s.implicits._
+        v.toDF("piece", "piece_len", "freq")
+          .orderBy(col("freq").desc, col("piece"))
+      },
+      oracle = Some(uniTrainOracle)),
+
+    // -------------------- unigram encoding with the trained vocabulary
+    // Same per-document output contract as q_text_bpe_encode so the two
+    // tokenizers' compression is directly comparable row by row.
+    "q_text_unigram_encode" -> GraftQuery(
+      run = (s, d) => UnigramTrainer.encode(s, Tables.documents(s, d),
+        UnigramTrainer.trainCached(s, d, Tables.documents(s, d))),
+      oracle = Some(uniEncodeOracle)),
+
+    // ------------------------- tokenizer comparison (fertility table)
+    // BPE vs unigram on the SAME corpus: fertility (tokens per word)
+    // and chars per token, in milli-units — the table a tokenizer
+    // choice is budgeted from. Both token counts are per-VOCAB-word
+    // (each tokenizer's per-word token count times corpus occurrence),
+    // so the comparison costs two broadcast-encode passes over the
+    // Zipf-bounded word table, never the corpus.
+    "q_text_tokenizer_cmp" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = BpeTrainer.trainCached(s, d, docs, BpeK)
+          .map(m => (m.left, m.right))
+        val vocab = UnigramTrainer.trainCached(s, d, docs)
+          .map(p => p.piece -> p.freq).toMap
+        val mergesBc = s.sparkContext.broadcast(merges)
+        val vocabBc = s.sparkContext.broadcast(vocab)
+        val sums = UnigramTrainer.wordTable(s, docs).as[(String, Long)]
+          .map { case (w, f) =>
+            var sym = w.map(_.toString).toArray
+            mergesBc.value.foreach { case (l, r) =>
+              sym = BpeTrainer.mergeSeq(sym, l, r)
+            }
+            val uni = UnigramTrainer.viterbi(w, vocabBc.value).length
+            (f, f * w.length, f * sym.length, f * uni.toLong)
+          }
+          .toDF("words", "chars", "bpe_tokens", "uni_tokens")
+          .agg(sum("words").as("w"), sum("chars").as("c"),
+            sum("bpe_tokens").as("b"), sum("uni_tokens").as("u"))
+          .head()
+        val rows =
+          if (sums.isNullAt(0) || sums.getLong(0) == 0L) Seq.empty
+          else {
+            val (w, c, b, u) = (sums.getLong(0), sums.getLong(1),
+              sums.getLong(2), sums.getLong(3))
+            Seq(("bpe", w, b, b * 1000 / w, c * 1000 / b),
+              ("unigram", w, u, u * 1000 / w, c * 1000 / u))
+              .filter(r => r._3 > 0)
+          }
+        rows.toDF("tokenizer", "total_words", "total_tokens",
+          "fertility_milli", "chars_per_token_milli")
+          .orderBy("tokenizer")
+      },
+      oracle = Some(uniCmpOracle)),
 
     // --------------------------------------- content-defined chunking
     // Rabin-style content-defined chunk boundaries (the storage-dedup /

@@ -67,7 +67,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_binary_hamming", "q_graph_kcore", "q_scale_mv_maintain",
     "q_scale_hilbert",
     "q_window_anomaly", "q_text_lexical", "q_scale_observe",
-    "q_window_markov", "q_scale_mv_retract")
+    "q_window_markov", "q_scale_mv_retract",
+    "q_text_unigram_train", "q_text_unigram_encode",
+    "q_text_tokenizer_cmp")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

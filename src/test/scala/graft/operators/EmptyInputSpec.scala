@@ -102,7 +102,12 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // (obs.get returns count 0 / null aggregates — the literal-row
     // build must tolerate nulls)
     "q_window_anomaly", "q_text_lexical", "q_scale_observe",
-    "q_window_markov", "q_scale_mv_retract")
+    "q_window_markov", "q_scale_mv_retract",
+    // r7: the unigram tokenizer triple — a zero-word corpus must yield
+    // an empty vocab (no unreachable-position require), empty encode,
+    // and a zero-row comparison (the div guards on total_words/tokens)
+    "q_text_unigram_train", "q_text_unigram_encode",
+    "q_text_tokenizer_cmp")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
