@@ -83,6 +83,7 @@ object Bench {
     // would hide it exactly like the ms chain's
     val cacheBuilders = (n: String) =>
       n.startsWith("q_ms_") || n.startsWith("q_text_bpe_") ||
+        n == "q_text_tokenizer_cmp" || // first consumer: builds the unigram vocab cache
         n == "q_dedup_cluster" || // builds the shingle-row + near-pair caches
         n == "q_dedup_lsh_eval" || // builds the shingle-SET cache
         n == "q_dedup_index_store" || // first pass writes the band store

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve measurement: run the heaviest kernels at sf0.1 AND at
+  * a synthesized ~10× replica, and report per-query wall-clock ratios —
+  * the executable form of "would this hold at the next order of
+  * magnitude". Emits ONE JSON line (saved as BENCH_SCALE_rNN.json).
+  *
+  * The replica is built once under target/ by unioning 10 key-offset
+  * copies of the sf0.1 tables:
+  *   - documents: doc_id offset; each copy's TEXT is alphabet-rotated,
+  *     so copies are vocabulary-disjoint — the near-dup pair structure
+  *     scales linearly (10 independent corpora), which is the honest
+  *     scaling shape: a corpus with 10× literal duplication would
+  *     inflate the pair set quadratically by DATA, telling nothing
+  *     about the ALGORITHM;
+  *   - lineitem/orders: order keys offset (join cardinality linear),
+  *     part keys offset (the co-purchase graph grows 10 disjoint
+  *     subgraphs — nodes and edges linear);
+  *   - embeddings: vec_id offset, vectors reused (ANN cost is driven
+  *     by corpus size and list structure, not vector novelty).
+  *
+  * Queries run in a fixed order at each scale so session stage caches
+  * (shingles, near-pairs, edges) are built by the same query at both
+  * points — ratios then compare like against like, build included.
+  */
+object BenchScale {
+
+  private val Copies = 10
+  private val KeyOff = 10000000L
+
+  private def rotated(i: Int): String = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    a.drop(i) + a.take(i)
+  }
+
+  private def buildReplica(
+      s: SparkSession, smallDir: String, bigDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$bigDir/_ALL_TABLES_DONE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_.unionByName(_))
+
+    val docs = s.read.parquet(s"$smallDir/documents.parquet")
+    copies(docs, (d, i) => d.select(
+      (col("doc_id") + i * KeyOff).as("doc_id"),
+      translate(col("text"), rotated(0), rotated(i)).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    val li = s.read.parquet(s"$smallDir/lineitem.parquet")
+    copies(li, (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + i * KeyOff)
+      .withColumn("l_partkey", col("l_partkey") + i * KeyOff))
+      .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+
+    val ord = s.read.parquet(s"$smallDir/orders.parquet")
+    copies(ord, (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + i * KeyOff))
+      .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+
+    val emb = s.read.parquet(s"$smallDir/embeddings.parquet")
+    copies(emb, (d, i) => d
+      .withColumn("vec_id", col("vec_id") + i * KeyOff))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    fs.create(marker, true).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = args.headOption.getOrElse("/root/repo/target/scale10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildReplica(spark, smallDir, bigDir)
+
+    // warm: codegen + both dirs' footers
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    Seq(smallDir, bigDir).foreach { d =>
+      Seq("documents", "lineitem", "orders", "embeddings").foreach { t =>
+        spark.read.parquet(s"$d/$t.parquet").count()
+      }
+    }
+
+    // the same CPU-bound load canary Bench uses: ambient box load is
+    // the #1 way a scaling ratio lies
+    @volatile var sink = 0L
+    def canary(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until 8).map(_ => new Thread(() => {
+          var x = 0L; var i = 0L
+          while (i < 100000000L) { x ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+          sink = x
+        }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
+    canary() // JIT
+    val canaryStart = canary()
+
+    val qs = Seq( // fixed order: cache builders first, same at both scales
+      "q_dedup_cluster", // builds shingle rows + pair-count + near-pair caches
+      "q_dedup_minhash_lsh", // builds the shingle-SET cache
+      "q_graph_triangles", // builds the co-purchase edge cache
+      "q_sim_ivfpq",
+      "q_scale_mv_maintain")
+    def timeAll(dir: String): Seq[(String, Double)] = qs.map { q =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      q -> (System.nanoTime() - t0) / 1e9
+    }
+    val small = timeAll(smallDir).toMap
+    val canaryMid = canary()
+    val big = timeAll(bigDir).toMap
+    // drop the 10× session caches before the closing probe: the canary
+    // measures AMBIENT load, and residual GC over ~20M cached rows in
+    // this same JVM would read as a loaded box
+    spark.catalog.clearCache()
+    System.gc()
+    val canaryEnd = canary()
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val rows = Seq("documents", "lineitem", "embeddings").map { t =>
+      val a = spark.read.parquet(s"$smallDir/$t.parquet").count()
+      val b = spark.read.parquet(s"$bigDir/$t.parquet").count()
+      "\"" + t + "\":{\"small\":" + a + ",\"big\":" + b + "}"
+    }.mkString("{", ",", "}")
+    val perQ = qs.map { q =>
+      "\"" + q + "\":{\"small\":" + r3(small(q)) + ",\"big\":" + r3(big(q)) +
+        ",\"ratio\":" + r3(big(q) / small(q)) + "}"
+    }.mkString("{", ",", "}")
+    val cj = s"""{"start":${r3(canaryStart)},"mid":${r3(canaryMid)},"end":${r3(
+        canaryEnd)},"ratio":${r3(
+        math.max(canaryMid, canaryEnd) / canaryStart)}}"""
+    println(s"""{"metric":"scale_curve","factor":$Copies,"queries":$perQ,"rows":$rows,"canary":$cj,"small":"$smallDir","big":"$bigDir"}""")
+    spark.stop()
+  }
+}
