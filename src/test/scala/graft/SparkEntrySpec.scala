@@ -26,11 +26,11 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   test("registry names follow the q_ convention and are non-empty") {
     SparkEntry.queries.keys.foreach(_ should startWith("q_"))
-    // locked to the round-3 registry: a silently dropped pack (a Map
+    // locked to the round-7 registry: a silently dropped pack (a Map
     // key collision, a pack removed from SparkEntry.packs) shrinks
     // these counts before anything else notices
-    SparkEntry.queries.size should be >= 141
-    SparkEntry.oracleSql.size should be >= 133
+    SparkEntry.queries.size should be >= 249
+    SparkEntry.oracleSql.size should be >= 247
   }
 
   test("flagship entry returns rows on the smoke scale factor") {
