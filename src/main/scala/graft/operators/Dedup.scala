@@ -277,10 +277,13 @@ object Dedup extends QueryPack {
     * Convergence is O(log diameter) via pointer jumping
     * (canonical := canonical(canonical) each round). */
   private[operators] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
-    // Both callers (cluster, keep-list) pass the session-cached,
-    // already-materialized near-pair store, so the edge union's two
-    // branches read a populated cache — no internal persist+count
-    // needed (it used to cost one full job per call). The label tables
+    // rawPairs arrives LAZY from both callers: cluster's is a cheap
+    // filter over the cached pair-count store, and keep-list's edge
+    // union measured FASTER recomputed in the first job's two
+    // direction branches than persisted here (see its comment) — no
+    // internal persist+count (it used to cost one full job per call,
+    // and for keep-list a 2.5 s cache-materialization penalty on top).
+    // The label tables
     // below are O(near-dup docs) — orders of magnitude smaller than
     // the corpus — so the loop's shuffles run at 8 partitions: each
     // round is fixed-cost-dominated (scheduling + codegen of a tiny
@@ -1366,6 +1369,12 @@ object Dedup extends QueryPack {
         val nearFlag = nearPairs.select(col("d1").as("doc_id"))
           .unionByName(nearPairs.select(col("d2").as("doc_id")))
           .distinct().withColumn("flag", lit(1L))
+        // Deliberately LAZY: the edge union is read twice inside the
+        // CC's first job (the two direction branches), but measured
+        // A/B (r7), persist+count here was 2.5 s SLOWER than the
+        // duplicate compute — materializing this cache inside the CC's
+        // 8-partition window serializes the md5 groupBys onto 8 tasks,
+        // while the lazy branches pipeline at full width
         val edges = exPairs.unionByName(urlPairs).unionByName(nearPairs)
           .distinct()
         val labels = minLabelComponents(edges)
