@@ -381,6 +381,66 @@ object Similarity extends QueryPack {
         SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ---------------------------------- reciprocal nearest neighbors
+    // Mutual-top-1 pair mining with the Artetxe-Schwenk-style margin
+    // (top-1 cosine over the mean of the top-3) — the bitext-mining /
+    // alignment primitive: a pair is trusted when each side is the
+    // OTHER's nearest neighbor and the margin shows the match stands
+    // out from the local density. Neighborhoods are computed within
+    // coarse lists (the label column, standing in for IVF
+    // assignments), so the pair volume is Σ|list|² — the bounded
+    // lists-as-partitions shape, never a corpus cross join; one
+    // shuffle on the list key, pairs close in-partition.
+    "q_sim_reciprocal_nn" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = vecs(s, d)
+        val pairs = all.as("q").join(all.as("c"),
+            col("q.label") === col("c.label") &&
+              col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("a"), col("c.vec_id").as("b"),
+            col("q.label").as("label"), cosExpr.as("cosine"))
+        val ranked = pairs.withColumn("rank", row_number().over(
+            Window.partitionBy("a").orderBy(col("cosine").desc, col("b"))))
+          .filter(col("rank") <= 3)
+        val agg = ranked.groupBy(col("a"), col("label"))
+          .agg(max(when(col("rank") === 1, col("b"))).as("nn"),
+            max(when(col("rank") === 1, col("cosine"))).as("cos1"),
+            (sum(col("cosine")) / count(lit(1))).as("denom"))
+        agg.as("x").join(agg.as("y"),
+            col("x.nn") === col("y.a") && col("y.nn") === col("x.a") &&
+              col("x.a") < col("y.a"))
+          .select(col("x.a").as("v1"), col("y.a").as("v2"),
+            col("x.label").as("label"),
+            round(col("x.cos1"), 4).as("cosine"),
+            round(col("x.cos1") / col("x.denom"), 4).as("margin1"),
+            round(col("y.cos1") / col("y.denom"), 4).as("margin2"))
+          .orderBy("v1")
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                        min(a.label) AS label, sum(a.x*b.x) AS dot
+                 FROM u a JOIN u b ON b.i = a.i AND b.label = a.label
+                                      AND b.vec_id <> a.vec_id
+                 GROUP BY a.vec_id, b.vec_id),
+        cosd AS (SELECT qa, qb, label, dot/(na.nrm*nb.nrm) AS cosine
+                 FROM dots JOIN nrm na ON na.vec_id = qa
+                           JOIN nrm nb ON nb.vec_id = qb),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY qa
+                     ORDER BY cosine DESC, qb) AS rank FROM cosd),
+        agg AS (SELECT qa, min(label) AS label,
+                       max(CASE WHEN rank = 1 THEN qb END) AS nn,
+                       max(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+                       sum(cosine)/count(*) AS denom
+                FROM ranked WHERE rank <= 3 GROUP BY qa)
+        SELECT x.qa AS v1, y.qa AS v2, x.label AS label,
+               round(x.cos1, 4) AS cosine,
+               round(x.cos1/x.denom, 4) AS margin1,
+               round(y.cos1/y.denom, 4) AS margin2
+        FROM agg x JOIN agg y ON x.nn = y.qa AND y.nn = x.qa AND x.qa < y.qa
+        ORDER BY v1""")),
+
     // ----------------------------------------------------------- IVF top-k
     // Coarse quantizer = per-label positional-mean centroids; each query
     // probes its nearest centroid's list only.

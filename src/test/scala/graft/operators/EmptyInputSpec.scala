@@ -107,7 +107,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // an empty vocab (no unreachable-position require), empty encode,
     // and a zero-row comparison (the div guards on total_words/tokens)
     "q_text_unigram_train", "q_text_unigram_encode",
-    "q_text_tokenizer_cmp")
+    "q_text_tokenizer_cmp",
+    "q_sim_reciprocal_nn")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
