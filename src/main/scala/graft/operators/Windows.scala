@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Windows extends QueryPack {
 
+  /** Oracle for the conversion funnel — shared verbatim with its
+    * streaming twin (`q_stream_funnel`): the stateful greedy fold must
+    * bucket every user exactly as the batch min-join form does. */
+  val funnelOracleSql: String = """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id AS user_id, min(us) AS t_click
+              FROM e JOIN v ON v.user_id = e.user_id
+              WHERE event_type = 'click' AND us > t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id AS user_id, min(us) AS t_purchase
+              FROM e JOIN c ON c.user_id = e.user_id
+              WHERE event_type = 'purchase' AND us > t_click
+              GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
+                    WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+               count(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1 ORDER BY 1"""
+
   /** Oracle for the rolling z-score anomaly gate — shared verbatim with
     * its streaming twin (`q_stream_anomaly`): the stateful ring-buffer
     * form must not move a single flagged row relative to the window
@@ -185,27 +210,7 @@ object Windows extends QueryPack {
           .agg(count(lit(1)).as("n_users"))
           .orderBy("funnel_depth")
       },
-      oracle = Some("""
-        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
-                   FROM events),
-        v AS (SELECT user_id, min(us) AS t_view FROM e
-              WHERE event_type = 'view' GROUP BY user_id),
-        c AS (SELECT e.user_id AS user_id, min(us) AS t_click
-              FROM e JOIN v ON v.user_id = e.user_id
-              WHERE event_type = 'click' AND us > t_view
-              GROUP BY e.user_id),
-        p AS (SELECT e.user_id AS user_id, min(us) AS t_purchase
-              FROM e JOIN c ON c.user_id = e.user_id
-              WHERE event_type = 'purchase' AND us > t_click
-              GROUP BY e.user_id),
-        u AS (SELECT DISTINCT user_id FROM e)
-        SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
-                    WHEN t_click IS NOT NULL THEN 2
-                    WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
-               count(*) AS n_users
-        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-               LEFT JOIN p USING (user_id)
-        GROUP BY 1 ORDER BY 1""")),
+      oracle = Some(funnelOracleSql)),
 
     // ------------------------------------ distribution window functions
     // percent_rank / cume_dist over a per-priority price ordering — the

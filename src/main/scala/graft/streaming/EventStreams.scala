@@ -25,6 +25,12 @@ final case class UserSessions(
   * carried across micro-batches. */
 final case class AnomalyRing(vs: Seq[Long])
 
+/** Greedy funnel progress for one user (µs timestamps, −1 = stage not
+  * reached): t_view = first view, t_click = first click strictly after
+  * t_view, t_purchase = first purchase strictly after t_click — three
+  * longs of state per user, carried across micro-batches. */
+final case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long)
+
 /** The sessionizer on Spark 4's arbitrary-state API
   * (`transformWithState`): one `ValueState[UserSessions]` per user,
   * advanced by the same fold as the `mapGroupsWithState` form. The two
@@ -330,6 +336,55 @@ object EventStreams extends QueryPack {
         TimeMode.None(), OutputMode.Update(),
         org.apache.spark.sql.Encoders.product[(Long, Int, Int, Int)])
       .toDF("user_id", "n_sessions", "n_events", "longest_session")
+  }
+
+  /** The streaming conversion funnel: per-user [[FunnelState]] (three
+    * longs) advanced by a greedy time-ordered fold — first view, first
+    * click strictly after it, first purchase strictly after that. The
+    * greedy fold equals the batch min-join form (q_window_funnel) on
+    * any time-ordered replay: t_view is the global min view time, so
+    * every later qualifying click seen in order IS the min qualifying
+    * click, and so on down the funnel. Emits each user's current depth
+    * per batch (Update). Public so specs can drive the cross-batch
+    * carry (a click in batch 2 must qualify against batch 1's view). */
+  def funnelStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // µs grid + event_id tie-break: the same ordering contract as
+          // the anomaly fold (ns-typed shipments must not reorder)
+          events.toSeq.sortBy(e => (e.ts / 1000, e.event_id)).foreach { e =>
+            val us = e.ts / 1000
+            e.event_type match {
+              case "view" if st.t_view < 0 =>
+                st = st.copy(t_view = us)
+              case "click" if st.t_click < 0 && st.t_view >= 0 &&
+                  us > st.t_view =>
+                st = st.copy(t_click = us)
+              case "purchase" if st.t_purchase < 0 && st.t_click >= 0 &&
+                  us > st.t_click =>
+                st = st.copy(t_purchase = us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          val depth =
+            if (st.t_purchase >= 0) 3
+            else if (st.t_click >= 0) 2
+            else if (st.t_view >= 0) 1
+            else 0
+          (user, depth)
+      }
+      .toDF("user_id", "funnel_depth")
   }
 
   /** The event-time-timer session-closer stream (requires the RocksDB
@@ -792,6 +847,24 @@ object EventStreams extends QueryPack {
           .orderBy("user_id")
       },
       oracle = Some(sessionOracleSql)),
+
+    // ------------------------- streaming conversion funnel (3 longs/user)
+    // The batch funnel (q_window_funnel) as a continuous pipeline: a
+    // user's conversion stage updates as events arrive instead of
+    // re-scanning history — the live conversion dashboard shape. State
+    // is THREE longs per user regardless of event volume; the batch
+    // oracle is shared verbatim (one AvailableNow replay buckets every
+    // user identically to the min-join form). The read-time depth
+    // histogram aggregates the per-user emissions.
+    "q_stream_funnel" -> GraftQuery(
+      run = (s, d) => {
+        val depths = funnelStream(s, d, Some("events.parquet"))
+        runToMemory(s, depths, "graft_stream_funnel", OutputMode.Update())
+          .groupBy("funnel_depth")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_depth")
+      },
+      oracle = Some(graft.operators.Windows.funnelOracleSql)),
 
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute

@@ -129,7 +129,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       "q_stream_static_join", "q_stream_outer_join",
       "q_stream_admission", "q_stream_video_admission",
       "q_stream_index_upsert", "q_stream_mv_maintain",
-      "q_stream_anomaly", "q_stream_mv_retract").foreach { q =>
+      "q_stream_anomaly", "q_stream_mv_retract",
+      "q_stream_funnel").foreach { q =>
       withClue(q) {
         noException should be thrownBy
           SparkEntry.queries(q)(spark, emptyDir).count()

@@ -90,6 +90,42 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("funnel progress carries across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-funnel").toString
+    // batch 1: user 1 views; user 2 clicks (no view yet — must NOT
+    // count: the funnel is ordered)
+    Seq((1L, 10L * minNs, 1L, "view", 1.0, "{}"),
+      (2L, 10L * minNs, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+    // batch 2: user 1's click then purchase qualify against the CARRIED
+    // t_view/t_click; user 2's view starts the funnel but its earlier
+    // click never retro-qualifies
+    Seq((3L, 20L * minNs, 1L, "click", 1.0, "{}"),
+      (4L, 30L * minNs, 1L, "purchase", 1.0, "{}"),
+      (5L, 20L * minNs, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+
+    val q = EventStreams
+      .funnelStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .writeStream.queryName("graft_stream_funnel_spec").format("memory")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last emission per user wins (Update mode appends per batch);
+    // depth is monotone, so max == last
+    val fin = spark.table("graft_stream_funnel_spec")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("funnel_depth").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fin(1L) shouldBe 3 // view(b1) → click(b2) → purchase(b2), carried
+    fin(2L) shouldBe 1 // click-before-view never counts
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("anomaly ring carries across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-anom").toString
