@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation pipelines.
@@ -472,6 +473,85 @@ SELECT * FROM (
   FROM tots, ut WHERE total_words > 0 AND total_tokens > 0)
 ORDER BY tokenizer"""
 
+  /** Stopword-lexicon language predictions — the first "annotator":
+    * per-doc hit counts + argmax with the en > de > fr tie order.
+    * Shared by q_text_langid, q_text_langid_eval, and q_text_kappa. */
+  private def langidPreds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("en_hits", size(filter(col("ws"), w => w.isin(stopEn: _*))))
+      .withColumn("de_hits", size(filter(col("ws"), w => w.isin(stopDe: _*))))
+      .withColumn("fr_hits", size(filter(col("ws"), w => w.isin(stopFr: _*))))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+
+  /** Held-out predictions of the word-count classifier — the second
+    * "annotator": 80/20 md5-bucket split, per-class training-token
+    * scores, argmax with (score desc, class) tie order, 'de' fallback
+    * for empty-vocabulary docs. Shared by q_text_classifier and
+    * q_text_kappa. Returns (doc_id, lang, pred_lang, score) for the
+    * held-out bucket only. */
+  private def classifierPreds(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket",
+        expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
+    val toks = docs.select(col("doc_id"), col("lang"), col("bucket"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+    val model = toks.filter(col("bucket") < 80)
+      .groupBy(col("w"), col("lang").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val scores = toks.filter(col("bucket") >= 80)
+      .join(broadcast(model), "w")
+      .groupBy("doc_id", "c").agg(sum(col("n")).as("score"))
+    val best = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("c"))))
+      .filter(col("rn") === 1)
+    docs.filter(col("bucket") >= 80).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("c"), lit("de")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The classifier-side CTEs of the kappa/classifier oracles, ending
+    * in cls(doc_id, lang, pred_lang, score) over the held-out split. */
+  private val classifierCtes = """
+        cdocs AS (
+          SELECT doc_id, lang, text,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100
+                   AS bucket
+          FROM documents),
+        ctoks AS (
+          SELECT doc_id, lang, bucket,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS w
+          FROM cdocs),
+        cmodel AS (
+          SELECT w, lang AS c, count(*) AS n
+          FROM ctoks WHERE bucket < 80 GROUP BY 1, 2),
+        cscores AS (
+          SELECT t.doc_id, m.c, CAST(sum(m.n) AS BIGINT) AS score
+          FROM ctoks t JOIN cmodel m ON m.w = t.w
+          WHERE t.bucket >= 80 GROUP BY 1, 2),
+        cbest AS (
+          SELECT doc_id, c, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, c) AS rn
+          FROM cscores),
+        cls AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(b.c, 'de') AS pred_lang,
+                 coalesce(b.score, 0) AS score
+          FROM cdocs d
+          LEFT JOIN cbest b ON b.doc_id = d.doc_id AND b.rn = 1
+          WHERE d.bucket >= 80)"""
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------- token counting
@@ -646,16 +726,7 @@ ORDER BY tokenizer"""
     // tie-break. Lexicons are inline literals → fully map-side.
     "q_text_langid" -> GraftQuery(
       run = (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
-          .withColumn("en_hits", size(filter(col("ws"), w => w.isin(stopEn: _*))))
-          .withColumn("de_hits", size(filter(col("ws"), w => w.isin(stopDe: _*))))
-          .withColumn("fr_hits", size(filter(col("ws"), w => w.isin(stopFr: _*))))
-          .withColumn("pred_lang",
-            when(col("en_hits") >= col("de_hits") &&
-              col("en_hits") >= col("fr_hits"), "en")
-              .when(col("de_hits") >= col("fr_hits"), "de")
-              .otherwise("fr"))
+        langidPreds(s, d)
           .select(col("doc_id"), col("en_hits"), col("de_hits"), col("fr_hits"),
             col("pred_lang"),
             (col("pred_lang") === col("lang")).cast("int").as("is_match"))
@@ -689,16 +760,7 @@ ORDER BY tokenizer"""
     // at 100 TB (predictions and labels shuffle as tiny counts).
     "q_text_langid_eval" -> GraftQuery(
       run = (s, d) => {
-        val preds = Tables.documents(s, d)
-          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
-          .withColumn("en_hits", size(filter(col("ws"), w => w.isin(stopEn: _*))))
-          .withColumn("de_hits", size(filter(col("ws"), w => w.isin(stopDe: _*))))
-          .withColumn("fr_hits", size(filter(col("ws"), w => w.isin(stopFr: _*))))
-          .withColumn("pred_lang",
-            when(col("en_hits") >= col("de_hits") &&
-              col("en_hits") >= col("fr_hits"), "en")
-              .when(col("de_hits") >= col("fr_hits"), "de")
-              .otherwise("fr"))
+        val preds = langidPreds(s, d)
         val actualTotals = preds.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_actual"))
         preds.groupBy(col("lang"), col("pred_lang"))
@@ -1815,64 +1877,109 @@ ORDER BY tokenizer"""
     // partial aggregate. Evaluation (is_match) composes with the
     // confusion-matrix shape of q_text_langid_eval.
     "q_text_classifier" -> GraftQuery(
+      run = (s, d) =>
+        classifierPreds(s, d)
+          .select(col("doc_id"), col("pred_lang"), col("score"),
+            (col("pred_lang") === col("lang")).cast("int").as("is_match"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH $classifierCtes
+        SELECT doc_id, pred_lang, score,
+               CAST(pred_lang = lang AS INT) AS is_match
+        FROM cls ORDER BY doc_id""")),
+
+    // ----------------- inter-annotator agreement (Cohen's kappa)
+    // The two independent labelers this engine already carries — the
+    // stopword heuristic and the held-out word-count classifier —
+    // crossed on the held-out split: observed agreement vs the
+    // chance agreement their marginals predict, i.e. Cohen's κ. The
+    // eval-methodology primitive for any labeling stage: raw accuracy
+    // flatters a skewed label distribution, κ does not. All integer:
+    // p_o and p_e in exact ppm (marginal products summed BEFORE one
+    // division), κ in ppm with an explicit sign split so both engines
+    // floor-divide positive operands only. One tiny contingency
+    // aggregate; the labelers themselves are the map-side passes their
+    // own queries already run.
+    "q_text_kappa" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-          .withColumn("bucket",
-            expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
-        val toks = docs.select(col("doc_id"), col("lang"), col("bucket"),
-          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
-        val model = toks.filter(col("bucket") < 80)
-          .groupBy(col("w"), col("lang").as("c"))
-          .agg(count(lit(1)).as("n"))
-        val scores = toks.filter(col("bucket") >= 80)
-          .join(broadcast(model), "w")
-          .groupBy("doc_id", "c").agg(sum(col("n")).as("score"))
-        val best = scores
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("doc_id")
-              .orderBy(col("score").desc, col("c"))))
-          .filter(col("rn") === 1)
-        docs.filter(col("bucket") >= 80).select(col("doc_id"), col("lang"))
-          .join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("c"), lit("de")).as("pred_lang"),
-            coalesce(col("score"), lit(0L)).as("score"),
-            (coalesce(col("c"), lit("de")) === col("lang")).cast("int")
-              .as("is_match"))
-          .orderBy("doc_id")
+        val a = langidPreds(s, d)
+          .select(col("doc_id"), col("pred_lang").as("la"))
+        val b = classifierPreds(s, d)
+          .select(col("doc_id"), col("pred_lang").as("lb"))
+        val both = a.join(b, "doc_id")
+        val cells = both.groupBy("la", "lb").agg(count(lit(1)).as("n"))
+          .persist()
+        val n = cells.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+        val out =
+          if (n == 0L) Seq.empty[(Long, Long, Long, Long, Long)]
+          else {
+            val agree = cells.filter(col("la") === col("lb"))
+              .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+            val ra = cells.groupBy("la").agg(sum(col("n")).as("m"))
+            val rb = cells.groupBy("lb").agg(sum(col("n")).as("m"))
+            val chance = ra.join(rb, ra("la") === rb("lb"))
+              .agg(coalesce(sum(ra("m") * rb("m")), lit(0L)))
+              .head().getLong(0)
+            val poPpm = agree * 1000000L / n
+            val pePpm = chance * 1000000L / (n * n)
+            val kappaPpm =
+              // pe = 1 ⇒ κ is 0/0: report perfect agreement as 1e6,
+              // anything less as 0 (cannot beat fully-predictable
+              // chance) — stated convention, mirrored in the oracle
+              if (pePpm >= 1000000L) { if (poPpm >= 1000000L) 1000000L else 0L }
+              else if (poPpm >= pePpm)
+                (poPpm - pePpm) * 1000000L / (1000000L - pePpm)
+              else -((pePpm - poPpm) * 1000000L / (1000000L - pePpm))
+            Seq((n, agree, poPpm, pePpm, kappaPpm))
+          }
+        cells.unpersist()
+        import s.implicits._
+        out.toDF("n_docs", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
       },
-      oracle = Some("""
-        WITH docs AS (
-          SELECT doc_id, lang, text,
-                 ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100
-                   AS bucket
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
           FROM documents),
-        toks AS (
-          SELECT doc_id, lang, bucket,
-                 unnest(list_filter(string_split(text, ' '),
-                                    w -> w <> '')) AS w
-          FROM docs),
-        model AS (
-          SELECT w, lang AS c, count(*) AS n
-          FROM toks WHERE bucket < 80 GROUP BY 1, 2),
-        scores AS (
-          SELECT t.doc_id, m.c, CAST(sum(m.n) AS BIGINT) AS score
-          FROM toks t JOIN model m ON m.w = t.w
-          WHERE t.bucket >= 80 GROUP BY 1, 2),
-        best AS (
-          SELECT doc_id, c, score,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score DESC, c) AS rn
-          FROM scores)
-        SELECT d.doc_id,
-               coalesce(b.c, 'de') AS pred_lang,
-               coalesce(b.score, 0) AS score,
-               CAST(coalesce(b.c, 'de') = d.lang AS INT) AS is_match
-        FROM docs d
-        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
-        WHERE d.bucket >= 80
-        ORDER BY d.doc_id""")),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopEn)}], w))) AS en_hits,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopDe)}], w))) AS de_hits,
+                 len(list_filter(ws, w -> list_contains([${sqlList(stopFr)}], w))) AS fr_hits
+          FROM t),
+        lid AS (
+          SELECT doc_id,
+                 CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                      WHEN de_hits >= fr_hits THEN 'de'
+                      ELSE 'fr' END AS la
+          FROM h),
+        $classifierCtes,
+        cells AS (
+          SELECT lid.la, cls.pred_lang AS lb, count(*) AS n
+          FROM lid JOIN cls ON cls.doc_id = lid.doc_id
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells),
+        agr AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree
+                FROM cells WHERE la = lb),
+        ra AS (SELECT la, sum(n) AS m FROM cells GROUP BY la),
+        rb AS (SELECT lb, sum(n) AS m FROM cells GROUP BY lb),
+        ch AS (SELECT CAST(coalesce(sum(ra.m * rb.m), 0) AS BIGINT) AS chance
+               FROM ra JOIN rb ON rb.lb = ra.la),
+        p AS (SELECT n, agree,
+                     agree * 1000000 // n AS po_ppm,
+                     chance * 1000000 // (n * n) AS pe_ppm
+              FROM tot, agr, ch WHERE n > 0)
+        SELECT n AS n_docs, agree AS n_agree, po_ppm, pe_ppm,
+               CAST(CASE WHEN pe_ppm >= 1000000
+                           THEN CASE WHEN po_ppm >= 1000000 THEN 1000000
+                                     ELSE 0 END
+                         WHEN po_ppm >= pe_ppm
+                           THEN (po_ppm - pe_ppm) * 1000000
+                                // (1000000 - pe_ppm)
+                         ELSE -((pe_ppm - po_ppm) * 1000000
+                                // (1000000 - pe_ppm))
+                    END AS BIGINT) AS kappa_ppm
+        FROM p""")),
 
     // ---------------------- PMI co-occurrence (collocation extraction)
     // The phrase-mining / embedding-precursor primitive: adjacent-word

@@ -108,7 +108,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // and a zero-row comparison (the div guards on total_words/tokens)
     "q_text_unigram_train", "q_text_unigram_encode",
     "q_text_tokenizer_cmp",
-    "q_sim_reciprocal_nn")
+    "q_sim_reciprocal_nn", "q_text_kappa")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
