@@ -271,107 +271,86 @@ object Dedup extends QueryPack {
     * query and the consensus keep-list. Returns (doc_id, canonical_id)
     * for every node appearing in a pair; canonical_id = component min.
     *
-    * The final label generation stays persisted — the result is
-    * O(nodes) and the returned plan reads it; all intermediate
-    * generations, the pair cache, and the edge cache are released.
+    * Runs the fixpoint on the RDD API — the one iterative loop in the
+    * engine where DataFrames are the WRONG tool: every label
+    * generation is a NEW logical plan, so the DataFrame loop paid
+    * whole-stage-codegen compilation per round regardless of data size
+    * (measured ~2 s of a ~6 s cluster query on a 512-edge graph),
+    * while RDD closures compile once and the hash partitioning set on
+    * the edge list is REUSED by every round's join — one shuffle of
+    * the label table per round, zero recompilation. This is exactly
+    * the shape GraphX runs on; at a billion-edge scale the same loop
+    * holds with a larger partitioner.
+    *
     * Convergence is O(log diameter) via pointer jumping
-    * (canonical := canonical(canonical) each round). */
+    * (canonical := canonical(canonical) each round), probed by the
+    * strictly-decreasing Σ canonical_id (min-label only ever lowers a
+    * label; BigInt — no overflow at any corpus size). */
   private[operators] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
-    // rawPairs arrives LAZY from both callers: cluster's is a cheap
-    // filter over the cached pair-count store, and keep-list's edge
-    // union measured FASTER recomputed in the first job's two
-    // direction branches than persisted here (see its comment) — no
-    // internal persist+count (it used to cost one full job per call,
-    // and for keep-list a 2.5 s cache-materialization penalty on top).
-    // The label tables
-    // below are O(near-dup docs) — orders of magnitude smaller than
-    // the corpus — so the loop's shuffles run at 8 partitions: each
-    // round is fixed-cost-dominated (scheduling + codegen of a tiny
-    // exchange), and 32-way task fan-out only added overhead. At
-    // 100 TB the label table is still small relative to executors'
-    // parallelism appetite; raise via spark.sql.shuffle.partitions if
-    // a corpus ever grows a billion-node near-dup graph.
-    val pairs = rawPairs
     val s = rawPairs.sparkSession
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partKey)
-    s.conf.set(partKey, "8")
-    try {
-    val edgeDf = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    import s.implicits._
+    val nParts = 8 // label tables are O(near-dup docs) — tiny vs corpus
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val edges = rawPairs
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
       .persist()
     // Seed each node with min(self, neighbors) — the first propagation
-    // round fused into initialization (one groupBy instead of a
-    // join+union+groupBy loop round; for the common diameter-≤2
-    // near-dup families the loop then converges in a single
-    // confirmation round).
-    var labels = edgeDf
-      .select(col("dst").as("doc_id"), col("src").as("canonical_id"))
-      .unionByName(edgeDf.select(col("src").as("doc_id"),
-        col("src").as("canonical_id")))
-      .groupBy("doc_id")
-      .agg(min(col("canonical_id")).as("canonical_id"))
-    // Convergence probe: min-label propagation only ever DECREASES a
-    // label, so Σ canonical_id strictly decreases until the fixpoint
-    // — one aggregate per round (which also materializes the cache)
-    // instead of a join-and-compare pass. Decimal sum: no overflow
-    // at any corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("canonical_id")).cast("decimal(38,0)"),
-        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum = labelSum(labels.persist())
+    // round fused into initialization. reduceByKey reuses `part`, so
+    // labels are co-partitioned with edges from the start.
+    var labels = edges
+      .mapValues(identity)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapValues(v => v) // own object graph; keeps the partitioner
+      .persist()
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.map(kv => BigInt(kv._2)).fold(BigInt(0))(_ + _)
+    var prevSum = labelSum(labels)
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(f"[cc] init done at ${System.nanoTime() / 1e9}%.2f")
     var changed = true
     while (changed) {
-      // one-hop min-label propagation over the edge set...
-      val prop = labels
-        .join(edgeDf, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("canonical_id"))
-        .unionByName(labels)
-        .groupBy("doc_id")
-        .agg(min(col("canonical_id")).as("canonical_id"))
-      // ...then POINTER JUMPING: canonical := canonical(canonical).
-      // Without this the loop runs once per component DIAMETER — a
-      // 1000-link near-dup chain (transitive chains are common in
-      // real corpora) costs 1000 shuffle rounds at 100 TB. Composing
-      // the label map with itself each round makes convergence
-      // O(log diameter). The join always matches (labels are doc_ids
-      // of graph nodes, and every node carries a label row), and the
-      // looked-up label is ≤ the current one by min-monotonicity, so
-      // the fixpoint (component min) is unchanged.
-      // prop self-joins: persist it for the round or the propagation
-      // aggregate (the round's most expensive stage) runs twice
-      prop.persist()
-      // Probe convergence on prop BEFORE pointer jumping: if the
-      // propagation round changed nothing we are at the fixpoint and
-      // the jump join (a full label-map self-join) is pure overhead.
-      // Near-dup families have tiny diameters, so the common case is
-      // "init already converged, one confirmation round" — this skips
-      // that round's self-join entirely. Deeper graphs pay one extra
-      // cached-side aggregate per round, nothing more.
+      // one-hop min-label propagation: edges ⋈ labels is a one-side
+      // shuffle-free join (both sides carry `part`), then the min
+      // fold shuffles only the |labels|-sized candidate stream
+      val prop = edges.join(labels)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .union(labels)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist()
       val propSum = labelSum(prop)
-      if (propSum.compareTo(prevSum) == 0) {
+      if (propSum == prevSum) {
+        // fixpoint: skip the pointer-jump join entirely (the common
+        // case — near-dup families have tiny diameters, so init
+        // usually converges and one confirmation round lands here)
         changed = false
-        labels.unpersist() // superseded generation
+        labels.unpersist()
         labels = prop
       } else {
-        val next = prop.as("a")
-          .join(prop.as("b"), col("a.canonical_id") === col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_id"),
-            col("b.canonical_id").as("canonical_id"))
-        next.persist()
+        // POINTER JUMPING: canonical := canonical(canonical). Without
+        // it the loop runs once per component DIAMETER — a 1000-link
+        // near-dup chain costs 1000 shuffle rounds at 100 TB; with it,
+        // O(log diameter). The lookup join always matches (labels
+        // cover every graph node) and only ever lowers a label, so
+        // the fixpoint (component min) is unchanged.
+        val next = prop
+          .map { case (n, l) => (l, n) }
+          .join(prop)
+          .map { case (_, (n, l2)) => (n, l2) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+          .persist()
         prevSum = labelSum(next)
-        prop.unpersist() // consumed by next's materialization above
-        labels.unpersist() // superseded generation
+        prop.unpersist()
+        labels.unpersist()
         labels = next
       }
       if (sys.env.contains("GRAFT_CC_TRACE"))
         println(f"[cc] round done at ${System.nanoTime() / 1e9}%.2f")
     }
-    edgeDf.unpersist()
-    labels
-    } finally s.conf.set(partKey, prevParts)
+    edges.unpersist()
+    labels.toDF("doc_id", "canonical_id")
   }
 
   /** (doc_id, distinct word-3-shingle set) — stateless map-side prep
