@@ -297,13 +297,18 @@ object Dedup extends QueryPack {
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part)
       .persist()
-    // Seed each node with min(self, neighbors) — the first propagation
-    // round fused into initialization. reduceByKey reuses `part`, so
-    // labels are co-partitioned with edges from the start.
+    // Seed each node with min(SELF, neighbors) — the first propagation
+    // round fused into initialization (min-of-neighbors alone costs one
+    // extra confirmation round: the component-min node only learns its
+    // own id back from a neighbor). mapPartitions with
+    // preservesPartitioning: keys are untouched, so the reduce is
+    // shuffle-free on `part` and labels are co-partitioned with edges
+    // from the start.
     var labels = edges
-      .mapValues(identity)
+      .mapPartitions(
+        _.map { case (u, v) => (u, math.min(u, v)) },
+        preservesPartitioning = true)
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      .mapValues(v => v) // own object graph; keeps the partitioner
       .persist()
     def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
       r.map(kv => BigInt(kv._2)).fold(BigInt(0))(_ + _)
