@@ -162,6 +162,78 @@ object GraphOps extends QueryPack {
     }
   }
 
+  /** Lazy personalized-PageRank plan + its caches. Same trade graph and
+    * integer fixed-point as [[pagerankPlan]], but the teleport mass
+    * restarts ONLY at a seed set (here: the ASIA nations) — the
+    * crawl-prioritization / topic-affinity variant: rank measures
+    * proximity to the seeds, not global centrality. rank₀ = SCALE/|S|
+    * on seeds and 0 elsewhere; each round gives seeds 15·SCALE/(100·|S|)
+    * restart mass plus the damped in-flow. Identical overflow envelope
+    * to global PageRank (rank ≤ SCALE, rank·w ≤ 10¹⁸); each iteration
+    * is one shuffle keyed on node id with map-side partial sums, so the
+    * plan holds at web scale exactly like the global loop. */
+  private[operators] def pprPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    edges.count() // materialize before 2 + Iters reads (sibling-race rule)
+    val seedKeys = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey").as("node"), lit(1).as("sd"))
+    // node universe + seed flag in one |V|-sized cached frame, read by
+    // the seed count, every iteration's restart term, and the output
+    val nf = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedKeys), Seq("node"), "left")
+      .select(col("node"), coalesce(col("sd"), lit(0)).as("is_seed"))
+      .persist()
+    val nNodes = nf.count()
+    val nSeeds = nf.filter(col("is_seed") === 1).count()
+    if (nNodes == 0 || nSeeds == 0) {
+      // empty graph or no seed present: empty result, not a div-by-zero
+      edges.unpersist(); nf.unpersist()
+      (Tables.nation(s, d).select(col("n_name"),
+        lit(0L).as("rank_scaled"), lit(0).as("is_seed")).limit(0), Nil)
+    } else {
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+      val sbase = lit(15L * Scale / (100L * nSeeds))
+      var ranks = nf.select(col("node"),
+        when(col("is_seed") === 1, lit(Scale / nSeeds))
+          .otherwise(lit(0L)).as("rank"))
+      (1 to Iters).foreach { _ =>
+        val contrib = ranks
+          .join(edges, col("node") === col("src"))
+          .join(outw, Seq("src"))
+          .select(col("dst"), expr("rank * w div ow").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("inr"))
+        ranks = nf
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (when(col("is_seed") === 1, sbase).otherwise(lit(0L)) +
+              expr("85 * coalesce(inr, 0L) div 100")).as("rank"))
+      }
+      val out = ranks
+        .join(nf, "node")
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("rank").as("rank_scaled"),
+          col("is_seed"))
+        .orderBy(col("rank_scaled").desc, col("n_name"))
+      (out, Seq(edges, nf))
+    }
+  }
+
   /** Lazy degree-oriented triangle-count plan + its caches. */
   private[operators] def trianglesPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -444,6 +516,61 @@ object GraphOps extends QueryPack {
         ${(1 to Iters).map(i => iter(s"it${i - 1}", s"it$i"))
           .mkString(",").replaceFirst("^,?\\s*", "")}
         SELECT n_name, rank AS rank_scaled
+        FROM it$Iters JOIN nation ON n_nationkey = node
+        ORDER BY rank_scaled DESC, n_name"""
+      }),
+
+    // ------------------------------------------- personalized PageRank
+    // Teleport restarts only at the ASIA seed nations: rank is
+    // proximity-to-seeds (crawl prioritization, topic affinity), not
+    // global centrality. Same integer fixed-point and per-iteration
+    // shuffle shape as q_graph_pagerank.
+    "q_graph_ppr" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = pprPlan(s, d)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
+      },
+      oracle = Some {
+        def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT b.node, b.is_seed,
+                 CASE WHEN b.is_seed = 1 THEN p.sbase ELSE 0 END
+                   + (85 * coalesce(s.inr, 0)) // 100 AS rank
+          FROM nf b CROSS JOIN params p
+          LEFT JOIN (SELECT e.dst,
+                            CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS inr
+                     FROM $prev r JOIN edges e ON e.src = r.node
+                          JOIN outw o ON o.src = e.src
+                     GROUP BY e.dst) s ON s.dst = b.node)"""
+        s"""
+        WITH edges AS (
+          SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS (SELECT n_nationkey AS node
+                  FROM nation JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'ASIA'
+                    AND n_nationkey IN (SELECT node FROM nodes)),
+        nf AS (SELECT node,
+                      CASE WHEN node IN (SELECT node FROM seeds)
+                           THEN 1 ELSE 0 END AS is_seed
+               FROM nodes),
+        params AS (SELECT count(*) AS ns,
+                          (15 * ${Scale}) // (100 * count(*)) AS sbase
+                   FROM seeds),
+        outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+                 FROM edges GROUP BY src),
+        it0 AS (SELECT node, is_seed,
+                       CASE WHEN is_seed = 1 THEN ${Scale} // p.ns
+                            ELSE 0 END AS rank
+                FROM nf CROSS JOIN params p),
+        ${(1 to Iters).map(i => iter(s"it${i - 1}", s"it$i"))
+          .mkString(",").replaceFirst("^,?\\s*", "")}
+        SELECT n_name, rank AS rank_scaled, is_seed
         FROM it$Iters JOIN nation ON n_nationkey = node
         ORDER BY rank_scaled DESC, n_name"""
       }),

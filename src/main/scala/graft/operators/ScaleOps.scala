@@ -612,6 +612,75 @@ object ScaleOps extends QueryPack {
         $skipMetricSql"""
       }),
 
+    // --------------------------- secondary (posting-list) index pruning
+    // The file-pruning tier BELOW min/max zones: for a point predicate
+    // on a high-cardinality column UNCORRELATED with the layout key
+    // (here l_partkey over an l_orderkey-clustered layout), every
+    // file's [min, max] spans nearly the whole value domain, so zone
+    // maps prune ~nothing — the lakehouse answer is a posting-list
+    // secondary index (Hudi record-index / Iceberg bloom class):
+    // value → the exact set of files containing it. The build is ONE
+    // map-side-combinable (value, file) aggregate — index size is the
+    // distinct-pair count, never row-scale — and a point lookup reads
+    // |posting| files instead of |zone-overlap| files. Output per
+    // probed part: matched rows, files the posting index reads,
+    // files a zone map would read (posting ⊆ zone always — the gap IS
+    // the metric). All integers — exact hash compare. At 100 TB the
+    // probe side is an index point-read; only the build scans the
+    // corpus, and it piggybacks on any full pass.
+    "q_scale_secondary_index" -> GraftQuery(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_partkey"),
+          expr("CAST(l_orderkey % 256 AS INT)").as("file_id"))
+        val post = li.groupBy("l_partkey", "file_id")
+          .agg(count(lit(1)).as("n"))
+          .persist() // read by zones, the probe set, and the lookup
+        post.count()
+        val zones = post.groupBy("file_id")
+          .agg(min(col("l_partkey")).as("smn"),
+            max(col("l_partkey")).as("smx"))
+        val probes = post.select("l_partkey").distinct()
+          .filter(col("l_partkey") % 997 === 0)
+        val pa = post.filter(col("l_partkey") % 997 === 0)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("posting_files"),
+            sum(col("n")).as("rows_matched"))
+        val zf = broadcast(probes).join(zones,
+            col("l_partkey") >= col("smn") &&
+              col("l_partkey") <= col("smx"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("zone_files"))
+        val out = pa.join(zf, Seq("l_partkey"), "left")
+          .select(col("l_partkey"), col("rows_matched"),
+            col("posting_files"),
+            coalesce(col("zone_files"), lit(0L)).as("zone_files"))
+          .orderBy("l_partkey")
+        val rows = out.collect()
+        post.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      oracle = Some("""
+        WITH li AS (SELECT l_partkey,
+                           CAST(l_orderkey % 256 AS INT) AS file_id
+                    FROM lineitem),
+        post AS (SELECT l_partkey, file_id, count(*) AS n
+                 FROM li GROUP BY 1, 2),
+        zones AS (SELECT file_id, min(l_partkey) AS smn,
+                         max(l_partkey) AS smx
+                  FROM post GROUP BY 1),
+        probes AS (SELECT DISTINCT l_partkey FROM post
+                   WHERE l_partkey % 997 = 0),
+        pa AS (SELECT l_partkey, count(*) AS posting_files,
+                      CAST(sum(n) AS BIGINT) AS rows_matched
+               FROM post WHERE l_partkey % 997 = 0 GROUP BY 1),
+        zf AS (SELECT p.l_partkey, count(*) AS zone_files
+               FROM probes p JOIN zones z
+                 ON p.l_partkey BETWEEN z.smn AND z.smx
+               GROUP BY 1)
+        SELECT pa.l_partkey, rows_matched, posting_files,
+               coalesce(zone_files, 0) AS zone_files
+        FROM pa LEFT JOIN zf ON zf.l_partkey = pa.l_partkey
+        ORDER BY pa.l_partkey""")),
+
     // ------------------------- data-quality constraint suite (Deequ-ish)
     // The validation gate a corpus passes before training: each
     // constraint is one aggregate over the table, evaluated in a single

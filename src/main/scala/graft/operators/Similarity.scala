@@ -1673,6 +1673,141 @@ object Similarity extends QueryPack {
                   LEFT JOIN h16 ON h16.q_id = base.q_id
         ORDER BY base.q_id""")),
 
+    // ------------------------------ NN-descent round (k-NN graph refine)
+    // One round of NN-descent (Dong et al., WWW'11) — the standard way
+    // to BUILD the k-NN graph that HNSW/NSG-style ANN serving indexes
+    // start from: seed a cheap approximate graph, then improve it by
+    // checking neighbors-of-neighbors, exploiting that "a neighbor of a
+    // neighbor is likely a neighbor". Concretely:
+    //  - seed graph: per-node top-4 by PREFIX-8 cosine (the Matryoshka
+    //    trick — an 8-dim fold is ~8× cheaper than the full 64-dim one)
+    //    within the node's coarse list (`label`, standing in for IVF
+    //    assignments as in q_sim_reciprocal_nn);
+    //  - one refine round: candidates = seed edges ∪ two-hop edges
+    //    (seed ⋈ seed on the shared endpoint) — ≤ k + k² = 20 per node,
+    //    NEVER an all-pairs blowup — rescored at FULL dimension by
+    //    joining the candidate pairs back to the vector table, keep
+    //    top-4;
+    //  - audit: exact recall@4 of the seed and refined graphs against
+    //    the full-dim within-list truth, aggregated per list in integer
+    //    ppm (hits·10⁶ div truth-pairs), so the oracle compare is an
+    //    exact hash match.
+    // The truth leg is MEASUREMENT-ONLY overhead (like
+    // q_sim_ivfpq_recall's brute-force leg): the production path is
+    // prefix-seed → bounded candidates → full-dim rescore of n·(k+k²)
+    // pairs, one shuffle on the pair key per stage. Within-list pair
+    // volume is Σ|list|² — the bounded lists-as-partitions shape; at
+    // corpus scale the lists are the IVF partitions and each refine
+    // round stays per-partition-local.
+    "q_sim_nn_descent" -> GraftQuery(
+      run = (s, d) => {
+        val K = 4
+        val all = vecs(s, d).persist()
+        all.count() // read by both scoring legs + both rescore joins
+        val wl = all.as("q").join(all.as("c"),
+          col("q.label") === col("c.label") &&
+            col("q.vec_id") =!= col("c.vec_id"))
+        val seed = wl.select(col("q.vec_id").as("a"),
+            col("c.vec_id").as("b"),
+            expr("graft_cosine(slice(q.v, 1, 8), c.v)").as("pcos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a").orderBy(col("pcos").desc, col("b"))))
+          .filter(col("rk") <= K).select("a", "b")
+          .persist() // read by the two-hop self-join, cand, and hits
+        seed.count()
+        val non = seed.as("g1").join(seed.as("g2"),
+            col("g1.b") === col("g2.a") && col("g2.b") =!= col("g1.a"))
+          .select(col("g1.a").as("a"), col("g2.b").as("b"))
+        val cand = seed.unionByName(non).distinct()
+        // full-dim rescore of ONLY the bounded candidate set
+        val ref = cand
+          .join(all.select(col("vec_id").as("a"), col("v").as("av")), "a")
+          .join(all.select(col("vec_id").as("b"), col("v").as("bv")), "b")
+          .select(col("a"), col("b"),
+            expr("graft_cosine(av, bv)").as("fcos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
+          .filter(col("rk") <= K).select("a", "b")
+        // measurement leg: exact full-dim within-list truth
+        val truth = wl.select(col("q.vec_id").as("a"),
+            col("c.vec_id").as("b"), cosExpr.as("fcos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
+          .filter(col("rk") <= K).select("a", "b")
+          .persist() // read by the base count + both hit joins
+        truth.count()
+        def hits(g: DataFrame, nm: String) =
+          truth.join(g, Seq("a", "b"))
+            .groupBy("a").agg(count(lit(1)).as(nm))
+        val out = truth.groupBy("a").agg(count(lit(1)).as("tk"))
+          .join(hits(seed, "sh"), Seq("a"), "left")
+          .join(hits(ref, "nh"), Seq("a"), "left")
+          .join(all.select(col("vec_id").as("a"), col("label")), "a")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("tk")).as("tp"),
+            sum(coalesce(col("sh"), lit(0L))).as("s_h"),
+            sum(coalesce(col("nh"), lit(0L))).as("n_h"))
+          .select(col("label"), col("n_nodes"),
+            expr("s_h * 1000000 div tp").as("seed_recall_ppm"),
+            expr("n_h * 1000000 div tp").as("nnd_recall_ppm"))
+          .orderBy("label")
+        val rows = out.collect()
+        seed.unpersist(); truth.unpersist(); all.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      oracle = Some(s"""
+        WITH $unnestCte,
+        p8 AS (SELECT vec_id, sqrt(sum(x*x)) AS pn FROM u
+               WHERE i <= 8 GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                     sum(a.x*b.x) AS dot,
+                     sum(CASE WHEN a.i <= 8 THEN a.x*b.x ELSE 0 END)
+                       AS dot8
+              FROM u a JOIN u b ON b.i = a.i AND b.label = a.label
+                                   AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+        seedg AS (SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (PARTITION BY qa
+                     ORDER BY dot8/(pa.pn*pb.pn) DESC, qb) AS rk
+            FROM d JOIN p8 pa ON pa.vec_id = qa
+                   JOIN p8 pb ON pb.vec_id = qb)
+          WHERE rk <= 4),
+        truth AS (SELECT qa, qb FROM (
+            SELECT qa, qb, row_number() OVER (PARTITION BY qa
+                     ORDER BY dot/(na.nrm*nb.nrm) DESC, qb) AS rk
+            FROM d JOIN nrm na ON na.vec_id = qa
+                   JOIN nrm nb ON nb.vec_id = qb)
+          WHERE rk <= 4),
+        cand AS (SELECT qa, qb FROM seedg
+                 UNION
+                 SELECT g1.qa, g2.qb FROM seedg g1
+                 JOIN seedg g2 ON g2.qa = g1.qb AND g2.qb <> g1.qa),
+        ref AS (SELECT qa, qb FROM (
+            SELECT c.qa, c.qb, row_number() OVER (PARTITION BY c.qa
+                     ORDER BY d.dot/(na.nrm*nb.nrm) DESC, c.qb) AS rk
+            FROM cand c JOIN d ON d.qa = c.qa AND d.qb = c.qb
+                 JOIN nrm na ON na.vec_id = c.qa
+                 JOIN nrm nb ON nb.vec_id = c.qb)
+          WHERE rk <= 4),
+        base AS (SELECT qa, count(*) AS tk FROM truth GROUP BY qa),
+        sh AS (SELECT t.qa, count(*) AS h FROM truth t
+               JOIN seedg g ON g.qa = t.qa AND g.qb = t.qb GROUP BY 1),
+        nh AS (SELECT t.qa, count(*) AS h FROM truth t
+               JOIN ref r ON r.qa = t.qa AND r.qb = t.qb GROUP BY 1)
+        SELECT e.label, count(*) AS n_nodes,
+               (CAST(sum(coalesce(sh.h, 0)) AS BIGINT) * 1000000)
+                 // CAST(sum(base.tk) AS BIGINT) AS seed_recall_ppm,
+               (CAST(sum(coalesce(nh.h, 0)) AS BIGINT) * 1000000)
+                 // CAST(sum(base.tk) AS BIGINT) AS nnd_recall_ppm
+        FROM base
+        JOIN (SELECT vec_id, label FROM embeddings) e
+          ON e.vec_id = base.qa
+        LEFT JOIN sh ON sh.qa = base.qa
+        LEFT JOIN nh ON nh.qa = base.qa
+        GROUP BY e.label
+        ORDER BY e.label""")),
+
     // --------------------------------------- Lloyd k-means (2 iterations)
     // Distributed k-means over the quantized embeddings — the clustering
     // primitive under SemDeDup-style corpus curation (q_dedup_semantic

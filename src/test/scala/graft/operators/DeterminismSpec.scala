@@ -70,7 +70,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_window_markov", "q_scale_mv_retract",
     "q_text_unigram_train", "q_text_unigram_encode",
     "q_text_tokenizer_cmp",
-    "q_sim_reciprocal_nn", "q_text_kappa")
+    "q_sim_reciprocal_nn", "q_text_kappa",
+    "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

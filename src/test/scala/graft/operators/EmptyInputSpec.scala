@@ -108,7 +108,13 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // and a zero-row comparison (the div guards on total_words/tokens)
     "q_text_unigram_train", "q_text_unigram_encode",
     "q_text_tokenizer_cmp",
-    "q_sim_reciprocal_nn", "q_text_kappa")
+    "q_sim_reciprocal_nn", "q_text_kappa",
+    // r7b: seeded-restart PageRank (no seed in an empty node set must
+    // yield empty, not a div-by-zero on |S|), the NN-descent round
+    // (empty seed graph → empty candidates → zero recall rows), and
+    // the posting-list index (empty corpus → empty posting lists AND
+    // an empty probe set — the lookup must not die on either)
+    "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
