@@ -234,6 +234,69 @@ object GraphOps extends QueryPack {
     }
   }
 
+  /** Unreachable-distance sentinel for the bounded Bellman-Ford relax:
+    * far above any reachable cost (5 rounds × max edge cost 10⁹ =
+    * 5·10⁹ ≪ 10¹⁵) yet INF + cost ≤ 10¹⁵ + 10⁹ stays well under 2⁶³ —
+    * the relax can add a cost to the sentinel without overflow. */
+  private val SsspInf = 1000000000000000L
+
+  /** Lazy bounded-round weighted shortest-path plan + its caches.
+    * Bellman-Ford over the trade graph with integer edge costs
+    * 10⁹ div w — RARITY cost: heavily-traded lanes are cheap, so the
+    * path metric is "how much common trade links these nations", the
+    * weighted upgrade over q_graph_bfs's hop count. [[Iters]] fixed
+    * relaxation rounds = exact shortest distance over paths of ≤ Iters
+    * edges (full convergence needs |V|−1 rounds; the bounded variant
+    * is what you run at web scale, where >k-hop influence is noise).
+    * Each round is ONE shuffle: frontier ⋈ edges keyed on src with a
+    * map-side-combinable min aggregate — same iterative shape as the
+    * PageRank loop, exact 64-bit arithmetic throughout. */
+  private[operators] def ssspPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(expr("1000000000L div count(1)").as("cost"))
+      .persist()
+    edges.count() // materialize before Iters + 2 reads
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .persist()
+    val nNodes = nodes.count()
+    if (nNodes == 0) {
+      edges.unpersist(); nodes.unpersist()
+      (Tables.nation(s, d)
+        .select(col("n_name"), lit(0L).as("dist_cost")).limit(0), Nil)
+    } else {
+      // deterministic source: the lowest node id (a bounded aggregate
+      // read driver-side, like the greedy MMR steps)
+      val srcId = nodes.agg(min(col("node"))).head.get(0)
+      var dist = nodes.withColumn("dist",
+        when(col("node") === srcId, lit(0L)).otherwise(lit(SsspInf)))
+      (1 to Iters).foreach { _ =>
+        val relax = dist
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("cost")).as("dist"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      val out = dist
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("dist").as("dist_cost"))
+        .orderBy(col("dist_cost"), col("n_name"))
+      (out, Seq(edges, nodes))
+    }
+  }
+
   /** Lazy degree-oriented triangle-count plan + its caches. */
   private[operators] def trianglesPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -573,6 +636,45 @@ object GraphOps extends QueryPack {
         SELECT n_name, rank AS rank_scaled, is_seed
         FROM it$Iters JOIN nation ON n_nationkey = node
         ORDER BY rank_scaled DESC, n_name"""
+      }),
+
+    // ------------------------- bounded weighted shortest path (rarity)
+    // Bellman-Ford with integer rarity costs (10⁹ div trade volume)
+    // from the lowest node, Iters relaxation rounds = exact over paths
+    // of ≤ Iters edges. Unreached nodes keep the 10¹⁵ sentinel.
+    "q_graph_sssp" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = ssspPlan(s, d)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
+      },
+      oracle = Some {
+        def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT n.node,
+                 least(p.dist, coalesce(r.md, ${SsspInf})) AS dist
+          FROM nodes n JOIN $prev p ON p.node = n.node
+          LEFT JOIN (SELECT c.dst, min(q.dist + c.cost) AS md
+                     FROM $prev q JOIN costs c ON c.src = q.node
+                     GROUP BY c.dst) r ON r.dst = n.node)"""
+        s"""
+        WITH costs AS (
+          SELECT s_nationkey AS src, c_nationkey AS dst,
+                 1000000000 // count(*) AS cost
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM costs
+                  UNION SELECT dst FROM costs),
+        d0 AS (SELECT node,
+                      CASE WHEN node = (SELECT min(node) FROM nodes)
+                           THEN 0 ELSE ${SsspInf} END AS dist
+               FROM nodes),
+        ${(1 to Iters).map(i => iter(s"d${i - 1}", s"d$i"))
+          .mkString(",").replaceFirst("^,?\\s*", "")}
+        SELECT n_name, dist AS dist_cost
+        FROM d$Iters JOIN nation ON n_nationkey = node
+        ORDER BY dist_cost, n_name"""
       }),
 
     // ------------------------------------- degree-oriented triangle count

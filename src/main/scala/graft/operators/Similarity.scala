@@ -1808,6 +1808,52 @@ object Similarity extends QueryPack {
         GROUP BY e.label
         ORDER BY e.label""")),
 
+    // --------------------------------------- IVF list-balance audit
+    // The operational health check behind every IVF deployment: probe
+    // latency is governed by the LARGEST inverted list (a probe scans
+    // whole lists), so list-size skew — not average size — is what
+    // degrades an index as the corpus drifts. One map-side-combinable
+    // count per list, then one tiny aggregate: list count, min/max
+    // size, imbalance factor (max·nlists/total, 100 = perfectly
+    // balanced, in integer percent), the biggest list's corpus share
+    // (ppm), and how many lists run hot (> 2× the mean — the re-train
+    // trigger). All integers — exact hash compare; at 100 TB this is
+    // one scan of the assignment column, no vector data touched.
+    "q_sim_ivf_balance" -> GraftQuery(
+      run = (s, d) => {
+        val sizes = Tables.embeddings(s, d)
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        sizes.agg(
+            count(lit(1)).as("n_lists"),
+            sum(col("n")).as("total"),
+            min(col("n")).as("min_list"),
+            max(col("n")).as("max_list"))
+          .crossJoin(sizes.agg(count(lit(1)).as("nl2"),
+              sum(col("n")).as("t2"))
+            .join(sizes, expr("n * nl2 > 2 * t2"))
+            .agg(count(lit(1)).as("hot_lists")))
+          .select(col("n_lists"), col("total"), col("min_list"),
+            col("max_list"),
+            expr("max_list * n_lists * 100 div total")
+              .as("imbalance_pct"),
+            expr("max_list * 1000000 div total").as("top1_share_ppm"),
+            col("hot_lists"))
+      },
+      oracle = Some("""
+        WITH sizes AS (SELECT label, count(*) AS n
+                       FROM embeddings GROUP BY label),
+        tot AS (SELECT count(*) AS n_lists,
+                       CAST(sum(n) AS BIGINT) AS total,
+                       min(n) AS min_list, max(n) AS max_list
+                FROM sizes),
+        hot AS (SELECT count(*) AS hot_lists
+                FROM sizes, tot WHERE n * n_lists > 2 * total)
+        SELECT n_lists, total, min_list, max_list,
+               (max_list * n_lists * 100) // total AS imbalance_pct,
+               (max_list * 1000000) // total AS top1_share_ppm,
+               hot_lists
+        FROM tot, hot""")),
+
     // --------------------------------------- Lloyd k-means (2 iterations)
     // Distributed k-means over the quantized embeddings — the clustering
     // primitive under SemDeDup-style corpus curation (q_dedup_semantic

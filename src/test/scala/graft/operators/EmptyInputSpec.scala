@@ -114,7 +114,12 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // (empty seed graph → empty candidates → zero recall rows), and
     // the posting-list index (empty corpus → empty posting lists AND
     // an empty probe set — the lookup must not die on either)
-    "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index")
+    "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index",
+    // r7c: the Bellman-Ford relax (an empty node set must skip the
+    // driver-side min-source read) and the IVF balance audit (its
+    // single aggregate row carries NULL min/max on an empty corpus —
+    // the integer ratios must tolerate NULL, not throw)
+    "q_graph_sssp", "q_sim_ivf_balance")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
