@@ -767,6 +767,74 @@ object Joins extends QueryPack {
               FROM c LEFT JOIN p
                 ON p.user_id = c.user_id AND p.pt <= c.t)
         SELECT click_id, purchase_id, t - pt AS lag_us
-        FROM j WHERE rn = 1 ORDER BY click_id"""))
+        FROM j WHERE rn = 1 ORDER BY click_id""")),
+
+    // --------------------- point-in-time multi-feature join (feature store)
+    // The feature-store serving primitive: a spine of prediction events
+    // (clicks) enriched with the LATEST value from EACH feature group as
+    // of the event time — here two groups with different cadences (last
+    // view value, last error value), NULL before a group's first update.
+    // The scalable form is NOT one as-of join per group (N shuffles of
+    // the spine, N probe structures): union-tag spine + all feature
+    // streams, ONE shuffle on (user, time), then a carry-forward
+    // last-non-null window per group — adding a feature group is one
+    // more tagged leg in the union, zero extra exchanges. Visibility is
+    // inclusive (feature at t == spine t is visible): features sort
+    // BEFORE their equal-timestamp spine rows via the kind column, and
+    // same-group same-instant updates resolve to the highest event_id —
+    // deterministic in both engines.
+    "q_join_pit" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val spine = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(2).as("k"), lit(null).cast("double").as("va"),
+            lit(null).cast("double").as("vb"))
+        val fa = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("k"), col("value").as("va"),
+            lit(null).cast("double").as("vb"))
+        val fb = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("k"), lit(null).cast("double").as("va"),
+            col("value").as("vb"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("k"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.unionByName(fa).unionByName(fb)
+          .withColumn("lva", last(col("va"), ignoreNulls = true).over(w))
+          .withColumn("lvb", last(col("vb"), ignoreNulls = true).over(w))
+          .filter(col("k") === 2)
+          .select(col("event_id"), col("user_id"),
+            round(col("lva"), 4).as("last_view_value"),
+            round(col("lvb"), 4).as("last_error_value"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id, 2 AS k,
+                 NULL::DOUBLE AS va, NULL::DOUBLE AS vb
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), event_id, 0, value, NULL
+          FROM events WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), event_id, 1, NULL, value
+          FROM events WHERE event_type = 'error'),
+        w AS (SELECT event_id, user_id, k,
+                     last_value(va IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lva,
+                     last_value(vb IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lvb
+              FROM u)
+        SELECT event_id, user_id,
+               round(lva, 4) AS last_view_value,
+               round(lvb, 4) AS last_error_value
+        FROM w WHERE k = 2 ORDER BY event_id"""))
   )
 }

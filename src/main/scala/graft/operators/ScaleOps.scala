@@ -143,6 +143,40 @@ object ScaleOps extends QueryPack {
         expr("revenue_micro div n_items").as("avg_item_micro"))
   }
 
+  /** Lazy posting-list secondary-index plan + its caches (exposed so
+    * `PlanGuardSpec` can pin that the zone-probe leg broadcasts the
+    * tiny probe set against the zone table's range condition instead
+    * of shuffling either side). */
+  private[operators] def secondaryIndexPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      expr("CAST(l_orderkey % 256 AS INT)").as("file_id"))
+    val post = li.groupBy("l_partkey", "file_id")
+      .agg(count(lit(1)).as("n"))
+      .persist() // read by zones, the probe set, and the lookup
+    post.count()
+    val zones = post.groupBy("file_id")
+      .agg(min(col("l_partkey")).as("smn"),
+        max(col("l_partkey")).as("smx"))
+    val probes = post.select("l_partkey").distinct()
+      .filter(col("l_partkey") % 997 === 0)
+    val pa = post.filter(col("l_partkey") % 997 === 0)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("posting_files"),
+        sum(col("n")).as("rows_matched"))
+    val zf = broadcast(probes).join(zones,
+        col("l_partkey") >= col("smn") &&
+          col("l_partkey") <= col("smx"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("zone_files"))
+    val out = pa.join(zf, Seq("l_partkey"), "left")
+      .select(col("l_partkey"), col("rows_matched"),
+        col("posting_files"),
+        coalesce(col("zone_files"), lit(0L)).as("zone_files"))
+      .orderBy("l_partkey")
+    (out, Seq(post))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- salted aggregation
@@ -613,6 +647,9 @@ object ScaleOps extends QueryPack {
       }),
 
     // --------------------------- secondary (posting-list) index pruning
+    // (plan builder at secondaryIndexPlan — the zone-probe leg must
+    // stay a BROADCAST range join of the tiny probe set, never a
+    // zone-table shuffle; pinned in PlanGuardSpec)
     // The file-pruning tier BELOW min/max zones: for a point predicate
     // on a high-cardinality column UNCORRELATED with the layout key
     // (here l_partkey over an l_orderkey-clustered layout), every
@@ -630,32 +667,9 @@ object ScaleOps extends QueryPack {
     // corpus, and it piggybacks on any full pass.
     "q_scale_secondary_index" -> GraftQuery(
       run = (s, d) => {
-        val li = Tables.lineitem(s, d).select(col("l_partkey"),
-          expr("CAST(l_orderkey % 256 AS INT)").as("file_id"))
-        val post = li.groupBy("l_partkey", "file_id")
-          .agg(count(lit(1)).as("n"))
-          .persist() // read by zones, the probe set, and the lookup
-        post.count()
-        val zones = post.groupBy("file_id")
-          .agg(min(col("l_partkey")).as("smn"),
-            max(col("l_partkey")).as("smx"))
-        val probes = post.select("l_partkey").distinct()
-          .filter(col("l_partkey") % 997 === 0)
-        val pa = post.filter(col("l_partkey") % 997 === 0)
-          .groupBy("l_partkey")
-          .agg(count(lit(1)).as("posting_files"),
-            sum(col("n")).as("rows_matched"))
-        val zf = broadcast(probes).join(zones,
-            col("l_partkey") >= col("smn") &&
-              col("l_partkey") <= col("smx"))
-          .groupBy("l_partkey").agg(count(lit(1)).as("zone_files"))
-        val out = pa.join(zf, Seq("l_partkey"), "left")
-          .select(col("l_partkey"), col("rows_matched"),
-            col("posting_files"),
-            coalesce(col("zone_files"), lit(0L)).as("zone_files"))
-          .orderBy("l_partkey")
+        val (out, caches) = secondaryIndexPlan(s, d)
         val rows = out.collect()
-        post.unpersist()
+        caches.foreach(_.unpersist())
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some("""

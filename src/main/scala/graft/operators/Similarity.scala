@@ -349,6 +349,65 @@ object Similarity extends QueryPack {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Lazy NN-descent plan + its caches (exposed so `PlanGuardSpec` can
+    * pin the physical shape — every pair leg must be an EQUI-join on
+    * label or on the candidate pair key, never a nested-loop scan). */
+  private[operators] def nnDescentPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val K = 4
+    val all = vecs(s, d).persist()
+    all.count() // read by both scoring legs + both rescore joins
+    val wl = all.as("q").join(all.as("c"),
+      col("q.label") === col("c.label") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+    val seed = wl.select(col("q.vec_id").as("a"),
+        col("c.vec_id").as("b"),
+        expr("graft_cosine(slice(q.v, 1, 8), c.v)").as("pcos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("pcos").desc, col("b"))))
+      .filter(col("rk") <= K).select("a", "b")
+      .persist() // read by the two-hop self-join, cand, and hits
+    seed.count()
+    val non = seed.as("g1").join(seed.as("g2"),
+        col("g1.b") === col("g2.a") && col("g2.b") =!= col("g1.a"))
+      .select(col("g1.a").as("a"), col("g2.b").as("b"))
+    val cand = seed.unionByName(non).distinct()
+    // full-dim rescore of ONLY the bounded candidate set
+    val ref = cand
+      .join(all.select(col("vec_id").as("a"), col("v").as("av")), "a")
+      .join(all.select(col("vec_id").as("b"), col("v").as("bv")), "b")
+      .select(col("a"), col("b"),
+        expr("graft_cosine(av, bv)").as("fcos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
+      .filter(col("rk") <= K).select("a", "b")
+    // measurement leg: exact full-dim within-list truth
+    val truth = wl.select(col("q.vec_id").as("a"),
+        col("c.vec_id").as("b"), cosExpr.as("fcos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
+      .filter(col("rk") <= K).select("a", "b")
+      .persist() // read by the base count + both hit joins
+    truth.count()
+    def hits(g: DataFrame, nm: String) =
+      truth.join(g, Seq("a", "b"))
+        .groupBy("a").agg(count(lit(1)).as(nm))
+    val out = truth.groupBy("a").agg(count(lit(1)).as("tk"))
+      .join(hits(seed, "sh"), Seq("a"), "left")
+      .join(hits(ref, "nh"), Seq("a"), "left")
+      .join(all.select(col("vec_id").as("a"), col("label")), "a")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("tk")).as("tp"),
+        sum(coalesce(col("sh"), lit(0L))).as("s_h"),
+        sum(coalesce(col("nh"), lit(0L))).as("n_h"))
+      .select(col("label"), col("n_nodes"),
+        expr("s_h * 1000000 div tp").as("seed_recall_ppm"),
+        expr("n_h * 1000000 div tp").as("nnd_recall_ppm"))
+      .orderBy("label")
+    (out, Seq(all, seed, truth))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------ brute-force cosine kNN
@@ -1701,59 +1760,9 @@ object Similarity extends QueryPack {
     // round stays per-partition-local.
     "q_sim_nn_descent" -> GraftQuery(
       run = (s, d) => {
-        val K = 4
-        val all = vecs(s, d).persist()
-        all.count() // read by both scoring legs + both rescore joins
-        val wl = all.as("q").join(all.as("c"),
-          col("q.label") === col("c.label") &&
-            col("q.vec_id") =!= col("c.vec_id"))
-        val seed = wl.select(col("q.vec_id").as("a"),
-            col("c.vec_id").as("b"),
-            expr("graft_cosine(slice(q.v, 1, 8), c.v)").as("pcos"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a").orderBy(col("pcos").desc, col("b"))))
-          .filter(col("rk") <= K).select("a", "b")
-          .persist() // read by the two-hop self-join, cand, and hits
-        seed.count()
-        val non = seed.as("g1").join(seed.as("g2"),
-            col("g1.b") === col("g2.a") && col("g2.b") =!= col("g1.a"))
-          .select(col("g1.a").as("a"), col("g2.b").as("b"))
-        val cand = seed.unionByName(non).distinct()
-        // full-dim rescore of ONLY the bounded candidate set
-        val ref = cand
-          .join(all.select(col("vec_id").as("a"), col("v").as("av")), "a")
-          .join(all.select(col("vec_id").as("b"), col("v").as("bv")), "b")
-          .select(col("a"), col("b"),
-            expr("graft_cosine(av, bv)").as("fcos"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
-          .filter(col("rk") <= K).select("a", "b")
-        // measurement leg: exact full-dim within-list truth
-        val truth = wl.select(col("q.vec_id").as("a"),
-            col("c.vec_id").as("b"), cosExpr.as("fcos"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a").orderBy(col("fcos").desc, col("b"))))
-          .filter(col("rk") <= K).select("a", "b")
-          .persist() // read by the base count + both hit joins
-        truth.count()
-        def hits(g: DataFrame, nm: String) =
-          truth.join(g, Seq("a", "b"))
-            .groupBy("a").agg(count(lit(1)).as(nm))
-        val out = truth.groupBy("a").agg(count(lit(1)).as("tk"))
-          .join(hits(seed, "sh"), Seq("a"), "left")
-          .join(hits(ref, "nh"), Seq("a"), "left")
-          .join(all.select(col("vec_id").as("a"), col("label")), "a")
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_nodes"),
-            sum(col("tk")).as("tp"),
-            sum(coalesce(col("sh"), lit(0L))).as("s_h"),
-            sum(coalesce(col("nh"), lit(0L))).as("n_h"))
-          .select(col("label"), col("n_nodes"),
-            expr("s_h * 1000000 div tp").as("seed_recall_ppm"),
-            expr("n_h * 1000000 div tp").as("nnd_recall_ppm"))
-          .orderBy("label")
+        val (out, caches) = nnDescentPlan(s, d)
         val rows = out.collect()
-        seed.unpersist(); truth.unpersist(); all.unpersist()
+        caches.foreach(_.unpersist())
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some(s"""

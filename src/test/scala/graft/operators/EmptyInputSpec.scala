@@ -119,7 +119,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // driver-side min-source read) and the IVF balance audit (its
     // single aggregate row carries NULL min/max on an empty corpus —
     // the integer ratios must tolerate NULL, not throw)
-    "q_graph_sssp", "q_sim_ivf_balance")
+    "q_graph_sssp", "q_sim_ivf_balance",
+    // the PIT union+window must tolerate empty spine AND feature legs
+    "q_join_pit")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

@@ -102,6 +102,62 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       (2L, 0L, 0L), (3L, 0L, 0L))
   }
 
+  /** The same 2-nation trade graph, plus regions: nation 0 is in ASIA
+    * (the PPR seed region), nation 1 elsewhere. Edge weights after
+    * out-weight normalization are symmetric (each node's whole rank
+    * flows to the other), so the PPR recurrence collapses to a scalar
+    * pair — mirrored sequentially in-test. */
+  private lazy val regionDir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-graph-r").toString
+    Seq((0L, "ASIA"), (1L, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$d/region.parquet")
+    Seq((0L, "N_A", 0L), (1L, "N_B", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((10L, 0L), (11L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    Seq((20L, 0L), (21L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, 21L), (2L, 20L), (3L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    // edge 0→1 carries 3 lineitems, edge 1→0 carries 4 — asymmetric
+    // weights that out-weight normalization must cancel exactly
+    Seq(
+      (1L, 10L, 1L), (1L, 10L, 2L), (1L, 10L, 3L),
+      (2L, 11L, 3L), (2L, 11L, 4L),
+      (3L, 11L, 1L), (3L, 11L, 2L))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("ppr: distributed ranks equal the sequential recurrence") {
+    // single seed (node 0), full-rank flow both ways: the recurrence is
+    // r0' = 15e12/100 + 85*r1/100 ; r1' = 85*r0/100 (integer div) —
+    // traced sequentially here, independent of the DataFrame loop
+    var (r0, r1) = (1000000000000L, 0L)
+    (1 to 5).foreach { _ =>
+      val n0 = 150000000000L + 85L * r1 / 100L
+      val n1 = 85L * r0 / 100L
+      r0 = n0; r1 = n1
+    }
+    val rows = SparkEntry.queries("q_graph_ppr")(spark, regionDir).collect()
+    rows.length shouldBe 2
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getInt(2))).toMap
+    byName("N_A") shouldBe ((r0, 1))
+    byName("N_B") shouldBe ((r1, 0))
+  }
+
+  test("sssp: rarity costs from the lowest node, exact integer distances") {
+    // source = node 0; cost(0→1) = 1e9 div 3, cost(1→0) = 1e9 div 4
+    val rows = SparkEntry.queries("q_graph_sssp")(spark, regionDir).collect()
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("N_A", 0L), ("N_B", 333333333L))
+  }
+
   test("lift: hand-computed association lift with the support floor") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-lift").toString

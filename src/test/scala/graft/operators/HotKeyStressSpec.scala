@@ -124,6 +124,29 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     plan should include("salt")
   }
 
+  test("ivf_balance flags a 100×-hot inverted list (the re-train trigger)") {
+    import spark.implicits._
+    // The within-list pair kernels (reciprocal-NN, NN-descent seed /
+    // truth legs) are Σ|list|² by design — bounded only while list
+    // sizes are. There is deliberately NO per-list cap (capping a k-NN
+    // list corrupts recall silently); the operational guard is the
+    // balance AUDIT firing, which is what this stresses: one list at
+    // 100× the others must show up in every skew metric.
+    val d = java.nio.file.Files.createTempDirectory("graft-hot-ivf").toString
+    val hot = (0L until 2000L).map(i => (i, 0))
+    val cold = (0 until 9).flatMap(l =>
+      (0L until 20L).map(i => (10000L + l * 100 + i, l + 1)))
+    (hot ++ cold).toDF("vec_id", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q_sim_ivf_balance")(spark, d).head()
+    r.getAs[Long]("n_lists") shouldBe 10L
+    r.getAs[Long]("max_list") shouldBe 2000L
+    // 2000·10/2180 ≈ 9.2× imbalance, top list holds ~92% of the corpus
+    r.getAs[Long]("imbalance_pct") should be >= 900L
+    r.getAs[Long]("top1_share_ppm") should be >= 900000L
+    r.getAs[Long]("hot_lists") shouldBe 1L
+  }
+
   test("urlDedupGroups: a 100×-hot canonical URL collapses map-side") {
     import spark.implicits._
     val hotN = 50000L

@@ -448,5 +448,27 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should not include "Scan parquet"
   }
 
+  test("secondary index probes zones by broadcast; NN-descent joins stay equi") {
+    assume(haveData)
+    // posting-list index: the zone-probe leg is a RANGE join of a
+    // tiny probe set against the per-file zone table — it must plan
+    // as a broadcast nested-loop of the PROBES (constant-sized), never
+    // a shuffle of either side and never a cartesian product
+    val (sOut, sCaches) = ScaleOps.secondaryIndexPlan(spark, sf)
+    val sp = sOut.queryExecution.executedPlan.toString
+    sCaches.foreach(_.unpersist())
+    sp should include ("BroadcastNestedLoopJoin")
+    sp should not include "CartesianProduct"
+    // NN-descent: every pair-generating leg is an EQUI-join (on label
+    // for the scoring legs, on the endpoint/pair key for the two-hop
+    // expansion and rescore) — a nested-loop anywhere means the
+    // bounded-candidate contract silently became all-pairs
+    val (nOut, nCaches) = Similarity.nnDescentPlan(spark, sf)
+    val np = nOut.queryExecution.executedPlan.toString
+    nCaches.foreach(_.unpersist())
+    np should not include "BroadcastNestedLoopJoin"
+    np should not include "CartesianProduct"
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
