@@ -108,26 +108,43 @@ object GraphOps extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  // The weighted trade-edge list (supplier nation → customer nation,
+  // w = shipped lineitems) is the SECOND shared stage boundary of this
+  // pack: global PageRank, personalized PageRank, and weighted SSSP
+  // all start from it, and each used to rebuild the 4-table fact join
+  // (~2–3 s at sf0.1) from scratch. Session-cached like
+  // coPurchaseEdgesCached: |nations|² rows — a constant-sized
+  // aggregate at ANY corpus scale — materialized with one action.
+  private val tradeEdgeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+
+  private def tradeEdgesCached(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    tradeEdgeCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val e = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("src"),
+          col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .persist()
+      e.count()
+      e
+    })
+
   /** Lazy PageRank plan + the caches it reads (empty if the zero-node
     * guard already released them). */
   private[operators] def pagerankPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .persist()
-    // materialize the cache with ONE action before the plan below
-    // reads it 2 + Iters times (un-materialized caches are raced by
-    // sibling branches of the same job and recompute the fact join)
-    edges.count()
+    val edges = tradeEdgesCached(s, d)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .persist()
@@ -135,7 +152,8 @@ object GraphOps extends QueryPack {
     if (nNodes == 0) {
       // zero-row guard: an empty edge set must yield an empty result,
       // not a driver-side division by zero in the rank constants
-      edges.unpersist(); nodes.unpersist()
+      // (edges is the session-shared trade store — never released here)
+      nodes.unpersist()
       (Tables.nation(s, d)
         .select(col("n_name"), lit(0L).as("rank_scaled")).limit(0), Nil)
     } else {
@@ -158,7 +176,7 @@ object GraphOps extends QueryPack {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("rank").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("n_name"))
-      (out, Seq(edges, nodes))
+      (out, Seq(nodes)) // edges is the session-shared trade store
     }
   }
 
@@ -175,18 +193,7 @@ object GraphOps extends QueryPack {
   private[operators] def pprPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .persist()
-    edges.count() // materialize before 2 + Iters reads (sibling-race rule)
+    val edges = tradeEdgesCached(s, d)
     val seedKeys = Tables.nation(s, d)
       .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
@@ -202,7 +209,8 @@ object GraphOps extends QueryPack {
     val nSeeds = nf.filter(col("is_seed") === 1).count()
     if (nNodes == 0 || nSeeds == 0) {
       // empty graph or no seed present: empty result, not a div-by-zero
-      edges.unpersist(); nf.unpersist()
+      // (edges is the session-shared trade store — never released here)
+      nf.unpersist()
       (Tables.nation(s, d).select(col("n_name"),
         lit(0L).as("rank_scaled"), lit(0).as("is_seed")).limit(0), Nil)
     } else {
@@ -230,7 +238,7 @@ object GraphOps extends QueryPack {
         .select(col("n_name"), col("rank").as("rank_scaled"),
           col("is_seed"))
         .orderBy(col("rank_scaled").desc, col("n_name"))
-      (out, Seq(edges, nf))
+      (out, Seq(nf)) // edges is the session-shared trade store
     }
   }
 
@@ -254,24 +262,16 @@ object GraphOps extends QueryPack {
   private[operators] def ssspPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-    val edges = li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-      .agg(expr("1000000000L div count(1)").as("cost"))
-      .persist()
-    edges.count() // materialize before Iters + 2 reads
+    // rarity costs derive from the session-shared trade store's weights
+    val edges = tradeEdgesCached(s, d)
+      .select(col("src"), col("dst"),
+        expr("1000000000L div w").as("cost"))
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .persist()
     val nNodes = nodes.count()
     if (nNodes == 0) {
-      edges.unpersist(); nodes.unpersist()
+      nodes.unpersist()
       (Tables.nation(s, d)
         .select(col("n_name"), lit(0L).as("dist_cost")).limit(0), Nil)
     } else {
@@ -293,7 +293,9 @@ object GraphOps extends QueryPack {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("dist").as("dist_cost"))
         .orderBy(col("dist_cost"), col("n_name"))
-      (out, Seq(edges, nodes))
+      // edges derives from the session-shared trade store (never
+      // released per-query); only the node set is this plan's own cache
+      (out, Seq(nodes))
     }
   }
 
