@@ -24,6 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends QueryPack {
 
+  /** Shared by q_join_pit and its streaming twin (q_stream_pit): both
+    * forms must replay to the identical enriched spine. All ordering is
+    * on the µs grid (epoch_us / ts div 1000) on every side. */
+  private[graft] val pitOracleSql: String = """
+        WITH u AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id, 2 AS k,
+                 NULL::DOUBLE AS va, NULL::DOUBLE AS vb
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), event_id, 0, value, NULL
+          FROM events WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), event_id, 1, NULL, value
+          FROM events WHERE event_type = 'error'),
+        w AS (SELECT event_id, user_id, k,
+                     last_value(va IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lva,
+                     last_value(vb IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lvb
+              FROM u)
+        SELECT event_id, user_id,
+               round(lva, 4) AS last_view_value,
+               round(lvb, 4) AS last_error_value
+        FROM w WHERE k = 2 ORDER BY event_id"""
+
   /** Static value-band dimension (isolation-window analog): [lo, hi). */
   private def bands(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
@@ -799,8 +828,10 @@ object Joins extends QueryPack {
           .select(col("user_id"), col("ts"), col("event_id"),
             lit(1).as("k"), lit(null).cast("double").as("va"),
             col("value").as("vb"))
+        // order on the µs grid like the oracle's epoch_us — a ns-typed
+        // events shipment must not order sub-µs neighbors differently
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("k"), col("event_id"))
+          .orderBy(expr("ts div 1000"), col("k"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.unionByName(fa).unionByName(fb)
           .withColumn("lva", last(col("va"), ignoreNulls = true).over(w))
@@ -811,30 +842,6 @@ object Joins extends QueryPack {
             round(col("lvb"), 4).as("last_error_value"))
           .orderBy("event_id")
       },
-      oracle = Some("""
-        WITH u AS (
-          SELECT user_id, epoch_us(ts) AS t, event_id, 2 AS k,
-                 NULL::DOUBLE AS va, NULL::DOUBLE AS vb
-          FROM events WHERE event_type = 'click'
-          UNION ALL
-          SELECT user_id, epoch_us(ts), event_id, 0, value, NULL
-          FROM events WHERE event_type = 'view'
-          UNION ALL
-          SELECT user_id, epoch_us(ts), event_id, 1, NULL, value
-          FROM events WHERE event_type = 'error'),
-        w AS (SELECT event_id, user_id, k,
-                     last_value(va IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY t, k, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS lva,
-                     last_value(vb IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY t, k, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS lvb
-              FROM u)
-        SELECT event_id, user_id,
-               round(lva, 4) AS last_view_value,
-               round(lvb, 4) AS last_error_value
-        FROM w WHERE k = 2 ORDER BY event_id"""))
+      oracle = Some(pitOracleSql))
   )
 }

@@ -31,6 +31,12 @@ final case class AnomalyRing(vs: Seq[Long])
   * longs of state per user, carried across micro-batches. */
 final case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long)
 
+/** Point-in-time feature state for one user: the latest value seen
+  * from each feature group (None before the group's first update) —
+  * two optional doubles per user regardless of event volume, carried
+  * across micro-batches. */
+final case class PitState(va: Option[Double], vb: Option[Double])
+
 /** The sessionizer on Spark 4's arbitrary-state API
   * (`transformWithState`): one `ValueState[UserSessions]` per user,
   * advanced by the same fold as the `mapGroupsWithState` form. The two
@@ -347,6 +353,49 @@ object EventStreams extends QueryPack {
     * click, and so on down the funnel. Emits each user's current depth
     * per batch (Update). Public so specs can drive the cross-batch
     * carry (a click in batch 2 must qualify against batch 1's view). */
+  /** Streaming point-in-time feature serving: per-user state is the
+    * latest value of each feature group; every arriving spine event
+    * (click) emits enriched with the features as of its event time —
+    * the online half of q_join_pit, whose batch oracle it shares
+    * verbatim. Within a batch, a user's events replay in the batch
+    * window's exact order ((µs, kind, event_id) — features sort before
+    * their equal-instant spine rows); across micro-batches the carried
+    * two-option state IS the carry-forward window frame. */
+  def pitStream(
+      s: SparkSession,
+      dir: String,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    val kindOf = Map("view" -> 0, "error" -> 1, "click" -> 2)
+    eventStream(s, dir, globFilter, maxFilesPerTrigger)
+      .filter(col("event_type").isin("view", "error", "click"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event],
+         state: GroupState[PitState]) =>
+          var st = state.getOption.getOrElse(PitState(None, None))
+          val out = Seq.newBuilder[(Long, Long, Option[Double], Option[Double])]
+          events.toSeq
+            .sortBy(e => (e.ts / 1000, kindOf(e.event_type), e.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view"  => st = st.copy(va = Some(e.value))
+                case "error" => st = st.copy(vb = Some(e.value))
+                case _       => out += ((e.event_id, user, st.va, st.vb))
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "lva", "lvb")
+      .select(col("event_id"), col("user_id"),
+        round(col("lva"), 4).as("last_view_value"),
+        round(col("lvb"), 4).as("last_error_value"))
+  }
+
   def funnelStream(
       s: SparkSession,
       dir: String,
@@ -865,6 +914,21 @@ object EventStreams extends QueryPack {
           .orderBy("funnel_depth")
       },
       oracle = Some(graft.operators.Windows.funnelOracleSql)),
+
+    // ------------------ streaming point-in-time feature serving (2 opts/user)
+    // q_join_pit as a continuous pipeline: each click emits enriched
+    // with the latest per-group feature values the instant it arrives,
+    // instead of re-joining history — the online feature-store serving
+    // shape. State is two optional doubles per user; the batch oracle
+    // is shared verbatim, so a time-ordered replay through the stateful
+    // operator must reproduce the window form row for row.
+    "q_stream_pit" -> GraftQuery(
+      run = (s, d) => {
+        val enriched = pitStream(s, d, Some("events.parquet"))
+        runToMemory(s, enriched, "graft_stream_pit", OutputMode.Append())
+          .orderBy("event_id")
+      },
+      oracle = Some(graft.operators.Joins.pitOracleSql)),
 
     // --------------------------- arbitrary stateful: gap-based sessionization
     // mapGroupsWithState holds one UserSessions row per user; a 30-minute

@@ -126,6 +126,46 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("PIT feature state carries across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-pit").toString
+    // batch 1: user 1 sees a view (feature A = 5.0) and an
+    // equal-INSTANT click — the feature must be visible to it
+    // (features sort before spine at the same µs); user 2 clicks with
+    // no features yet (both nulls)
+    Seq((1L, 10L * minNs, 1L, "view", 5.0, "{}"),
+      (2L, 10L * minNs, 1L, "click", 0.0, "{}"),
+      (3L, 10L * minNs, 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+    // batch 2: user 1's click must see batch 1's CARRIED view value
+    // plus this batch's error value; a later view updates A for the
+    // final click
+    Seq((4L, 20L * minNs, 1L, "error", 7.5, "{}"),
+      (5L, 21L * minNs, 1L, "click", 0.0, "{}"),
+      (6L, 22L * minNs, 1L, "view", 9.25, "{}"),
+      (7L, 23L * minNs, 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+
+    val q = EventStreams
+      .pitStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .writeStream.queryName("graft_stream_pit_spec").format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("graft_stream_pit_spec").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("last_view_value")),
+          Option(r.getAs[java.lang.Double]("last_error_value")))).toMap
+    rows(2L) shouldBe ((Some(5.0), None))   // same-instant feature visible
+    rows(3L) shouldBe ((None, None))        // no features yet
+    rows(5L) shouldBe ((Some(5.0), Some(7.5))) // view carried across batches
+    rows(7L) shouldBe ((Some(9.25), Some(7.5)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("anomaly ring carries across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-anom").toString
