@@ -834,8 +834,11 @@ object Joins extends QueryPack {
           .orderBy(expr("ts div 1000"), col("k"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.unionByName(fa).unionByName(fb)
-          .withColumn("lva", last(col("va"), ignoreNulls = true).over(w))
-          .withColumn("lvb", last(col("vb"), ignoreNulls = true).over(w))
+          // both carries in ONE select → one Window operator (separate
+          // withColumns planned two Window nodes with a redundant sort)
+          .select(col("event_id"), col("user_id"), col("k"),
+            last(col("va"), ignoreNulls = true).over(w).as("lva"),
+            last(col("vb"), ignoreNulls = true).over(w).as("lvb"))
           .filter(col("k") === 2)
           .select(col("event_id"), col("user_id"),
             round(col("lva"), 4).as("last_view_value"),

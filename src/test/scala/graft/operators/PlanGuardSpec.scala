@@ -470,5 +470,20 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     np should not include "CartesianProduct"
   }
 
+  test("PIT join enriches all feature groups in one shuffle and one window") {
+    assume(haveData)
+    // the operator's scale claim IS this plan shape: union-tagged legs
+    // → ONE exchange on the user key → ONE Window computing every
+    // group's carry-forward — adding a feature group must not add an
+    // exchange or a second window (the second Exchange is the
+    // presentation orderBy). Two Windows here means the per-group
+    // carries stopped fusing and each group pays a redundant sort.
+    val p = plan("q_join_pit")
+    p.split("Exchange").length - 1 shouldBe 2
+    p.split("Window").length - 1 shouldBe 1
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
