@@ -681,6 +681,63 @@ object Dedup extends QueryPack {
               FROM documents)
         GROUP BY 1, 2 ORDER BY source, split""")),
 
+    // ----------------------------------- split leakage audit (near-dup)
+    // The eval-integrity check behind every train/test split: a test
+    // document with a NEAR-DUPLICATE in train is contamination the
+    // exact-hash split cannot see (hash splitting is content-blind by
+    // design — near-dups land on opposite sides at the base near-dup
+    // rate). Pairs = the verified capped-Jaccard ≥ 0.5 set (the same
+    // session store q_dedup_cluster and the keep-list consume — zero
+    // extra pair computation); each side is tagged with its
+    // q_dedup_hash_split assignment and pair counts group by unordered
+    // split combination. The (test, train) row IS the leakage number
+    // that inflates evals. One broadcast-sized join onto the bounded
+    // pair set — nothing here rescans the corpus.
+    "q_dedup_split_leakage" -> GraftQuery(
+      run = (s, d) => {
+        val pairs = jaccardPairsHalfCached(s, d).select("d1", "d2")
+        val bucket = s"${md5h("CAST(doc_id AS STRING)")} % 100"
+        val splits = Tables.documents(s, d).select(col("doc_id"),
+          when(expr(bucket) < 80, "train")
+            .when(expr(bucket) < 90, "val")
+            .otherwise("test").as("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("d1"),
+            col("split").as("s1")), "d1")
+          .join(splits.select(col("doc_id").as("d2"),
+            col("split").as("s2")), "d2")
+          .groupBy(least(col("s1"), col("s2")).as("split_a"),
+            greatest(col("s1"), col("s2")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT d1, d2 FROM common
+          JOIN ns na ON na.doc_id = d1 JOIN ns nb ON nb.doc_id = d2
+          WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+                         % 100 AS b
+                FROM documents))
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               count(*) AS n_pairs
+        FROM truth JOIN splits sa ON sa.doc_id = d1
+                   JOIN splits sb ON sb.doc_id = d2
+        GROUP BY 1, 2 ORDER BY split_a, split_b""")),
+
     // --------------------------------------------- paragraph-level dedup
     // The CCNet/RefinedWeb boilerplate pass: split each document into
     // sentences, hash them, and flag sentences that appear in more than

@@ -72,7 +72,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_text_tokenizer_cmp",
     "q_sim_reciprocal_nn", "q_text_kappa",
     "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index",
-    "q_graph_sssp", "q_sim_ivf_balance", "q_join_pit")
+    "q_graph_sssp", "q_sim_ivf_balance", "q_join_pit",
+    "q_dedup_split_leakage")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

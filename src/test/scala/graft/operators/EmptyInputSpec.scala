@@ -120,8 +120,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // single aggregate row carries NULL min/max on an empty corpus —
     // the integer ratios must tolerate NULL, not throw)
     "q_graph_sssp", "q_sim_ivf_balance",
-    // the PIT union+window must tolerate empty spine AND feature legs
-    "q_join_pit")
+    // the PIT union+window must tolerate empty spine AND feature legs,
+    // and the leakage audit an empty pair store
+    "q_join_pit", "q_dedup_split_leakage")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)
