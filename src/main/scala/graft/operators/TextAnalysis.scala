@@ -496,6 +496,27 @@ ORDER BY tokenizer"""
     * held-out bucket only. */
   private def classifierPreds(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (held, scores) = classifierScores(s, d)
+    val best = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("c"))))
+      .filter(col("rn") === 1)
+    held
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("c"), lit("de")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The classifier's raw per-(doc, class) evidence before the argmax:
+    * the held-out (doc_id, lang) universe and the per-class
+    * training-token-count scores (docs with zero vocabulary overlap
+    * have no score rows). Shared by classifierPreds (argmax → labels)
+    * and the threshold-free evals q_text_auc / q_text_calibration,
+    * which need the score DISTRIBUTION, not the winner. */
+  private def classifierScores(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .withColumn("bucket",
         expr(s"${md5h("CAST(doc_id AS STRING)")} % 100"))
@@ -507,16 +528,8 @@ ORDER BY tokenizer"""
     val scores = toks.filter(col("bucket") >= 80)
       .join(broadcast(model), "w")
       .groupBy("doc_id", "c").agg(sum(col("n")).as("score"))
-    val best = scores
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("c"))))
-      .filter(col("rn") === 1)
-    docs.filter(col("bucket") >= 80).select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("c"), lit("de")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    (docs.filter(col("bucket") >= 80).select(col("doc_id"), col("lang")),
+      scores)
   }
 
   /** The classifier-side CTEs of the kappa/classifier oracles, ending
@@ -1980,6 +1993,145 @@ ORDER BY tokenizer"""
                                 // (1000000 - pe_ppm))
                     END AS BIGINT) AS kappa_ppm
         FROM p""")),
+
+    // ------------------------- ROC-AUC (threshold-free classifier eval)
+    // One-vs-rest AUC for the held-out classifier on the 'en' class —
+    // the ranking-quality number a quality-filter threshold sweep
+    // starts from. The ranking score is the length-invariant evidence
+    // SHARE p = en_score·1000 // total_score (raw match counts track
+    // document length, not class membership — measured: raw-count AUC
+    // is a coin-flip 0.499 on this corpus, the share separates).
+    // Computed as the Mann-Whitney rank-sum with exact midrank tie
+    // handling, kept integral by working in DOUBLED midranks: for a
+    // score with t ties and `below` strictly-smaller rows,
+    // 2·midrank = 2·below + t + 1, so
+    // AUC = (Σ_pos 2·midrank − npos·(npos+1)) / (2·npos·nneg) in exact
+    // ppm (numerator ≥ 0, so trunc == floor on both engines). Scale
+    // shape: scores reduce map-side into the per-doc aggregate the
+    // classifier already runs; the rank window runs over the
+    // DISTINCT-SCORE table (≤ 1001 ppk values at any corpus size),
+    // never over docs. A degenerate eval set (no positives or no
+    // negatives) reports 0.
+    "q_text_auc" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (held, scores) = classifierScores(s, d)
+        val tot = scores.groupBy("doc_id").agg(sum("score").as("stot"))
+        val en = held
+          .join(scores.filter(col("c") === "en")
+            .select(col("doc_id"), col("score").as("sen")),
+            Seq("doc_id"), "left")
+          .join(tot, Seq("doc_id"), "left")
+          .select((col("lang") === "en").cast("long").as("y"),
+            when(coalesce(col("stot"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr(
+                "coalesce(sen, CAST(0 AS BIGINT)) * 1000 div stot"))
+              .as("score"))
+        val g = en.groupBy("score")
+          .agg(count(lit(1)).as("t"), sum(col("y")).as("tp"))
+        val w = g.withColumn("below",
+          coalesce(sum(col("t")).over(
+            Window.orderBy("score")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        w.agg(
+          coalesce(sum(col("tp")), lit(0L)).as("npos"),
+          coalesce(sum(col("t")) - sum(col("tp")), lit(0L)).as("nneg"),
+          coalesce(sum(col("tp") * (col("below") * 2 + col("t") + 1)),
+            lit(0L)).as("s2mid"))
+          .select(col("npos"), col("nneg"),
+            when(col("npos") === 0 || col("nneg") === 0, lit(0L))
+              .otherwise(expr(
+                "(s2mid - npos * (npos + 1)) * 1000000" +
+                  " div (2 * npos * nneg)"))
+              .as("auc_ppm"))
+      },
+      oracle = Some(s"""
+        WITH $classifierCtes,
+        atot AS (SELECT doc_id, sum(score) AS stot
+                 FROM cscores GROUP BY doc_id),
+        en AS (
+          SELECT CAST(d.lang = 'en' AS BIGINT) AS y,
+                 CASE WHEN coalesce(t.stot, 0) = 0 THEN 0
+                      ELSE coalesce(s.score, 0) * 1000 // t.stot
+                 END AS score
+          FROM cdocs d
+          LEFT JOIN cscores s ON s.doc_id = d.doc_id AND s.c = 'en'
+          LEFT JOIN atot t ON t.doc_id = d.doc_id
+          WHERE d.bucket >= 80),
+        g AS (SELECT score, count(*) AS t, sum(y) AS tp
+              FROM en GROUP BY score),
+        w AS (SELECT score, t, tp,
+                     coalesce(sum(t) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM g)
+        SELECT CAST(coalesce(sum(tp), 0) AS BIGINT) AS npos,
+               CAST(coalesce(sum(t) - sum(tp), 0) AS BIGINT) AS nneg,
+               CAST(CASE WHEN coalesce(sum(tp), 0) = 0
+                           OR coalesce(sum(t) - sum(tp), 0) = 0 THEN 0
+                    ELSE (sum(tp * (2 * below + t + 1))
+                          - sum(tp) * (sum(tp) + 1))
+                         * 1000000 // (2 * sum(tp) * (sum(t) - sum(tp)))
+                    END AS BIGINT) AS auc_ppm
+        FROM w""")),
+
+    // ----------------------- calibration bins (reliability decomposed)
+    // Does the classifier's confidence MEAN anything? Per-doc
+    // probability proxy p = en_score·1000 // total_score (exact ppk;
+    // no-evidence docs score 0), binned into 10 fixed-width bins;
+    // each bin reports its size, mean predicted ppk, observed
+    // positive rate ppk, and per-bin Brier term Σ(p − 1000·y)² // n —
+    // the reliability decomposition a threshold/temperature choice
+    // reads. All integer, all operands non-negative. Scale shape: one
+    // map-side-combinable aggregate over the per-doc scores the
+    // classifier already computes; output is ≤ 10 rows at any corpus
+    // size.
+    "q_text_calibration" -> GraftQuery(
+      run = (s, d) => {
+        val (held, scores) = classifierScores(s, d)
+        val tot = scores.groupBy("doc_id").agg(sum("score").as("stot"))
+        val en = scores.filter(col("c") === "en")
+          .select(col("doc_id"), col("score").as("sen"))
+        val p = held.join(en, Seq("doc_id"), "left")
+          .join(tot, Seq("doc_id"), "left")
+          .select((col("lang") === "en").cast("long").as("y"),
+            when(coalesce(col("stot"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr(
+                "coalesce(sen, CAST(0 AS BIGINT)) * 1000 div stot"))
+              .as("p_ppk"))
+        p.withColumn("bin", expr("least(9, p_ppk div 100)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_ppk")).as("sp"),
+            sum(col("y")).as("ny"),
+            sum((col("p_ppk") - col("y") * 1000)
+              * (col("p_ppk") - col("y") * 1000)).as("se"))
+          .select(col("bin"), col("n"),
+            expr("sp div n").as("mean_p_ppk"),
+            expr("ny * 1000 div n").as("pos_rate_ppk"),
+            expr("se div n").as("brier_ppm"))
+          .orderBy("bin")
+      },
+      oracle = Some(s"""
+        WITH $classifierCtes,
+        tot AS (SELECT doc_id, sum(score) AS stot
+                FROM cscores GROUP BY doc_id),
+        p AS (
+          SELECT CAST(d.lang = 'en' AS BIGINT) AS y,
+                 CASE WHEN coalesce(t.stot, 0) = 0 THEN 0
+                      ELSE coalesce(e.score, 0) * 1000 // t.stot
+                 END AS p_ppk
+          FROM cdocs d
+          LEFT JOIN cscores e ON e.doc_id = d.doc_id AND e.c = 'en'
+          LEFT JOIN tot t ON t.doc_id = d.doc_id
+          WHERE d.bucket >= 80)
+        SELECT CAST(least(9, p_ppk // 100) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(sum(p_ppk) // count(*) AS BIGINT) AS mean_p_ppk,
+               CAST(sum(y) * 1000 // count(*) AS BIGINT) AS pos_rate_ppk,
+               CAST(sum((p_ppk - y * 1000) * (p_ppk - y * 1000))
+                    // count(*) AS BIGINT) AS brier_ppm
+        FROM p GROUP BY 1 ORDER BY bin""")),
 
     // ---------------------- PMI co-occurrence (collocation extraction)
     // The phrase-mining / embedding-precursor primitive: adjacent-word
