@@ -1956,6 +1956,164 @@ object Similarity extends QueryPack {
         GROUP BY a2.c
         ORDER BY a2.c""")),
 
+    // ------------------- PCA top component (integer power iteration)
+    // The embedding-whitening / drift-explanation primitive: the
+    // dominant principal axis of the corpus, end-to-end in exact
+    // integer arithmetic so DuckDB replays it bit-for-bit. Pipeline:
+    // quantize to the 1e-3 grid → per-dim means (sign-split floor
+    // division: both engines floor-divide non-negative operands only)
+    // → centered second-moment matrix C — computed WITHOUT a self-join:
+    // each row's d² products come from two chained generators over its
+    // own centered array, all inside one codegen stage, partial-
+    // aggregated map-side so the only shuffle is the d²-row key space
+    // — → 5 L∞-normalized power-iteration rounds on the collected
+    // d² = 4,096-entry matrix (driver-side by design: the matrix is
+    // dimension-bounded, independent of corpus size — same contract as
+    // the other tiny-broadcast collects). Sign convention: each round
+    // flips so the largest-|w| component (smallest index on ties) is
+    // positive — deterministic across engines. Output: the loading
+    // vector (×10³), the Rayleigh-quotient eigenvalue on the quantized
+    // grid, and explained variance vs trace in ppm. Overflow envelope:
+    // |e| ≤ 2·10³, C ≤ d·4·10⁶, |w| ≤ d·C·10³ ≈ 2.6·10¹¹, the
+    // normalize multiply ≤ 2.6·10¹⁴ — 4 decades inside int64; the
+    // per-(i,j) product SUM before the //n is the binding term at
+    // ~4·10⁶·n, good to n ≈ 2·10¹² vectors.
+    "q_sim_pca" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val qarr = Tables.embeddings(s, d).select(
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+            " * 1000.0 + 0.5) AS BIGINT))").as("xq"))
+        val comp = qarr.select(posexplode(col("xq")).as(Seq("i", "xv")))
+        val meansRow = comp.groupBy("i")
+          .agg(sum(col("xv")).as("sx"), count(lit(1)).as("n"))
+          .select(col("i"), expr(
+            "CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx) div n) END")
+            .as("m"))
+          .agg(expr("transform(sort_array(collect_list(struct(i, m)))," +
+            " s -> s.m)").as("marr"))
+        val cen = qarr.crossJoin(broadcast(meansRow))
+          .select(expr("zip_with(xq, marr, (x, m) -> x - m)").as("e"))
+        val cov = cen
+          .select(posexplode(col("e")).as(Seq("i", "ei")), col("e"))
+          .select(col("i"), col("ei"),
+            posexplode(col("e")).as(Seq("j", "ej")))
+          .groupBy("i", "j")
+          .agg(sum(col("ei") * col("ej")).as("sij"),
+            count(lit(1)).as("cn"))
+          .select(col("i"), col("j"), expr(
+            "CASE WHEN sij >= 0 THEN sij div cn ELSE -((-sij) div cn) END")
+            .as("c"))
+        val entries = cov.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        val out: Seq[(Long, Long, Long, Long)] =
+          if (entries.isEmpty) Seq.empty
+          else {
+            val dim = entries.map(_._1).max + 1
+            val cm = Array.ofDim[Long](dim, dim)
+            entries.foreach { case (i, j, c) => cm(i)(j) = c }
+            def matvec(v: Array[Long]): Array[Long] =
+              Array.tabulate(dim) { i =>
+                var acc = 0L; var j = 0
+                while (j < dim) { acc += cm(i)(j) * v(j); j += 1 }; acc
+              }
+            var v = Array.fill(dim)(1000L)
+            for (_ <- 1 to 5) {
+              val w = matvec(v)
+              val mx = w.map(math.abs).max
+              v =
+                if (mx == 0L) Array.fill(dim)(0L)
+                else {
+                  val jstar = w.indices.find(j => math.abs(w(j)) == mx).get
+                  val sg = if (w(jstar) >= 0L) 1L else -1L
+                  w.map { wi =>
+                    val t = sg * wi
+                    if (t >= 0L) t * 1000L / mx else -((-t) * 1000L / mx)
+                  }
+                }
+            }
+            val w = matvec(v)
+            val num = v.indices.map(i => v(i) * w(i)).sum
+            val den = v.indices.map(i => v(i) * v(i)).sum
+            val lambda =
+              if (den == 0L) 0L
+              else if (num >= 0L) num / den
+              else -((-num) / den)
+            val trace = (0 until dim).map(i => cm(i)(i)).sum
+            val ev =
+              if (trace <= 0L) 0L
+              else if (lambda >= 0L) lambda * 1000000L / trace
+              else -((-lambda) * 1000000L / trace)
+            v.indices.map(i => (i.toLong, v(i), lambda, ev))
+          }
+        out.toDF("dim", "loading", "lambda_q", "ev_ppm").orderBy("dim")
+      },
+      oracle = Some {
+        def iter(prev: String, k: Int) = s"""
+        w$k AS (SELECT c.i, sum(c.c * $prev.v) AS w
+                FROM cov c JOIN $prev ON $prev.i = c.j GROUP BY c.i),
+        m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+        s$k AS (SELECT sg FROM (
+                  SELECT CASE WHEN w >= 0 THEN 1 ELSE -1 END AS sg,
+                         row_number() OVER (ORDER BY i) AS rn
+                  FROM w$k, m$k WHERE abs(w) = m$k.mx) WHERE rn = 1),
+        v$k AS (SELECT w$k.i,
+                       CASE WHEN m$k.mx = 0 THEN 0
+                            WHEN s$k.sg * w$k.w >= 0
+                              THEN (s$k.sg * w$k.w * 1000) // m$k.mx
+                            ELSE -((-(s$k.sg * w$k.w) * 1000) // m$k.mx)
+                       END AS v
+                FROM w$k, m$k, s$k)"""
+        s"""
+        WITH pu AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        pq AS (SELECT vec_id, i,
+                      CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xq
+               FROM pu),
+        mn AS (SELECT i,
+                      CASE WHEN sum(xq) >= 0
+                             THEN CAST(sum(xq) AS BIGINT) // count(*)
+                           ELSE -(CAST(-sum(xq) AS BIGINT) // count(*))
+                      END AS m
+               FROM pq GROUP BY i),
+        cen AS MATERIALIZED (SELECT q.vec_id, q.i, q.xq - mn.m AS e
+                FROM pq q JOIN mn ON mn.i = q.i),
+        -- MATERIALIZED: cov is referenced by every power round; inlined,
+        -- DuckDB re-expands the scan tree per reference and exhausts fds
+        cov AS MATERIALIZED (SELECT a.i, b.i AS j,
+                       CASE WHEN sum(a.e * b.e) >= 0
+                              THEN CAST(sum(a.e * b.e) AS BIGINT)
+                                   // count(*)
+                            ELSE -(CAST(-sum(a.e * b.e) AS BIGINT)
+                                   // count(*))
+                       END AS c
+                FROM cen a JOIN cen b ON b.vec_id = a.vec_id
+                GROUP BY 1, 2),
+        v0 AS (SELECT DISTINCT i, 1000 AS v FROM cov),
+        ${(1 to 5).map(k => iter(s"v${k - 1}", k)).mkString(",")},
+        wf AS (SELECT c.i, sum(c.c * v5.v) AS w
+               FROM cov c JOIN v5 ON v5.i = c.j GROUP BY c.i),
+        ray AS (SELECT CAST(sum(v5.v * wf.w) AS BIGINT) AS num,
+                       CAST(sum(v5.v * v5.v) AS BIGINT) AS den
+                FROM v5 JOIN wf ON wf.i = v5.i),
+        lam AS (SELECT CASE WHEN den = 0 THEN 0
+                            WHEN num >= 0 THEN num // den
+                            ELSE -((-num) // den) END AS lambda
+                FROM ray),
+        tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace
+               FROM cov WHERE i = j)
+        SELECT CAST(v5.i - 1 AS BIGINT) AS dim,
+               CAST(v5.v AS BIGINT) AS loading,
+               CAST(lambda AS BIGINT) AS lambda_q,
+               CAST(CASE WHEN trace IS NULL OR trace <= 0 THEN 0
+                         WHEN lambda >= 0 THEN lambda * 1000000 // trace
+                         ELSE -((-lambda) * 1000000 // trace)
+                    END AS BIGINT) AS ev_ppm
+        FROM v5, lam, tr ORDER BY dim"""
+      }),
+
     // ---------------------- Johnson–Lindenstrauss random projection
     // 64 → 16 dimensions through an md5-derived ±1 projection matrix —
     // the storage/compute reducer that precedes ANN indexing at scale
