@@ -2114,6 +2114,111 @@ object Similarity extends QueryPack {
         FROM v5, lam, tr ORDER BY dim"""
       }),
 
+    // --------------------- k-center greedy coreset (farthest-point)
+    // Representative-subset selection — the data-selection primitive
+    // behind coreset seeding, diverse eval-set picking, and k-means++
+    // style init. Classic farthest-point traversal (the 2-approximation
+    // to the k-center objective) over one IVF list (label 0 — at scale
+    // the traversal runs per list, so list parallelism is the scale
+    // axis): seed at the smallest vec_id, then 7 rounds of "add the
+    // point farthest from the selected set", each round ONE broadcast
+    // of the newest center + a map-side least() update of the running
+    // min-distance column + one top-1 aggregate — k linear passes,
+    // tiny driver state (k ids), and the pairwise matrix is never
+    // materialized (only the ORACLE builds it, to replay the argmax
+    // declaratively). Output: selection order with each center's
+    // distance-to-predecessors — the k-center radius curve, exact
+    // integer d² on the 1e-3 grid. Ties break (d² desc, vec_id asc)
+    // on both engines.
+    "q_sim_coreset" -> GraftQuery(
+      run = (s, d) => {
+        import s.implicits._
+        val base = Tables.embeddings(s, d).filter(col("label") === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+              " * 1000.0 + 0.5) AS BIGINT))").as("xq"))
+          .persist()
+        def d2To(center: Seq[Long]) = aggregate(
+          zip_with(col("xq"), typedlit(center),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val seedRow = base.orderBy("vec_id").limit(1).collect().headOption
+        val out: Seq[(Long, Long, Long)] = seedRow match {
+          case None => Seq.empty
+          case Some(r0) =>
+            val picks = scala.collection.mutable.ArrayBuffer(
+              (0L, r0.getLong(0), 0L))
+            var ids = Set(r0.getLong(0))
+            var cur = base.withColumn("mind", d2To(r0.getSeq[Long](1)))
+            var step = 1L
+            var done = false
+            while (step < 8 && !done) {
+              val top = cur.filter(!col("vec_id").isin(ids.toSeq: _*))
+                .agg(max(struct(col("mind").as("m"),
+                  (-col("vec_id")).as("nid"), col("vec_id").as("id"),
+                  col("xq").as("xq"))).as("t"))
+                .select(col("t.m"), col("t.id"), col("t.xq"))
+                .collect().headOption.filter(!_.isNullAt(0))
+              top match {
+                case None => done = true
+                case Some(r) =>
+                  picks += ((step, r.getLong(1), r.getLong(0)))
+                  ids += r.getLong(1)
+                  cur = cur.withColumn("mind",
+                    least(col("mind"), d2To(r.getSeq[Long](2))))
+                  step += 1
+              }
+            }
+            picks.toSeq
+        }
+        base.unpersist()
+        out.toDF("step", "vec_id", "radius_d2").orderBy("step")
+      },
+      oracle = Some {
+        def stepCte(k: Int): String = {
+          val prevSel = (0 until k).map(i => s"SELECT id FROM c$i")
+            .mkString(" UNION ALL ")
+          val mind =
+            if (k == 1)
+              s"""m1 AS (SELECT pd.va AS vec_id, pd.d2
+                 FROM pd JOIN c0 ON pd.vb = c0.id)"""
+            else
+              s"""m$k AS (SELECT m${k - 1}.vec_id,
+                        least(m${k - 1}.d2, pd.d2) AS d2
+                 FROM m${k - 1} JOIN pd ON pd.va = m${k - 1}.vec_id
+                      JOIN c${k - 1} ON pd.vb = c${k - 1}.id)"""
+          s"""$mind,
+        c$k AS (SELECT vec_id AS id, d2 FROM m$k
+                WHERE vec_id NOT IN ($prevSel)
+                ORDER BY d2 DESC, vec_id LIMIT 1)"""
+        }
+        val unions = (1 to 7).map(k =>
+          s"SELECT $k AS step, id AS vec_id, d2 AS radius_d2 FROM c$k")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH ku AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE label = 0),
+        kq AS MATERIALIZED (
+          SELECT vec_id, i,
+                 CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xq
+          FROM ku),
+        pd AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2
+          FROM kq a JOIN kq b ON b.i = a.i GROUP BY 1, 2),
+        c0 AS (SELECT vec_id AS id FROM kq
+               GROUP BY vec_id ORDER BY vec_id LIMIT 1),
+        ${(1 to 7).map(stepCte).mkString(",\n        ")}
+        SELECT CAST(step AS BIGINT) AS step,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(radius_d2 AS BIGINT) AS radius_d2
+        FROM (SELECT 0 AS step, id AS vec_id, 0 AS radius_d2 FROM c0
+              UNION ALL $unions)
+        ORDER BY step"""
+      }),
+
     // ---------------------- Johnson–Lindenstrauss random projection
     // 64 → 16 dimensions through an md5-derived ±1 projection matrix —
     // the storage/compute reducer that precedes ANN indexing at scale
