@@ -2071,6 +2071,60 @@ object ScaleOps extends QueryPack {
                  AS leaked_pairs
         FROM grp GROUP BY scheme ORDER BY scheme""")),
 
+    // ------------------- stratified k-fold split (distributed rank)
+    // Exact per-stratum fold balance — the property a plain hash-mod
+    // split does NOT give (hash-mod is only proportional in
+    // expectation; eval variance on small strata comes straight from
+    // that wobble). fold = (rank within stratum − 1) mod 5, ranked by
+    // a decorrelated per-doc hash, so every (lang, fold) cell is
+    // within 1 doc of every other fold in its stratum BY CONSTRUCTION.
+    // The rank itself uses the two-pass distributed-rank pattern
+    // rather than one giant per-stratum window: pass 1 counts per
+    // (stratum, hash-prefix bucket); pass 2 broadcasts the per-bucket
+    // prefix offsets and ranks WITHIN (stratum, bucket) partitions —
+    // because the bucket is a prefix of the sort key, offset +
+    // in-bucket rank IS the global stratum rank. No stratum ever has
+    // to fit in one task (the window partitions are 1/16th strata;
+    // widen the prefix for more), which is what makes exact k-fold
+    // assignment feasible when one language is 80% of a 100 TB corpus.
+    "q_scale_stratified_split" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(concat(lit("fold_"), col("doc_id").cast("string")))
+              .as("h"))
+          .withColumn("b", substring(col("h"), 1, 1))
+        val offsets = base.groupBy("lang", "b")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(
+            sum("cnt").over(Window.partitionBy("lang").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "b", "off")
+        base.join(broadcast(offsets), Seq("lang", "b"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang", "b").orderBy("h", "doc_id")))
+          .withColumn("fold", (col("off") + col("rn") - 1) % 5)
+          .groupBy("fold", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("n_chars"))
+          .orderBy("fold", "lang")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+                 md5('fold_' || doc_id::VARCHAR) AS h
+          FROM documents),
+        r AS (
+          SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY h, doc_id) AS rn
+          FROM b)
+        SELECT CAST((rn - 1) % 5 AS BIGINT) AS fold, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM r GROUP BY 1, 2 ORDER BY fold, lang""")),
+
     // ----------------- right-to-be-forgotten delete-cost audit (GDPR)
     // Before executing a deletion batch at 100 TB you want its WRITE
     // BILL: which shards must rewrite, and at what amplification

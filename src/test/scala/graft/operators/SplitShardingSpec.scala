@@ -148,4 +148,38 @@ class SplitShardingSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     }.sum
     dLeak shouldBe brute
   }
+
+  test("stratified k-fold: two-pass rank equals a JVM global rank; " +
+      "per-stratum fold balance within 1") {
+    assume(haveData)
+    // independent reference: full md5 string via MessageDigest, global
+    // per-lang sort, fold = (rank-1) % 5 — no Spark expressions, no
+    // bucket decomposition
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ref = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(r => (md5hex(s"fold_${r._1}"), r._1)).zipWithIndex
+        .map { case ((_, _, nc), idx) => (idx.toLong % 5, lang, nc) }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((f, l), rs) =>
+        (f, l) -> (rs.size.toLong, rs.map(_._3).sum)
+      }
+
+    val got = SparkEntry.queries("q_scale_stratified_split")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    got shouldBe ref
+    // the stratification guarantee: within each lang, fold sizes
+    // differ by at most 1
+    got.keys.map(_._2).toSet.foreach { lang: String =>
+      val sizes = got.collect { case ((_, l), (n, _)) if l == lang => n }
+      (sizes.max - sizes.min) should be <= 1L
+    }
+  }
 }
