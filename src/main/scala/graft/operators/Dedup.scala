@@ -947,6 +947,75 @@ object Dedup extends QueryPack {
         WHERE CAST(c AS DOUBLE)/(na.nsh + nb.nsh - c) >= 0.5
         ORDER BY d1, d2""")),
 
+    // ----------------------- prefix-filtered set-similarity join (SSJoin)
+    // The EXACT-guarantee counterpart to MinHash: ALL pairs with
+    // Jaccard ≥ τ (τ = 0.3 — loose enough that the full inverted
+    // index would emit many more candidates than the threshold keeps)
+    // over the df-capped shingle space, found without scanning full
+    // posting lists. Tokens get a global rarity order (df asc,
+    // shingle asc); each doc keeps only its PREFIX — the first
+    // n − ⌈τ·n⌉ + 1 tokens — and candidates are pairs sharing a
+    // prefix token: the classical SSJoin prefix bound (two sets with
+    // Jaccard ≥ τ must collide inside their prefixes under any common
+    // total order), so there are NO false negatives — the oracle runs
+    // the exhaustive join and must agree exactly, and PrefixJoinSpec
+    // proves completeness on adversarial corpora. Exact-Jaccard
+    // verification touches candidates only. Scale shape: the prefix
+    // is the RARE end of the df order, so candidate posting lists are
+    // short by construction (stop-shingle cap as the hard ceiling);
+    // the rank window partitions per doc (bounded by doc length); all
+    // scores are exact integer ppm.
+    "q_dedup_ppjoin" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = shinglesCached(s, d)
+        val hot = hotSet(sh, MaxShingleDf)
+        val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
+        val dfreq = kept.groupBy("s").agg(count(lit(1)).as("df"))
+        val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        val pref = kept.join(dfreq, "s")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+          .join(ns, "doc_id")
+          .filter(col("rk") <=
+            col("nsh") - expr("(3 * nsh + 9) div 10") + 1)
+          .select("doc_id", "s")
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.s") === col("b.s") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val common = cand
+          .join(kept.as("x"), col("x.doc_id") === col("d1"))
+          .join(kept.as("y"),
+            col("y.doc_id") === col("d2") && col("y.s") === col("x.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        common
+          .join(ns.select(col("doc_id"), col("nsh").as("nsh1")),
+            col("d1") === col("doc_id")).drop("doc_id")
+          .join(ns.select(col("doc_id"), col("nsh").as("nsh2")),
+            col("d2") === col("doc_id")).drop("doc_id")
+          .select(col("d1"), col("d2"), col("c"),
+            expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
+          .filter(col("jac_ppm") >= 300000)
+          .orderBy("d1", "d2")
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, CAST(c AS BIGINT) AS c,
+               CAST(c * 1000000 // (na.nsh + nb.nsh - c) AS BIGINT)
+                 AS jac_ppm
+        FROM common JOIN ns na ON na.doc_id = d1
+             JOIN ns nb ON nb.doc_id = d2
+        WHERE c * 1000000 // (na.nsh + nb.nsh - c) >= 300000
+        ORDER BY d1, d2""")),
+
     // ------------------------------------------- containment dedup
     // One-sided shingle containment c / min(|A|, |B|): the symmetric
     // Jaccard score misses the short-document-inside-long-document

@@ -299,6 +299,57 @@ object GraphOps extends QueryPack {
     }
   }
 
+  /** Lazy HITS (hubs/authorities) plan + its caches. Kleinberg's
+    * mutual-reinforcement pair on the weighted trade graph: per round,
+    * auth(v) = Σ_{u→v} hub(u)·w then hub(u) = Σ_{u→v} auth(v)·w, each
+    * L∞-normalized to the 10³ grid in exact integer arithmetic (all
+    * operands non-negative, so floor division agrees across engines;
+    * the max comes back as a broadcast 1-row frame, not a driver
+    * action). 3 rounds — the fixed generation IS the semantics, like
+    * label propagation. Overflow envelope: score ≤ 10³, so a raw sum
+    * is ≤ 10³·Σw = 10³·|lineitem| — good to ~9·10¹⁵ lineitems before
+    * the normalize multiply (×10³) leaves int64. Each half-round is
+    * one shuffle keyed on node id with map-side partial sums — the
+    * same per-iteration shape as PageRank, holding at web scale. */
+  private[operators] def hitsPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val edges = tradeEdgesCached(s, d)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .persist()
+    def normalize(
+        raw: org.apache.spark.sql.DataFrame, // (node, r)
+        out: String): org.apache.spark.sql.DataFrame = {
+      val mx = raw.agg(max(col("r")).as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("mx").isNull || col("mx") === 0, lit(0L))
+            .otherwise(expr(
+              "coalesce(r, CAST(0 AS BIGINT)) * 1000 div mx"))
+            .as(out))
+    }
+    var hub = nodes.withColumn("h", lit(1000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    (1 to 3).foreach { _ =>
+      auth = normalize(
+        edges.join(hub, col("node") === col("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("h * w")).as("r")), "a")
+      hub = normalize(
+        edges.join(auth, col("node") === col("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(expr("a * w")).as("r")), "h")
+    }
+    val out = hub.join(auth, "node")
+      .join(broadcast(Tables.nation(s, d)),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("h").as("hub_q"), col("a").as("auth_q"))
+      .orderBy(col("auth_q").desc, col("hub_q").desc, col("n_name"))
+    (out, Seq(nodes))
+  }
+
   /** Lazy degree-oriented triangle-count plan + its caches. */
   private[operators] def trianglesPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -677,6 +728,59 @@ object GraphOps extends QueryPack {
         SELECT n_name, dist AS dist_cost
         FROM d$Iters JOIN nation ON n_nationkey = node
         ORDER BY dist_cost, n_name"""
+      }),
+
+    // ------------------------------- HITS hubs & authorities (Kleinberg)
+    // The directed-graph complement to PageRank's single score: on the
+    // trade graph, a high HUB is a supplier nation whose exports feed
+    // the big importers, a high AUTHORITY a customer nation fed by the
+    // big exporters — the two sides PageRank's one number conflates.
+    // 3 mutual-reinforcement rounds, L∞-normalized to the 10³ grid,
+    // exact integer arithmetic end to end (see hitsPlan's envelope).
+    "q_graph_hits" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = hitsPlan(s, d)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
+      },
+      oracle = Some {
+        def round(k: Int) = s"""
+        a${k}r AS (SELECT e.dst AS node, sum(h${k - 1}.h * e.w) AS r
+                   FROM edges e JOIN h${k - 1} ON h${k - 1}.node = e.src
+                   GROUP BY 1),
+        a${k}m AS (SELECT max(r) AS mx FROM a${k}r),
+        a$k AS (SELECT n.node,
+                       CASE WHEN m.mx IS NULL OR m.mx = 0 THEN 0
+                            ELSE coalesce(r.r, 0) * 1000 // m.mx
+                       END AS a
+                FROM nodes n LEFT JOIN a${k}r r ON r.node = n.node
+                CROSS JOIN a${k}m m),
+        h${k}r AS (SELECT e.src AS node, sum(a$k.a * e.w) AS r
+                   FROM edges e JOIN a$k ON a$k.node = e.dst
+                   GROUP BY 1),
+        h${k}m AS (SELECT max(r) AS mx FROM h${k}r),
+        h$k AS (SELECT n.node,
+                       CASE WHEN m.mx IS NULL OR m.mx = 0 THEN 0
+                            ELSE coalesce(r.r, 0) * 1000 // m.mx
+                       END AS h
+                FROM nodes n LEFT JOIN h${k}r r ON r.node = n.node
+                CROSS JOIN h${k}m m)"""
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, 1000 AS h FROM nodes),
+        ${(1 to 3).map(round).mkString(",")}
+        SELECT n_name,
+               CAST(h3.h AS BIGINT) AS hub_q,
+               CAST(a3.a AS BIGINT) AS auth_q
+        FROM h3 JOIN a3 ON a3.node = h3.node
+             JOIN nation ON n_nationkey = h3.node
+        ORDER BY auth_q DESC, hub_q DESC, n_name"""
       }),
 
     // ------------------------------------- degree-oriented triangle count

@@ -151,6 +151,34 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     byName("N_B") shouldBe ((r1, 0))
   }
 
+  test("hits: weighted star — sole importer is the authority, " +
+      "exporters are hubs in weight proportion") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-graph-h").toString
+    Seq((0L, "N_A"), (1L, "N_B"), (2L, "N_C"))
+      .toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((10L, 0L), (11L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    Seq((22L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, 22L), (2L, 22L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    // edge 0→2 carries 2 lineitems, edge 1→2 carries 1
+    Seq((1L, 10L, 1L), (1L, 10L, 2L), (2L, 11L, 3L))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    // trace: a(2) normalizes to 1000 (sole in-node); hub raws are then
+    // a(2)·w = (2000, 1000, 0) → h = (1000, 500, 0); fixpoint from
+    // round 1 on, so 3 rounds land exactly here
+    val rows = SparkEntry.queries("q_graph_hits")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq(
+      "N_C" -> ((0L, 1000L)),
+      "N_A" -> ((1000L, 0L)),
+      "N_B" -> ((500L, 0L)))
+  }
+
   test("sssp: rarity costs from the lowest node, exact integer distances") {
     // source = node 0; cost(0→1) = 1e9 div 3, cost(1→0) = 1e9 div 4
     val rows = SparkEntry.queries("q_graph_sssp")(spark, regionDir).collect()
