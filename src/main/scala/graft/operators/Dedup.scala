@@ -236,6 +236,54 @@ object Dedup extends QueryPack {
       r
     })
 
+  /** Lazy prefix-filtered similarity-join plan + its caches (see
+    * q_dedup_ppjoin). The capped stream is read by four consumers
+    * (df, sizes, prefix build, verification ×2) and the prefix by
+    * both sides of the candidate self-join — persist them or each
+    * consumer re-runs the corpus-wide hot aggregate / per-doc window
+    * sort (measured: 8.1 s → ~1 s warm at sf0.1). Exposed lazily so
+    * PlanGuardSpec pins the REAL join shapes. */
+  private[operators] def ppjoinPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shinglesCached(s, d)
+    val hot = hotSet(sh, MaxShingleDf).persist()
+    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti").persist()
+    kept.count()
+    hot.unpersist()
+    val dfreq = kept.groupBy("s").agg(count(lit(1)).as("df"))
+    val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      .persist()
+    val pref = kept.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .join(ns, "doc_id")
+      .filter(col("rk") <=
+        col("nsh") - expr("(3 * nsh + 9) div 10") + 1)
+      .select("doc_id", "s")
+      .persist()
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val common = cand
+      .join(kept.as("x"), col("x.doc_id") === col("d1"))
+      .join(kept.as("y"),
+        col("y.doc_id") === col("d2") && col("y.s") === col("x.s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val out = common
+      .join(ns.select(col("doc_id"), col("nsh").as("nsh1")),
+        col("d1") === col("doc_id")).drop("doc_id")
+      .join(ns.select(col("doc_id"), col("nsh").as("nsh2")),
+        col("d2") === col("doc_id")).drop("doc_id")
+      .select(col("d1"), col("d2"), col("c"),
+        expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
+      .filter(col("jac_ppm") >= 300000)
+      .orderBy("d1", "d2")
+    (out, Seq(kept, ns, pref))
+  }
+
   // The verified ≥ 0.5 near-dup pair set over the full corpus is read
   // by five queries (ngram_jaccard, lsh_eval, lsh_sweep, cluster,
   // keep_list) and each paid the posting-list pair kernel again. The
@@ -967,38 +1015,12 @@ object Dedup extends QueryPack {
     // scores are exact integer ppm.
     "q_dedup_ppjoin" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val sh = shinglesCached(s, d)
-        val hot = hotSet(sh, MaxShingleDf)
-        val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
-        val dfreq = kept.groupBy("s").agg(count(lit(1)).as("df"))
-        val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-        val pref = kept.join(dfreq, "s")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-          .join(ns, "doc_id")
-          .filter(col("rk") <=
-            col("nsh") - expr("(3 * nsh + 9) div 10") + 1)
-          .select("doc_id", "s")
-        val cand = pref.as("a").join(pref.as("b"),
-            col("a.s") === col("b.s") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        val common = cand
-          .join(kept.as("x"), col("x.doc_id") === col("d1"))
-          .join(kept.as("y"),
-            col("y.doc_id") === col("d2") && col("y.s") === col("x.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        common
-          .join(ns.select(col("doc_id"), col("nsh").as("nsh1")),
-            col("d1") === col("doc_id")).drop("doc_id")
-          .join(ns.select(col("doc_id"), col("nsh").as("nsh2")),
-            col("d2") === col("doc_id")).drop("doc_id")
-          .select(col("d1"), col("d2"), col("c"),
-            expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
-          .filter(col("jac_ppm") >= 300000)
-          .orderBy("d1", "d2")
+        val (out, caches) = ppjoinPlan(s, d)
+        // output pairs are Zipf-small (bounded by real duplication at
+        // any scale) — materialize and release, like the graph pack
+        val rows = out.collect()
+        caches.foreach(_.unpersist())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       oracle = Some(s"""
         WITH $shinglesCte,

@@ -318,11 +318,23 @@ object GraphOps extends QueryPack {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .persist()
+    val caches = scala.collection.mutable.ArrayBuffer(nodes)
+    // each raw half-round is read TWICE (its L∞ max + the normalize
+    // join) and feeds every later round, so the LOGICAL tree doubles
+    // per half-round — and persist alone doesn't help, because the
+    // analyzer/optimizer still re-traverses the full duplicated
+    // lineage on every action (measured: minutes at any scale factor
+    // lazy or persisted). localCheckpoint is the iterative-plan tool:
+    // blocks stay on executors (the scale shape — nothing |V|-sized
+    // crosses the driver) and the logical plan truncates to an RDD
+    // scan, so round k's analysis cost is flat.
     def normalize(
         raw: org.apache.spark.sql.DataFrame, // (node, r)
         out: String): org.apache.spark.sql.DataFrame = {
-      val mx = raw.agg(max(col("r")).as("mx"))
-      nodes.join(raw, Seq("node"), "left")
+      val r = raw.localCheckpoint(true)
+      caches += r
+      val mx = r.agg(max(col("r")).as("mx"))
+      nodes.join(r, Seq("node"), "left")
         .crossJoin(broadcast(mx))
         .select(col("node"),
           when(col("mx").isNull || col("mx") === 0, lit(0L))
@@ -347,7 +359,7 @@ object GraphOps extends QueryPack {
         col("node") === col("n_nationkey"))
       .select(col("n_name"), col("h").as("hub_q"), col("a").as("auth_q"))
       .orderBy(col("auth_q").desc, col("hub_q").desc, col("n_name"))
-    (out, Seq(nodes))
+    (out, caches.toSeq)
   }
 
   /** Lazy degree-oriented triangle-count plan + its caches. */

@@ -417,6 +417,34 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should not include "Join"
   }
 
+  test("stratified split ranks inside (lang, bucket) partitions with " +
+      "broadcast offsets") {
+    assume(haveData)
+    // the exact-balance rank must come from the two-pass decomposition:
+    // the corpus-side window partitions by (lang, b) — never lang
+    // alone, which would require the biggest stratum to fit one task —
+    // and the prefix offsets arrive as a broadcast, not a shuffle join
+    val p = plan("q_scale_stratified_split")
+    "hashpartitioning\\(lang[^)]*, b#".r.findAllIn(p).size should be >= 1
+    p should include ("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("prefix join plans hash joins only — no cartesian, no " +
+      "nested-loop candidate generation") {
+    assume(haveData)
+    // candidates come from the prefix-token equi-join and verification
+    // from the d1/d2 equi-joins; any BroadcastNestedLoopJoin or
+    // CartesianProduct here means the prefix filter degenerated into
+    // an all-pairs scan (the registry entry materializes, so pin the
+    // lazy builder)
+    val (out, caches) = Dedup.ppjoinPlan(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("event-sequence windows prune the events scan to 4 columns") {
     assume(haveData)
     // the per-user window shuffles the whole corpus once — if column
