@@ -318,21 +318,28 @@ object GraphOps extends QueryPack {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .persist()
-    val caches = scala.collection.mutable.ArrayBuffer(nodes)
     // each raw half-round is read TWICE (its L∞ max + the normalize
     // join) and feeds every later round, so the LOGICAL tree doubles
     // per half-round — and persist alone doesn't help, because the
     // analyzer/optimizer still re-traverses the full duplicated
-    // lineage on every action (measured: minutes at any scale factor
-    // lazy or persisted). localCheckpoint is the iterative-plan tool:
-    // blocks stay on executors (the scale shape — nothing |V|-sized
-    // crosses the driver) and the logical plan truncates to an RDD
-    // scan, so round k's analysis cost is flat.
+    // lineage on every action (measured: minutes at any scale factor,
+    // lazy or persisted). Truncate per half-round: materialize the
+    // |V|-row frame as a persisted RDD (blocks stay on executors —
+    // nothing |V|-sized crosses the driver) and rewrap it, so each
+    // round's logical plan starts at an RDD scan and analysis cost is
+    // flat. Explicit RDD handles (not localCheckpoint) so the blocks
+    // actually RELEASE afterwards — checkpoint storage bypasses the
+    // CacheManager and DataFrame.unpersist is a no-op on it.
+    val rddCaches =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def normalize(
         raw: org.apache.spark.sql.DataFrame, // (node, r)
         out: String): org.apache.spark.sql.DataFrame = {
-      val r = raw.localCheckpoint(true)
-      caches += r
+      val rdd = raw.rdd.persist()
+      rdd.count()
+      rddCaches += rdd
+      val r = s.createDataFrame(rdd, raw.schema)
       val mx = r.agg(max(col("r")).as("mx"))
       nodes.join(r, Seq("node"), "left")
         .crossJoin(broadcast(mx))
@@ -354,12 +361,17 @@ object GraphOps extends QueryPack {
           .groupBy(col("src").as("node"))
           .agg(sum(expr("a * w")).as("r")), "h")
     }
-    val out = hub.join(auth, "node")
+    val lazyOut = hub.join(auth, "node")
       .join(broadcast(Tables.nation(s, d)),
         col("node") === col("n_nationkey"))
       .select(col("n_name"), col("h").as("hub_q"), col("a").as("auth_q"))
       .orderBy(col("auth_q").desc, col("hub_q").desc, col("n_name"))
-    (out, caches.toSeq)
+    // materialize before releasing the round RDDs the plan reads
+    val rows = lazyOut.collect()
+    rddCaches.foreach(_.unpersist())
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyOut.schema)
+    (out, Seq(nodes))
   }
 
   /** Lazy degree-oriented triangle-count plan + its caches. */
