@@ -236,30 +236,32 @@ object Dedup extends QueryPack {
       r
     })
 
-  // The prefix index — the df-capped stream (with each shingle's df
-  // riding along), per-doc set sizes, and the per-doc rarity PREFIX —
-  // is a session stage store like the shingle and band stores: at
-  // 100 TB the prefix index is exactly the artifact an exact-SSJoin
-  // pipeline materializes once per ingestion batch and probes
-  // thereafter. ONE full-vocabulary df aggregate feeds both the
-  // hot-shingle cut and the rarity order (the first cut of this op
-  // ran the vocab aggregate twice — once for the hot set, once for
-  // df — plus a separate anti-join; measured 8–16 s at sf0.1, now
-  // ~1 s warm).
+  // The prefix index — each doc's rarity PREFIX rows carrying the
+  // (rank, set size) the PPJoin filters need, plus per-doc capped set
+  // sizes and the tiny hot-shingle list — is a session stage store
+  // like the shingle and band stores: at 100 TB the prefix index is
+  // exactly the artifact an exact-SSJoin pipeline materializes once
+  // per ingestion batch and probes thereafter. ONE full-vocabulary df
+  // aggregate feeds both the hot-shingle cut and the rarity order.
+  // The capped stream itself is NOT stored — verification reads the
+  // existing shingle-SET cache and drops hot shingles with a literal
+  // array_except, so the store costs ~0.7× of one shingle pass.
   private val ppjoinStageCache =
     scala.collection.concurrent.TrieMap
-      .empty[String, (DataFrame, DataFrame, DataFrame)]
+      .empty[String, (DataFrame, DataFrame, Seq[String])]
 
   private[operators] def ppjoinStagesCached(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+      s: SparkSession, d: String): (DataFrame, DataFrame, Seq[String]) =
     ppjoinStageCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
       import org.apache.spark.sql.expressions.Window
       val sh = shinglesCached(s, d)
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      val kept = sh
-        .join(dfreq.filter(col("df") <= MaxShingleDf), "s")
         .persist()
-      kept.count()
+      // the hot list is tiny BY DEFINITION (stop-shingles), so a
+      // driver copy is a bounded collect, like the other dim builds
+      val hot = dfreq.filter(col("df") > MaxShingleDf)
+        .select("s").collect().map(_.getString(0)).toSeq
+      val kept = sh.join(dfreq.filter(col("df") <= MaxShingleDf), "s")
       val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
         .persist()
       val pref = kept
@@ -268,40 +270,56 @@ object Dedup extends QueryPack {
         .join(ns, "doc_id")
         .filter(col("rk") <=
           col("nsh") - expr("(3 * nsh + 9) div 10") + 1)
-        .select("doc_id", "s")
+        .select("doc_id", "s", "rk", "nsh")
         .persist()
       pref.count()
       ns.count()
-      (kept.select("doc_id", "s"), ns, pref)
+      dfreq.unpersist()
+      (pref, ns, hot)
     })
 
   /** Lazy prefix-filtered similarity-join plan over the session
     * prefix-index store (see q_dedup_ppjoin). Exposed lazily so
-    * PlanGuardSpec pins the REAL join shapes. */
+    * PlanGuardSpec pins the REAL join shapes.
+    *
+    * Candidate generation applies all three PPJoin-family filters in
+    * the prefix self-join itself — prefix collision, SIZE (jac ≥ τ
+    * forces 10·min(n₁,n₂) ≥ 3·max), and POSITIONAL (the overlap still
+    * reachable after the colliding rank, min(n₁−rk₁, n₂−rk₂)+1, must
+    * reach the overlap floor α = ⌈3(n₁+n₂)/13⌉). Each is
+    * false-negative-free: a qualifying pair's EARLIEST common token
+    * has ≥ overlap tokens after it on both sides, so that collision
+    * passes the positional bound (PrefixJoinSpec re-proves all of it
+    * against brute force). Verification then touches only survivors:
+    * one doc-keyed join against the shared shingle-set cache per
+    * side, intersection counted in-task with array_intersect and the
+    * hot list removed by a literal array_except. */
   private[operators] def ppjoinPlan(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val (kept, ns, pref) = ppjoinStagesCached(s, d)
+    val (pref, ns, hot) = ppjoinStagesCached(s, d)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.nsh") * 10 >= col("b.nsh") * 3 &&
+          col("b.nsh") * 10 >= col("a.nsh") * 3 &&
+          expr("least(a.nsh - a.rk, b.nsh - b.rk) + 1 >= " +
+            "(3 * (a.nsh + b.nsh) + 12) div 13"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.nsh").as("nsh1"), col("b.nsh").as("nsh2"))
       .distinct()
-    val common = cand
-      .join(kept.as("x"), col("x.doc_id") === col("d1"))
-      .join(kept.as("y"),
-        col("y.doc_id") === col("d2") && col("y.s") === col("x.s"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-    val out = common
-      .join(ns.select(col("doc_id"), col("nsh").as("nsh1")),
-        col("d1") === col("doc_id")).drop("doc_id")
-      .join(ns.select(col("doc_id"), col("nsh").as("nsh2")),
-        col("d2") === col("doc_id")).drop("doc_id")
+    val sets = shingleSetsCached(s, d).toDF("doc_id", "dsh")
+    val hotArr = typedLit(hot)
+    val out = cand
+      .join(sets.select(col("doc_id").as("d1"), col("dsh").as("sh1")),
+        Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("dsh").as("sh2")),
+        Seq("d2"))
+      .withColumn("c", size(array_except(
+        array_intersect(col("sh1"), col("sh2")), hotArr)).cast("long"))
       .select(col("d1"), col("d2"), col("c"),
         expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
       .filter(col("jac_ppm") >= 300000)
       .orderBy("d1", "d2")
-    // the three persisted inputs are the session-owned store, not
-    // per-query working caches — nothing to release here
     (out, Nil)
   }
 
