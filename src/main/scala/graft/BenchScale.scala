@@ -38,7 +38,11 @@ object BenchScale {
 
   private def buildReplica(
       s: SparkSession, smallDir: String, bigDir: String): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$bigDir/_ALL_TABLES_DONE")
+    // V2: r7c queries also read the dimension tables (hits' trade
+    // graph). Dims copy verbatim — the nation-pair graph stays
+    // constant-size while its edge WEIGHTS carry 10× lineitems, which
+    // is the honest scaling axis for the trade-graph family.
+    val marker = new org.apache.hadoop.fs.Path(s"$bigDir/_ALL_TABLES_DONE_V2")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
 
@@ -67,6 +71,12 @@ object BenchScale {
     copies(emb, (d, i) => d
       .withColumn("vec_id", col("vec_id") + i * KeyOff))
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach { t =>
+        s.read.parquet(s"$smallDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
+      }
 
     fs.create(marker, true).close()
   }
@@ -118,8 +128,12 @@ object BenchScale {
     val qs = Seq( // fixed order: cache builders first, same at both scales
       "q_dedup_cluster", // builds shingle rows + pair-count + near-pair caches
       "q_dedup_minhash_lsh", // builds the shingle-SET cache
+      "q_dedup_ppjoin", // builds the prefix-index store (r7c)
       "q_graph_triangles", // builds the co-purchase edge cache
+      "q_graph_hits", // trade store + per-round RDD truncation (r7c)
       "q_sim_ivfpq",
+      "q_sim_pca", // corpus-linear one-pass moment matrix (r7c)
+      "q_scale_stratified_split", // two-pass distributed rank (r7c)
       "q_scale_mv_maintain")
     // (first, rerun) per query — the first pass pays the one-time
     // session stage-cache builds (shingles, pair counts, edges); the

@@ -237,31 +237,41 @@ object Dedup extends QueryPack {
     })
 
   // The prefix index — each doc's rarity PREFIX rows carrying the
-  // (rank, set size) the PPJoin filters need, plus per-doc capped set
-  // sizes and the tiny hot-shingle list — is a session stage store
-  // like the shingle and band stores: at 100 TB the prefix index is
-  // exactly the artifact an exact-SSJoin pipeline materializes once
-  // per ingestion batch and probes thereafter. ONE full-vocabulary df
-  // aggregate feeds both the hot-shingle cut and the rarity order.
-  // The capped stream itself is NOT stored — verification reads the
-  // existing shingle-SET cache and drops hot shingles with a literal
-  // array_except, so the store costs ~0.7× of one shingle pass.
+  // (rank, set size) the PPJoin filters need, per-doc capped set
+  // sizes, and each doc's capped set as a SORTED INTEGER-ID ARRAY —
+  // is a session stage store like the shingle and band stores: at
+  // 100 TB the prefix index is exactly the artifact an exact-SSJoin
+  // pipeline materializes once per ingestion batch and probes
+  // thereafter. ONE full-vocabulary df aggregate feeds the hot cut,
+  // the rarity order, and the id assignment. The integer ids replace
+  // shingle STRINGS in verification: an id is the injective pack
+  // (df, two leading chars, rank within that bucket) — unique without
+  // any global window (buckets differ in the high bits), exact by
+  // bijection with the capped vocabulary — so the verify join ships
+  // ~8 bytes per token instead of a ~20-char string and intersects
+  // longs (measured at the 10× replica: the string-array verify was
+  // 72 s of payload shuffle for 1.25M candidates).
   private val ppjoinStageCache =
     scala.collection.concurrent.TrieMap
-      .empty[String, (DataFrame, DataFrame, Seq[String])]
+      .empty[String, (DataFrame, DataFrame, DataFrame)]
 
   private[operators] def ppjoinStagesCached(
-      s: SparkSession, d: String): (DataFrame, DataFrame, Seq[String]) =
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     ppjoinStageCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
       import org.apache.spark.sql.expressions.Window
       val sh = shinglesCached(s, d)
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .persist()
-      // the hot list is tiny BY DEFINITION (stop-shingles), so a
-      // driver copy is a bounded collect, like the other dim builds
-      val hot = dfreq.filter(col("df") > MaxShingleDf)
-        .select("s").collect().map(_.getString(0)).toSeq
-      val kept = sh.join(dfreq.filter(col("df") <= MaxShingleDf), "s")
+      val ids = dfreq.filter(col("df") <= MaxShingleDf)
+        // injective pack (crc32-bucket << 40 | rank-within-bucket):
+        // unique without a global window — different buckets differ in
+        // the high bits, ranks are unique inside each — and the ~2²⁰
+        // buckets keep every rank window partition vocabulary/2²⁰ small
+        .withColumn("bkt", expr("crc32(s) % 1048576"))
+        .withColumn("rkb", row_number().over(
+          Window.partitionBy(col("bkt")).orderBy(col("s"))))
+        .withColumn("tid", col("bkt") * lit(1L << 40) + col("rkb"))
+        .select(col("s"), col("df"), col("tid"))
+      val kept = sh.join(ids, "s")
       val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
         .persist()
       val pref = kept
@@ -269,13 +279,16 @@ object Dedup extends QueryPack {
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
         .join(ns, "doc_id")
         .filter(col("rk") <=
-          col("nsh") - expr("(3 * nsh + 9) div 10") + 1)
+          col("nsh") - expr("(nsh + 1) div 2") + 1)
         .select("doc_id", "s", "rk", "nsh")
+        .persist()
+      val setsInt = kept.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tid"))).as("tids"))
         .persist()
       pref.count()
       ns.count()
-      dfreq.unpersist()
-      (pref, ns, hot)
+      setsInt.count()
+      (pref, ns, setsInt)
     })
 
   /** Lazy prefix-filtered similarity-join plan over the session
@@ -284,41 +297,41 @@ object Dedup extends QueryPack {
     *
     * Candidate generation applies all three PPJoin-family filters in
     * the prefix self-join itself — prefix collision, SIZE (jac ≥ τ
-    * forces 10·min(n₁,n₂) ≥ 3·max), and POSITIONAL (the overlap still
+    * forces 2·min(n₁,n₂) ≥ max), and POSITIONAL (the overlap still
     * reachable after the colliding rank, min(n₁−rk₁, n₂−rk₂)+1, must
-    * reach the overlap floor α = ⌈3(n₁+n₂)/13⌉). Each is
+    * reach the overlap floor α = ⌈(n₁+n₂)/3⌉). Each is
     * false-negative-free: a qualifying pair's EARLIEST common token
     * has ≥ overlap tokens after it on both sides, so that collision
     * passes the positional bound (PrefixJoinSpec re-proves all of it
     * against brute force). Verification then touches only survivors:
-    * one doc-keyed join against the shared shingle-set cache per
-    * side, intersection counted in-task with array_intersect and the
-    * hot list removed by a literal array_except. */
+    * one doc-keyed join per side against the store's sorted
+    * INTEGER-ID arrays (bijective with the capped vocabulary, so the
+    * count is exact), intersection counted in-task on longs — ~8
+    * bytes per token through the shuffle instead of a shingle
+    * string. */
   private[operators] def ppjoinPlan(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val (pref, ns, hot) = ppjoinStagesCached(s, d)
+    val (pref, ns, setsInt) = ppjoinStagesCached(s, d)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.nsh") * 10 >= col("b.nsh") * 3 &&
-          col("b.nsh") * 10 >= col("a.nsh") * 3 &&
+          col("a.nsh") * 2 >= col("b.nsh") &&
+          col("b.nsh") * 2 >= col("a.nsh") &&
           expr("least(a.nsh - a.rk, b.nsh - b.rk) + 1 >= " +
-            "(3 * (a.nsh + b.nsh) + 12) div 13"))
+            "(a.nsh + b.nsh + 2) div 3"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.nsh").as("nsh1"), col("b.nsh").as("nsh2"))
       .distinct()
-    val sets = shingleSetsCached(s, d).toDF("doc_id", "dsh")
-    val hotArr = typedLit(hot)
     val out = cand
-      .join(sets.select(col("doc_id").as("d1"), col("dsh").as("sh1")),
+      .join(setsInt.select(col("doc_id").as("d1"), col("tids").as("t1")),
         Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("dsh").as("sh2")),
+      .join(setsInt.select(col("doc_id").as("d2"), col("tids").as("t2")),
         Seq("d2"))
-      .withColumn("c", size(array_except(
-        array_intersect(col("sh1"), col("sh2")), hotArr)).cast("long"))
+      .withColumn("c",
+        size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .select(col("d1"), col("d2"), col("c"),
         expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
-      .filter(col("jac_ppm") >= 300000)
+      .filter(col("jac_ppm") >= 500000)
       .orderBy("d1", "d2")
     (out, Nil)
   }
@@ -1036,22 +1049,27 @@ object Dedup extends QueryPack {
 
     // ----------------------- prefix-filtered set-similarity join (SSJoin)
     // The EXACT-guarantee counterpart to MinHash: ALL pairs with
-    // Jaccard ≥ τ (τ = 0.3 — loose enough that the full inverted
-    // index would emit many more candidates than the threshold keeps)
-    // over the df-capped shingle space, found without scanning full
-    // posting lists. Tokens get a global rarity order (df asc,
-    // shingle asc); each doc keeps only its PREFIX — the first
-    // n − ⌈τ·n⌉ + 1 tokens — and candidates are pairs sharing a
-    // prefix token: the classical SSJoin prefix bound (two sets with
-    // Jaccard ≥ τ must collide inside their prefixes under any common
-    // total order), so there are NO false negatives — the oracle runs
-    // the exhaustive join and must agree exactly, and PrefixJoinSpec
-    // proves completeness on adversarial corpora. Exact-Jaccard
-    // verification touches candidates only. Scale shape: the prefix
-    // is the RARE end of the df order, so candidate posting lists are
-    // short by construction (stop-shingle cap as the hard ceiling);
-    // the rank window partitions per doc (bounded by doc length); all
-    // scores are exact integer ppm.
+    // Jaccard ≥ τ (τ = 0.5 — the pack's near-dup threshold, so this
+    // and q_dedup_ngram_jaccard must find the SAME pairs through two
+    // unrelated kernels) over the df-capped shingle space, found
+    // without scanning full posting lists. Tokens get a global rarity
+    // order (df asc, shingle asc); each doc keeps only its PREFIX —
+    // the first n − ⌈τ·n⌉ + 1 tokens — and candidates are pairs
+    // sharing a prefix token: the classical SSJoin prefix bound (two
+    // sets with Jaccard ≥ τ must collide inside their prefixes under
+    // any common total order), so there are NO false negatives — the
+    // oracle runs the exhaustive join and must agree exactly, and
+    // PrefixJoinSpec proves completeness on adversarial corpora.
+    // Exact-Jaccard verification touches candidates only. Scale
+    // shape: the prefix is the RARE end of the df order, so candidate
+    // posting lists are short by construction (stop-shingle cap as
+    // the hard ceiling); the rank window partitions per doc (bounded
+    // by doc length); all scores are exact integer ppm. τ matters at
+    // scale: measured at a 10× replica, τ = 0.3 prefixes (0.7·n, weak
+    // size/positional bounds) grew candidate volume super-linearly
+    // through corpus-shared mid-frequency shingles — loose-τ exact
+    // SSJoin is inherently Σdf²; at 0.5 the three filters hold the
+    // candidate set near the true pair set.
     "q_dedup_ppjoin" -> GraftQuery(
       run = (s, d) => {
         val (out, caches) = ppjoinPlan(s, d)
@@ -1074,7 +1092,7 @@ object Dedup extends QueryPack {
                  AS jac_ppm
         FROM common JOIN ns na ON na.doc_id = d1
              JOIN ns nb ON nb.doc_id = d2
-        WHERE c * 1000000 // (na.nsh + nb.nsh - c) >= 300000
+        WHERE c * 1000000 // (na.nsh + nb.nsh - c) >= 500000
         ORDER BY d1, d2""")),
 
     // ------------------------------------------- containment dedup

@@ -29,8 +29,8 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // locked to the round-7 registry: a silently dropped pack (a Map
     // key collision, a pack removed from SparkEntry.packs) shrinks
     // these counts before anything else notices
-    SparkEntry.queries.size should be >= 260
-    SparkEntry.oracleSql.size should be >= 258
+    SparkEntry.queries.size should be >= 267
+    SparkEntry.oracleSql.size should be >= 265
   }
 
   test("no silent Map-key collisions: every GraftQuery literal reaches the registry") {

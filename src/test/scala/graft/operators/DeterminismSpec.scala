@@ -73,7 +73,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_sim_reciprocal_nn", "q_text_kappa",
     "q_graph_ppr", "q_sim_nn_descent", "q_scale_secondary_index",
     "q_graph_sssp", "q_sim_ivf_balance", "q_join_pit",
-    "q_dedup_split_leakage")
+    "q_dedup_split_leakage",
+    "q_text_auc", "q_text_calibration", "q_sim_pca", "q_sim_coreset",
+    "q_scale_stratified_split", "q_graph_hits", "q_dedup_ppjoin")
 
   test("results are identical across shuffle-partition counts") {
     assume(haveData)

@@ -122,7 +122,15 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     "q_graph_sssp", "q_sim_ivf_balance",
     // the PIT union+window must tolerate empty spine AND feature legs,
     // and the leakage audit an empty pair store
-    "q_join_pit", "q_dedup_split_leakage")
+    "q_join_pit", "q_dedup_split_leakage",
+    // r7c: AUC's rank-sum guards (0 positives AND 0 negatives on an
+    // empty held-out set), the calibration bins (empty group-by), the
+    // stratified rank (no strata), HITS (empty node set must skip all
+    // six normalize rounds cleanly), and the prefix join (empty
+    // prefix index → empty candidate set, with the hot-list collect
+    // returning zero rows)
+    "q_text_auc", "q_text_calibration", "q_scale_stratified_split",
+    "q_graph_hits", "q_dedup_ppjoin")
 
   test("representative queries run to completion on zero-row tables") {
     assume(haveData)

@@ -7,7 +7,7 @@ import org.scalatest.matchers.should.Matchers
 import org.scalatest.BeforeAndAfterAll
 
 /** Completeness proof for q_dedup_ppjoin's prefix filter: on corpora
-  * built to stress the bound (near-dup clusters straddling the τ = 0.3
+  * built to stress the bound (near-dup clusters straddling the τ = 0.5
   * threshold, duplicate docs, rare-token collisions), the
   * prefix-filtered pair set must equal a brute-force all-pairs Jaccard
   * scan over the same shingle space — the SSJoin guarantee is "no
@@ -46,7 +46,7 @@ class PrefixJoinSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       c = (a & b).size.toLong
       if c > 0
       jac = c * 1000000L / (a.size + b.size - c)
-      if jac >= 300000L
+      if jac >= 500000L
     } yield (d1, d2, c, jac)).toSet
   }
 
