@@ -294,4 +294,51 @@ class HotKeyStressSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
       .agg(sum(lit(1L))).head().getLong(0)
     n shouldBe 10L * Cap * (Cap - 1) / 2
   }
+
+  test("prefix join: a template-boilerplate corpus emits no candidates " +
+      "through the template, and true pairs survive") {
+    import spark.implicits._
+    // 400 docs share a 10-shingle template (df 400 — far under the
+    // 1000 stop-shingle cap, i.e. the MID-df adversary the 10× scale
+    // run exposed) and each carries a 15-shingle unique tail, so
+    // pairwise template Jaccard ≈ 10/40 < 0.5. The rarity prefix
+    // (n − ⌈n/2⌉ + 1 = 13 of 25) is filled entirely by the df-1
+    // unique tail, so NO candidate forms through the template — the
+    // naive inverted index would emit 400²/2 = 80k pairs per template
+    // shingle. Two planted near-dup pairs (shared tails) must
+    // survive with exact scores.
+    // 10 template words → 8 pure-template shingles per doc; 17-word
+    // unique tails → pairwise template Jaccard 8/42 ≈ 0.19 < τ
+    val template = (0 until 10).map(i => s"tmpl$i").mkString(" ")
+    def tail(seed: Long) = (0 until 17)
+      .map(i => s"u${seed}x$i").mkString(" ")
+    val docs =
+      (0L until 400L).map(i => (i, s"$template ${tail(i)}")) ++
+        Seq((1000L, s"near dup pair one ${tail(9001)}"),
+          (1001L, s"near dup pair one ${tail(9001)} extra"),
+          (1002L, s"second planted duplicate body ${tail(9002)}"),
+          (1003L, s"second planted duplicate body ${tail(9002)}"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ppj-hot").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"),
+        org.apache.spark.sql.functions.length(col("text"))
+          .cast("long").as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    var got: Array[(Long, Long)] = Array.empty
+    val m = ShuffleMeter.measure(spark) {
+      got = graft.SparkEntry.queries("q_dedup_ppjoin")(spark, dir)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    got shouldBe Array((1000L, 1001L), (1002L, 1003L))
+    // the whole run — store build (df agg, rank windows, id arrays)
+    // plus candidate join and verification — must stay far under the
+    // ~1.3 MB of (long, long) rows a per-template-shingle all-pairs
+    // emission would shuffle
+    m.shuffleWrite should be < (4L << 20)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
