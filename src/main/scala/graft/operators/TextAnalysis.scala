@@ -990,6 +990,56 @@ ORDER BY tokenizer"""
                w, n_occurrences, n_docs
         FROM counts ORDER BY n_occurrences DESC, w LIMIT 50""")),
 
+    // ----------------------------- Zipf-law fit (corpus naturalness)
+    // Natural language word frequencies follow freq ∝ rank^s with
+    // s ≈ −1; synthetic, templated, or spam-flooded corpora bend the
+    // line — this is the corpus-health diagnostic that catches them.
+    // OLS of ln(freq) on ln(rank) over the top-200 vocabulary (the
+    // Zipf head, where the law is cleanest and the rank window is a
+    // constant-size tail after a TakeOrdered top-K — never a global
+    // vocabulary sort): slope, intercept, Pearson r, all rounded to
+    // 4 like the other FP-regression surface (q_agg_regression
+    // precedent: Spark and DuckDB agree bit-wise at that grid). The
+    // word-count aggregate is the same map-side-combinable pass the
+    // vocab/coverage ops run; empty corpora emit zero rows (HAVING).
+    "q_text_zipf" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(filter(split(col("text"), " "),
+            w => w =!= "")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(200)
+        counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("w"))))
+          .select(expr("ln(CAST(rank AS DOUBLE))").as("lr"),
+            expr("ln(CAST(n AS DOUBLE))").as("lf"))
+          .agg(count(lit(1)).as("n_words"),
+            round(expr("regr_slope(lf, lr)"), 4).as("slope"),
+            round(expr("regr_intercept(lf, lr)"), 4).as("intercept"),
+            round(expr("corr(lf, lr)"), 4).as("pearson_r"))
+          .where(col("n_words") > 0)
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        counts AS (
+          SELECT w, count(*) AS n FROM w GROUP BY w
+          ORDER BY n DESC, w LIMIT 200),
+        r AS (
+          SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w)
+                         AS DOUBLE)) AS lr,
+                 ln(CAST(n AS DOUBLE)) AS lf
+          FROM counts)
+        SELECT count(*) AS n_words,
+               round(regr_slope(lf, lr), 4) AS slope,
+               round(regr_intercept(lf, lr), 4) AS intercept,
+               round(corr(lf, lr), 4) AS pearson_r
+        FROM r HAVING count(*) > 0""")),
+
     // ------------------------------- vocabulary coverage curve (OOV audit)
     // The tokenizer-design decision q_text_vocab's top-50 list doesn't
     // answer: what fraction of corpus TOKENS does a vocab of size K

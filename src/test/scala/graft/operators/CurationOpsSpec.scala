@@ -287,4 +287,38 @@ class CurationOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       ("view", "view", 1L, 333333L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("zipf fit: an exact power-law corpus recovers slope −1, r −1; " +
+      "JVM OLS cross-check") {
+    import spark.implicits._
+    val dir = toyDir()
+    // word k appears exactly ⌊60/k⌋ times, k = 1..12 — a clean
+    // freq ∝ rank⁻¹ head (floor quantization bends it slightly; the
+    // reference below reproduces the same quantization)
+    val words = (1 to 12).flatMap(k => Seq.fill(60 / k)(s"w$k"))
+    Seq((1L, words.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("q_text_zipf")(spark, dir).collect()
+    row.length shouldBe 1
+    row(0).getLong(0) shouldBe 12L
+    // independent JVM OLS over the same (ln rank, ln floor(60/k)) grid
+    val pts = (1 to 12).map(k =>
+      (math.log(k.toDouble), math.log((60 / k).toDouble)))
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    row(0).getDouble(1) shouldBe
+      (math.rint(slope * 10000) / 10000.0) +- 1e-4
+    row(0).getDouble(3) shouldBe (math.rint(r * 10000) / 10000.0) +- 1e-4
+    // the power law itself: slope near −1, correlation near perfect
+    row(0).getDouble(1) should (be >= -1.1 and be <= -0.9)
+    row(0).getDouble(3) should be <= -0.99
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
