@@ -60,12 +60,48 @@ object Bench {
     // A crashing query records -1.0, NOT its partial elapsed time — a
     // broken query must not read as a fast one in round-over-round
     // comparisons.
+    //
+    // Session instrumentation (the r7 drift lesson: a broad unexplained
+    // per-query cost movement needs measurements, not guesses): per
+    // query, the JVM GC-time delta and the post-query cached-storage
+    // footprint; per session-store build, its seconds and the query
+    // that triggered it (via the StoreBuilds ledger) — so a
+    // round-over-round regression decomposes into (own work, GC share,
+    // store builds it happened to trigger) instead of standing
+    // unexplained.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val buildsBy = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, String)] // store -> (secs, triggering query)
+    var storagePeakMb = 0L
+    var storagePeakAt = ""
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      val builds0 = StoreBuilds.snapshot.toMap
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val dt = (System.nanoTime() - t0) / 1e9
+      gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMillis() - gc0)
+      StoreBuilds.snapshot.foreach { case (store, secs) =>
+        val delta = secs - builds0.getOrElse(store, 0.0)
+        if (delta > 0.001 && !buildsBy.contains(store))
+          buildsBy(store) = (delta, name)
+      }
+      val cachedMb = spark.sparkContext.getRDDStorageInfo
+        .map(_.memSize).sum >> 20
+      if (cachedMb > storagePeakMb) {
+        storagePeakMb = cachedMb
+        storagePeakAt = name
+      }
+      if (ok) dt else -1.0
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (name, fn) => name -> time(name, fn) }
@@ -81,8 +117,18 @@ object Bench {
     // run order, the first consumers of the session shingle / edge
     // stage caches — their first pass pays the build, so a min-of-2
     // would hide it exactly like the ms chain's
+    // Only the ms queries that actually materialize the session
+    // tensor/model caches are excluded — slice_counts, window_adjust,
+    // stream_slices, sample_modes, spectra_abundance, reconstruct
+    // consume already-built caches (or none) and take the rerun path,
+    // so a regression on them gets a second sample (r7's 5× move on
+    // slice_counts stood on a single measurement behind a blanket
+    // q_ms_ exclusion). q_ms_best_models is, in run order, the FIRST
+    // consumer of the lazy tensor+model caches and pays both builds.
     val cacheBuilders = (n: String) =>
-      n.startsWith("q_ms_") || n.startsWith("q_text_bpe_") ||
+      n == "q_ms_best_models" || n == "q_ms_decompose" ||
+        n == "q_ms_tensorize" ||
+        n.startsWith("q_text_bpe_") ||
         n == "q_text_tokenizer_cmp" || // first consumer: builds the unigram vocab cache
         n == "q_dedup_cluster" || // builds the shingle-row + near-pair caches
         n == "q_dedup_lsh_eval" || // builds the shingle-SET cache
@@ -119,6 +165,22 @@ object Bench {
     println(s"""BENCH_RERUN_CANARY {"before":${r3(rerunCanaryBefore)},"after":${r3(
         rerunCanaryAfter)},"ratio_vs_start":${r3(
         math.max(rerunCanaryBefore, rerunCanaryAfter) / canaryStart)}}""")
+    // Store-build attribution: each session store's one-time build
+    // seconds and the query whose first pass paid it — the "cluster
+    // proper" cost of a first-consumer query is its queries-map entry
+    // minus its builds. Also per-query GC and the cached-storage peak,
+    // so a broad drift decomposes measurably.
+    val r2 = (v: Double) => math.rint(v * 100) / 100
+    val buildsDetail = buildsBy.toSeq.sortBy(-_._2._1).map {
+      case (store, (secs, by)) =>
+        "\"" + store + "\":{\"s\":" + r2(secs) + ",\"by\":\"" + by + "\"}"
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_BUILDS $buildsDetail""")
+    val gcTotalMs = gcByQuery.values.sum
+    val gcTop = gcByQuery.toSeq.sortBy(-_._2).take(10).map {
+      case (q, ms) => "\"" + q + "\":" + ms
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_MEM {"gc_total_ms":$gcTotalMs,"gc_top":$gcTop,"storage_peak_mb":$storagePeakMb,"storage_peak_at":"$storagePeakAt"}""")
     // Full per-query detail on its OWN line, before the metric line —
     // for humans and the judge reading the whole log. Failures (-1
     // entries) are also named explicitly so they can't hide.
@@ -173,9 +235,16 @@ object Bench {
       s"""{"start":${r3(canaryStart)},"end":${r3(canaryEnd)},"ratio":${r3(
           canaryEnd / canaryStart)},"rerun_before":${r3(
           rerunCanaryBefore)},"rerun_after":${r3(rerunCanaryAfter)}}"""
+    // builds (seconds only — the per-store triggering query is on the
+    // BENCH_BUILDS line) + GC/storage summary ride in the final line so
+    // the driver-parsed artifact itself attributes first-consumer cost
+    val buildsJson = buildsBy.toSeq.sortBy(-_._2._1).map {
+      case (store, (secs, _)) => "\"" + store + "\":" + r2(secs)
+    }.mkString("{", ",", "}")
+    val memJson = s"""{"gc_s":${r3(gcTotalMs / 1000.0)},"peak_mb":$storagePeakMb}"""
     val line =
       s"""{"metric":"total_${results.size}_queries","value":${r3(
-          total)},"unit":"sec","queries":$qs,"rerun":$rerunJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+          total)},"unit":"sec","queries":$qs,"rerun":$rerunJson,"builds":$buildsJson,"mem":$memJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     require(line.length <= 1900,
       s"final metric line ${line.length} chars would overflow the " +
         "driver's 2000-char tail; trim the headline or rerun maps")

@@ -55,9 +55,11 @@ object BpeTrainer {
   def trainCached(
       s: SparkSession, d: String, docs: => DataFrame, k: Int): Seq[Merge] =
     mergeCache.getOrElseUpdate((d, k),
-      train(s, docs, k).collect().toSeq
-        .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
-          r.getLong(3))))
+      graft.StoreBuilds.timed("text_bpe_merges") {
+        train(s, docs, k).collect().toSeq
+          .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+      })
 
   /** Learn `k` merges from the corpus; returns (merge_rank, left,
     * right, pair_count) ordered by rank. */

@@ -93,22 +93,24 @@ object Dedup extends QueryPack {
       .empty[String, org.apache.spark.sql.Dataset[(Long, Seq[String])]]
 
   private[operators] def shinglesCached(s: SparkSession, d: String): DataFrame =
-    shingleRowCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val r = shingles(s, d).persist()
-      r.count() // materialize before multi-branch consumers race it
-      r
-    })
+    shingleRowCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      graft.StoreBuilds.timed("dedup_shingle_rows") {
+        val r = shingles(s, d).persist()
+        r.count() // materialize before multi-branch consumers race it
+        r
+      })
 
   private[operators] def shingleSetsCached(
       s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[(Long, Seq[String])] = {
     import s.implicits._
-    shingleSetCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val r = shingleSets(Tables.documents(s, d))
-        .as[(Long, Seq[String])].persist()
-      r.count()
-      r
-    })
+    shingleSetCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      graft.StoreBuilds.timed("dedup_shingle_sets") {
+        val r = shingleSets(Tables.documents(s, d))
+          .as[(Long, Seq[String])].persist()
+        r.count()
+        r
+      })
   }
 
   /** DuckDB mirror of [[shingles]] (window-function formulation —
@@ -225,15 +227,17 @@ object Dedup extends QueryPack {
   private[operators] def pairCountsCached(
       s: SparkSession, d: String): DataFrame =
     pairCountCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val sh = shinglesCached(s, d)
-      // hot set persisted for the materialization (it sits in both the
-      // ns and pair-gen lineage — unpersisted, the corpus-wide df
-      // aggregate ran twice per build), released right after
-      val hot = hotSet(sh, MaxShingleDf).persist()
-      val r = pairCountsGiven(s, sh, hot, MaxShingleDf).persist()
-      r.count()
-      hot.unpersist()
-      r
+      val sh = shinglesCached(s, d) // its build self-attributes
+      graft.StoreBuilds.timed("dedup_pair_counts") {
+        // hot set persisted for the materialization (it sits in both the
+        // ns and pair-gen lineage — unpersisted, the corpus-wide df
+        // aggregate ran twice per build), released right after
+        val hot = hotSet(sh, MaxShingleDf).persist()
+        val r = pairCountsGiven(s, sh, hot, MaxShingleDf).persist()
+        r.count()
+        hot.unpersist()
+        r
+      }
     })
 
   // The prefix index — each doc's rarity PREFIX rows carrying the
@@ -245,9 +249,10 @@ object Dedup extends QueryPack {
   // thereafter. ONE full-vocabulary df aggregate feeds the hot cut,
   // the rarity order, and the id assignment. The integer ids replace
   // shingle STRINGS in verification: an id is the injective pack
-  // (df, two leading chars, rank within that bucket) — unique without
-  // any global window (buckets differ in the high bits), exact by
-  // bijection with the capped vocabulary — so the verify join ships
+  // (crc32 bucket << 40 | rank-within-bucket) — unique without any
+  // global window (different buckets differ in the high bits, ranks
+  // are unique inside each), exact by bijection with the capped
+  // vocabulary — so the verify join ships
   // ~8 bytes per token instead of a ~20-char string and intersects
   // longs (measured at the 10× replica: the string-array verify was
   // 72 s of payload shuffle for 1.25M candidates).
@@ -259,7 +264,8 @@ object Dedup extends QueryPack {
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     ppjoinStageCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
       import org.apache.spark.sql.expressions.Window
-      val sh = shinglesCached(s, d)
+      val sh = shinglesCached(s, d) // its build self-attributes
+      graft.StoreBuilds.timed("dedup_prefix_index") {
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
       val ids = dfreq.filter(col("df") <= MaxShingleDf)
         // injective pack (crc32-bucket << 40 | rank-within-bucket):
@@ -289,36 +295,67 @@ object Dedup extends QueryPack {
       ns.count()
       setsInt.count()
       (pref, ns, setsInt)
+      }
     })
 
+  /** The base threshold the prefix-index store is built at: the store
+    * keeps each doc's first n − ⌈τ₀·n⌉ + 1 rarity-ordered tokens, and
+    * since the prefix SHRINKS as τ grows, the τ₀ = 0.5 store serves
+    * every τ ≥ 0.5 by an extra rank filter — one store, any
+    * production threshold. */
+  private[operators] val PpjoinBaseTauPpm = 500000L
+
   /** Lazy prefix-filtered similarity-join plan over the session
-    * prefix-index store (see q_dedup_ppjoin). Exposed lazily so
+    * prefix-index store (see q_dedup_ppjoin), τ-PARAMETRIC in exact
+    * ppm (`tauPpm` = τ·10⁶; any τ ∈ [0.5, 1) — the store's base
+    * prefix covers it, see [[PpjoinBaseTauPpm]]). Exposed lazily so
     * PlanGuardSpec pins the REAL join shapes.
     *
     * Candidate generation applies all three PPJoin-family filters in
-    * the prefix self-join itself — prefix collision, SIZE (jac ≥ τ
-    * forces 2·min(n₁,n₂) ≥ max), and POSITIONAL (the overlap still
-    * reachable after the colliding rank, min(n₁−rk₁, n₂−rk₂)+1, must
-    * reach the overlap floor α = ⌈(n₁+n₂)/3⌉). Each is
-    * false-negative-free: a qualifying pair's EARLIEST common token
-    * has ≥ overlap tokens after it on both sides, so that collision
-    * passes the positional bound (PrefixJoinSpec re-proves all of it
-    * against brute force). Verification then touches only survivors:
-    * one doc-keyed join per side against the store's sorted
-    * INTEGER-ID arrays (bijective with the capped vocabulary, so the
-    * count is exact), intersection counted in-task on longs — ~8
-    * bytes per token through the shuffle instead of a shingle
-    * string. */
+    * the prefix self-join itself, each in τ-generic integer form:
+    *  - PREFIX: rank ≤ n − ⌈τ·n⌉ + 1 per side (⌈τn⌉ =
+    *    (τppm·n + 10⁶−1) div 10⁶);
+    *  - SIZE: jac ≥ τ forces τ·max(n₁,n₂) ≤ min(n₁,n₂), i.e.
+    *    n·10⁶ ≥ m·τppm both ways;
+    *  - POSITIONAL: the overlap still reachable after the colliding
+    *    rank, min(n₁−rk₁, n₂−rk₂)+1, must reach the overlap floor
+    *    α = ⌈τ/(1+τ)·(n₁+n₂)⌉ = (τppm·(n₁+n₂) + τppm + 10⁶ − 1)
+    *    div (τppm + 10⁶).
+    * Each is false-negative-free at every τ: a qualifying pair's
+    * overlap is ≥ ⌈τ·nᵢ⌉ on each side (via the size bound), so its
+    * EARLIEST common token sits inside both prefixes and that
+    * collision passes the positional bound (PrefixJoinSpec re-proves
+    * completeness against brute force across τ ∈ {0.5, 0.7, 0.8,
+    * 0.9}). At τ = 0.5 every bound reduces EXACTLY to the original
+    * hardcoded forms (2·min ≥ max, α = ⌈(n₁+n₂)/3⌉), so the base
+    * query's output is bit-identical. Verification then touches only
+    * survivors: one doc-keyed join per side against the store's
+    * sorted INTEGER-ID arrays (bijective with the capped vocabulary,
+    * so the count is exact), intersection counted in-task on longs —
+    * ~8 bytes per token through the shuffle instead of a shingle
+    * string. The final cut c·10⁶ ≥ τppm·(n₁+n₂−c) (expressed as
+    * jac_ppm ≥ τppm, exactly equivalent for integer τppm) is exact
+    * rational jac ≥ τ — no float anywhere. */
   private[operators] def ppjoinPlan(
-      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val (pref, ns, setsInt) = ppjoinStagesCached(s, d)
+      s: SparkSession, d: String,
+      tauPpm: Long = PpjoinBaseTauPpm): (DataFrame, Seq[DataFrame]) = {
+    require(tauPpm >= PpjoinBaseTauPpm && tauPpm < 1000000L,
+      s"tauPpm $tauPpm outside the store's base-prefix coverage " +
+        s"[$PpjoinBaseTauPpm, 1000000)")
+    val (pref0, ns, setsInt) = ppjoinStagesCached(s, d)
+    // tighter-τ prefixes are a SUBSET of the stored base prefix rows
+    val pref =
+      if (tauPpm == PpjoinBaseTauPpm) pref0
+      else pref0.filter(col("rk") <=
+        col("nsh") - expr(s"($tauPpm * nsh + 999999) div 1000000") + 1)
+    val alpha = s"($tauPpm * (a.nsh + b.nsh) + ${tauPpm + 999999L}) " +
+      s"div ${tauPpm + 1000000L}"
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.nsh") * 2 >= col("b.nsh") &&
-          col("b.nsh") * 2 >= col("a.nsh") &&
-          expr("least(a.nsh - a.rk, b.nsh - b.rk) + 1 >= " +
-            "(a.nsh + b.nsh + 2) div 3"))
+          expr(s"a.nsh * 1000000 >= b.nsh * $tauPpm") &&
+          expr(s"b.nsh * 1000000 >= a.nsh * $tauPpm") &&
+          expr(s"least(a.nsh - a.rk, b.nsh - b.rk) + 1 >= $alpha"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.nsh").as("nsh1"), col("b.nsh").as("nsh2"))
       .distinct()
@@ -331,7 +368,7 @@ object Dedup extends QueryPack {
         size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .select(col("d1"), col("d2"), col("c"),
         expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
-      .filter(col("jac_ppm") >= 500000)
+      .filter(col("jac_ppm") >= tauPpm)
       .orderBy("d1", "d2")
     (out, Nil)
   }
@@ -348,14 +385,17 @@ object Dedup extends QueryPack {
   private def jaccardPairsHalfCached(
       s: SparkSession, d: String): DataFrame =
     nearPairCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val r = pairCountsCached(s, d)
-        .withColumn("jaccard",
-          col("c").cast("double") / (col("nsh1") + col("nsh2") - col("c")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("jaccard"))
-        .persist()
-      r.count()
-      r
+      val pc = pairCountsCached(s, d) // its build self-attributes
+      graft.StoreBuilds.timed("dedup_near_pairs") {
+        val r = pc
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("nsh1") + col("nsh2") - col("c")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1"), col("d2"), col("jaccard"))
+          .persist()
+        r.count()
+        r
+      }
     })
 
   /** DuckDB mirror of the stop-shingle removal: the capped shingle
@@ -1093,6 +1133,39 @@ object Dedup extends QueryPack {
         FROM common JOIN ns na ON na.doc_id = d1
              JOIN ns nb ON nb.doc_id = d2
         WHERE c * 1000000 // (na.nsh + nb.nsh - c) >= 500000
+        ORDER BY d1, d2""")),
+
+    // ----------------------- prefix SSJoin at a production threshold
+    // The same kernel at τ = 0.8 — the "near-exact duplicates only"
+    // setting a pretraining pipeline actually ships — exercising the
+    // τ-parametric bounds (prefix n − ⌈0.8n⌉ + 1, size 0.8·max ≤ min,
+    // α = ⌈4(n₁+n₂)/9⌉) against the SAME base-τ session store: no
+    // second index build, just a tighter rank filter. Tighter τ means
+    // shorter prefixes and harder size/positional cuts, so candidate
+    // volume FALLS as the threshold rises — the property that makes
+    // exact SSJoin usable at scale exactly where loose-τ is hopeless
+    // (the measured Σdf² hazard documented on the base query).
+    "q_dedup_ppjoin_t80" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = ppjoinPlan(s, d, tauPpm = 800000L)
+        val rows = out.collect()
+        caches.foreach(_.unpersist())
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        $cappedShinglesCte,
+        ns AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, CAST(c AS BIGINT) AS c,
+               CAST(c * 1000000 // (na.nsh + nb.nsh - c) AS BIGINT)
+                 AS jac_ppm
+        FROM common JOIN ns na ON na.doc_id = d1
+             JOIN ns nb ON nb.doc_id = d2
+        WHERE c * 1000000 // (na.nsh + nb.nsh - c) >= 800000
         ORDER BY d1, d2""")),
 
     // ------------------------------------------- containment dedup

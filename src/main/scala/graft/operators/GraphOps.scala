@@ -36,6 +36,15 @@ object GraphOps extends QueryPack {
   private val Scale = 1000000000000L
   private val Iters = 5
 
+  // Fixed round counts for the remaining iterative ops, each hoisted
+  // into ONE definition interpolated into BOTH the Scala loop and the
+  // generated oracle SQL — a drift between the two sides would surface
+  // as a confusing hash mismatch rather than a clear error, so neither
+  // side may carry its own literal (same policy as Iters/KcoreRounds).
+  private val HitsRounds = 3
+  private val BfsRounds = 3
+  private val LpaRounds = 3
+
   /** Apex-degree ceiling for common-neighbor (wedge) pair emission in
     * link prediction — the graph twin of `Dedup.MaxShingleDf`: a hub
     * apex of degree h emits O(h²) wedge rows with ~no Jaccard signal,
@@ -78,11 +87,12 @@ object GraphOps extends QueryPack {
   private def coPurchaseEdgesCached(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    edgeCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      val e = coPurchaseEdges(s, d).persist()
-      e.count()
-      e
-    })
+    edgeCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      graft.StoreBuilds.timed("graph_copurchase_edges") {
+        val e = coPurchaseEdges(s, d).persist()
+        e.count()
+        e
+      })
 
   /** The co-purchase edge list as a DuckDB CTE (mirror of
     * [[coPurchaseEdges]]). */
@@ -122,7 +132,8 @@ object GraphOps extends QueryPack {
   private def tradeEdgesCached(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    tradeEdgeCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+    tradeEdgeCache.getOrElseUpdate(s.sparkContext.applicationId + d,
+      graft.StoreBuilds.timed("graph_trade_edges") {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
@@ -137,7 +148,7 @@ object GraphOps extends QueryPack {
         .persist()
       e.count()
       e
-    })
+      })
 
   /** Lazy PageRank plan + the caches it reads (empty if the zero-node
     * guard already released them). */
@@ -248,7 +259,12 @@ object GraphOps extends QueryPack {
     * the relax can add a cost to the sentinel without overflow. */
   private val SsspInf = 1000000000000000L
 
-  /** Lazy bounded-round weighted shortest-path plan + its caches.
+  /** The Bellman-Ford loop behind [[ssspPlan]], exposed lazily so
+    * PlanGuardSpec can pin its LINEAGE SIZE. Returns (lazy output plan,
+    * DataFrame caches, per-round truncation RDD handles — still
+    * persisted; release them only after materializing the output,
+    * because the plan reads them).
+    *
     * Bellman-Ford over the trade graph with integer edge costs
     * 10⁹ div w — RARITY cost: heavily-traded lanes are cheap, so the
     * path metric is "how much common trade links these nations", the
@@ -258,10 +274,24 @@ object GraphOps extends QueryPack {
     * is what you run at web scale, where >k-hop influence is noise).
     * Each round is ONE shuffle: frontier ⋈ edges keyed on src with a
     * map-side-combinable min aggregate — same iterative shape as the
-    * PageRank loop, exact 64-bit arithmetic throughout. */
-  private[operators] def ssspPlan(
+    * PageRank loop, exact 64-bit arithmetic throughout.
+    *
+    * Every round reads `dist` TWICE (the relax join and the union
+    * carry), so a plain DataFrame loop doubles the LOGICAL plan per
+    * round — 2^Iters copies of the base lineage, a driver-side
+    * analysis cost that is data-independent and does not shrink at
+    * scale (measured: 58.8 s cold at sf0.1 on a 25-node graph — the
+    * same disease hitsPlan and Dedup.minLabelComponents already cure).
+    * Truncate per round exactly as [[hitsPlan]] does: materialize the
+    * |V|-row frontier as a persisted RDD (blocks stay on executors —
+    * nothing |V|-sized crosses the driver) and rewrap it, so each
+    * round's plan starts at an RDD scan and analysis cost stays FLAT.
+    * Explicit RDD handles (not localCheckpoint) so the blocks actually
+    * release afterwards. */
+  private[operators] def ssspLoop(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame],
+         Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
     // rarity costs derive from the session-shared trade store's weights
     val edges = tradeEdgesCached(s, d)
       .select(col("src"), col("dst"),
@@ -273,19 +303,28 @@ object GraphOps extends QueryPack {
     if (nNodes == 0) {
       nodes.unpersist()
       (Tables.nation(s, d)
-        .select(col("n_name"), lit(0L).as("dist_cost")).limit(0), Nil)
+        .select(col("n_name"), lit(0L).as("dist_cost")).limit(0), Nil, Nil)
     } else {
       // deterministic source: the lowest node id (a bounded aggregate
       // read driver-side, like the greedy MMR steps)
       val srcId = nodes.agg(min(col("node"))).head.get(0)
+      val rddCaches =
+        scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
       var dist = nodes.withColumn("dist",
         when(col("node") === srcId, lit(0L)).otherwise(lit(SsspInf)))
       (1 to Iters).foreach { _ =>
-        val relax = dist
+        // truncate BEFORE the round: both of this round's reads (relax
+        // + carry) start from the RDD scan, keeping lineage flat
+        val rdd = dist.rdd.persist()
+        rdd.count()
+        rddCaches += rdd
+        val t = s.createDataFrame(rdd, dist.schema)
+        val relax = t
           .join(edges, col("node") === col("src"))
           .select(col("dst").as("node"),
             (col("dist") + col("cost")).as("dist"))
-        dist = dist.unionByName(relax)
+        dist = t.unionByName(relax)
           .groupBy("node").agg(min(col("dist")).as("dist"))
       }
       val out = dist
@@ -295,7 +334,24 @@ object GraphOps extends QueryPack {
         .orderBy(col("dist_cost"), col("n_name"))
       // edges derives from the session-shared trade store (never
       // released per-query); only the node set is this plan's own cache
-      (out, Seq(nodes))
+      (out, Seq(nodes), rddCaches.toSeq)
+    }
+  }
+
+  /** Bounded weighted shortest-path: materializes [[ssspLoop]]'s
+    * output (aggregate-sized — ≤ |nations| rows), releases the
+    * per-round truncation RDDs the plan reads, and hands the node
+    * cache up for [[materializeAndRelease]]. */
+  private[operators] def ssspPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val (lazyOut, caches, rdds) = ssspLoop(s, d)
+    if (caches.isEmpty && rdds.isEmpty) (lazyOut, Nil)
+    else {
+      val rows = lazyOut.collect()
+      rdds.foreach(_.unpersist())
+      (s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), lazyOut.schema), caches)
     }
   }
 
@@ -351,7 +407,7 @@ object GraphOps extends QueryPack {
     }
     var hub = nodes.withColumn("h", lit(1000L))
     var auth = nodes.withColumn("a", lit(0L))
-    (1 to 3).foreach { _ =>
+    (1 to HitsRounds).foreach { _ =>
       auth = normalize(
         edges.join(hub, col("node") === col("src"))
           .groupBy(col("dst").as("node"))
@@ -379,6 +435,16 @@ object GraphOps extends QueryPack {
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val e0 = coPurchaseEdgesCached(s, d)
+    triangleKernel(s, e0)
+  }
+
+  /** The degree-oriented adjacency-intersection triangle kernel over
+    * an undirected distinct edge list (u, v) — shared by the exact
+    * count and the degree-capped variant. */
+  private def triangleKernel(
+      s: org.apache.spark.sql.SparkSession,
+      e0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val deg = e0.select(col("u").as("x"))
       .unionByName(e0.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
@@ -433,6 +499,59 @@ object GraphOps extends QueryPack {
     (out, Seq(deg, oe, adj)) // e0 is the session-shared edge cache
   }
 
+  /** Degree ceiling for the CAPPED triangle count: nodes whose
+    * (undirected) degree exceeds this are dropped with every incident
+    * edge before counting — the standard production knob for the
+    * exact count's one super-linear axis. The exact kernel's cost is
+    * Θ(Σ outdeg²) after orientation — the steepest measured scale
+    * curve in BENCH_SCALE (7.2× warm at 10× data, inherent: real
+    * co-purchase density rises with corpus size) — and hubs own that
+    * growth while contributing mostly boilerplate-induced triangles
+    * (a part in every basket closes a triangle with ANY co-purchased
+    * pair, the same no-signal hazard as Dedup.MaxShingleDf's stop
+    * shingles). WHEN TO FLIP: keep the exact count while the warm
+    * kernel tracks your latency budget; switch to the capped form
+    * when Σ outdeg² (reported as n_wedges) grows super-linearly
+    * round-over-round — the cap bounds every adjacency list at
+    * `cap`, making the kernel Θ(|E|·cap) = linear in edges at fixed
+    * cap. Sits at the graph's ~P95 like MaxApexDeg, so it cuts only
+    * the hub tail. */
+  private[operators] val TriDegreeCap = 160L
+
+  /** Degree-capped triangle count: drop hub nodes (degree > cap) and
+    * their edges, then run the SAME exact kernel on the induced
+    * subgraph — deterministic (so oracle-checkable: the cap is a
+    * degree filter, not a sample) and linear at fixed cap. Output adds
+    * the dropped-hub count so a reader sees what the cap removed. */
+  private[operators] def trianglesCappedPlan(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Long = TriDegreeCap)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val e0 = coPurchaseEdgesCached(s, d)
+    val deg0 = e0.select(col("u").as("x"))
+      .unionByName(e0.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+      .persist()
+    // the hub set is tiny by definition (the tail above ~P95) — both
+    // edge-end drops are broadcast anti-joins, the edge list never
+    // shuffles for the cap
+    val hubs = deg0.filter(col("dg") > cap).select("x")
+    val e1 = e0
+      .join(broadcast(hubs.select(col("x").as("u"))), Seq("u"), "left_anti")
+      .join(broadcast(hubs.select(col("x").as("v"))), Seq("v"), "left_anti")
+      .select("u", "v")
+      .persist()
+    e1.count() // materialize: the kernel reads it through many branches
+    val (kOut, kCaches) = triangleKernel(s, e1)
+    val out = kOut
+      .crossJoin(deg0.agg(
+        coalesce(sum((col("dg") > cap).cast("long")), lit(0L))
+          .as("n_hubs_dropped")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("n_hubs_dropped"))
+    (out, Seq(deg0, e1) ++ kCaches)
+  }
+
   /** Lazy bounded-BFS plan + its caches. */
   private[operators] def bfsPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -446,7 +565,7 @@ object GraphOps extends QueryPack {
       .withColumn("dist", lit(0))
       .persist()
     dist.count()
-    (1 to 3).foreach { _ =>
+    (1 to BfsRounds).foreach { _ =>
       // each round reads the frontier TWICE (relax + carry); persist
       // and materialize per round or round k recomputes round k−1
       // in both branches — 2^k blowup over the loop
@@ -476,7 +595,7 @@ object GraphOps extends QueryPack {
     dir.count() // materialize before 3 rounds + node seed read it
     var labels = dir.select(col("src").as("n")).distinct()
       .withColumn("lbl", col("n"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to LpaRounds) {
       // mode adoption as an ARGMAX aggregate — max(struct(c, −lbl))
       // picks the most frequent label with smallest-label tie-break
       // in one partial+final hash aggregate; the row_number window
@@ -798,12 +917,13 @@ object GraphOps extends QueryPack {
         nodes AS MATERIALIZED (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         h0 AS (SELECT node, 1000 AS h FROM nodes),
-        ${(1 to 3).map(round).mkString(",")}
+        ${(1 to HitsRounds).map(round).mkString(",")}
         SELECT n_name,
-               CAST(h3.h AS BIGINT) AS hub_q,
-               CAST(a3.a AS BIGINT) AS auth_q
-        FROM h3 JOIN a3 ON a3.node = h3.node
-             JOIN nation ON n_nationkey = h3.node
+               CAST(h$HitsRounds.h AS BIGINT) AS hub_q,
+               CAST(a$HitsRounds.a AS BIGINT) AS auth_q
+        FROM h$HitsRounds JOIN a$HitsRounds
+             ON a$HitsRounds.node = h$HitsRounds.node
+             JOIN nation ON n_nationkey = h$HitsRounds.node
         ORDER BY auth_q DESC, hub_q DESC, n_name"""
       }),
 
@@ -838,6 +958,48 @@ object GraphOps extends QueryPack {
                (SELECT count(*) FROM w) AS n_wedges,
                (SELECT count(*) FROM w JOIN oed e3
                   ON e3.a = w.x AND e3.b = w.y) AS n_triangles""")),
+
+    // --------------------------- degree-capped triangle count (knob)
+    // The capped form of q_graph_triangles (see TriDegreeCap's
+    // when-to-flip note): hubs above the degree ceiling drop with
+    // their edges, the SAME exact kernel runs on the induced
+    // subgraph — deterministic, so the oracle replays the cap as a
+    // degree filter and the hash must match exactly.
+    "q_graph_triangles_capped" -> GraftQuery(
+      run = (s, d) => {
+        val (out, caches) = trianglesCappedPlan(s, d)
+        materializeAndRelease(s, out, caches)
+      },
+      oracle = Some(s"""
+        WITH $coPurchaseCte,
+        deg0 AS (SELECT x, count(*) AS dg FROM (
+                   SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+                 GROUP BY x),
+        hubs AS (SELECT x FROM deg0 WHERE dg > $TriDegreeCap),
+        e1 AS (SELECT u, v FROM e0
+               WHERE u NOT IN (SELECT x FROM hubs)
+                 AND v NOT IN (SELECT x FROM hubs)),
+        deg AS (SELECT x, count(*) AS dg FROM (
+                  SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1)
+                GROUP BY x),
+        oe AS (
+          SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                      THEN u ELSE v END AS a,
+                 CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                      THEN v ELSE u END AS b
+          FROM e1 JOIN deg du ON du.x = e1.u JOIN deg dv ON dv.x = e1.v),
+        oed AS (SELECT oe.a, oe.b, deg.dg AS db
+                FROM oe JOIN deg ON deg.x = oe.b),
+        w AS (SELECT e1.b AS x, e2.b AS y
+              FROM oed e1 JOIN oed e2
+                ON e1.a = e2.a AND (e1.db < e2.db OR
+                   (e1.db = e2.db AND e1.b < e2.b)))
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e1) AS n_edges,
+               (SELECT count(*) FROM w) AS n_wedges,
+               (SELECT count(*) FROM w JOIN oed e3
+                  ON e3.a = w.x AND e3.b = w.y) AS n_triangles,
+               (SELECT count(*) FROM hubs) AS n_hubs_dropped""")),
 
     // --------------------------- market-basket lift (association rules)
     // Co-occurrence lift over the order/part bipartite relation:
@@ -913,10 +1075,9 @@ object GraphOps extends QueryPack {
                   UNION ALL SELECT v, u FROM e0),
         d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges
                WHERE src % 97 = 0),
-        ${round("d0", "d1")},
-        ${round("d1", "d2")},
-        ${round("d2", "d3")}
-        SELECT dist, count(*) AS n_nodes FROM d3
+        ${(1 to BfsRounds).map(i => round(s"d${i - 1}", s"d$i"))
+          .mkString(",")}
+        SELECT dist, count(*) AS n_nodes FROM d$BfsRounds
         GROUP BY dist ORDER BY dist"""
       }),
 
@@ -955,12 +1116,14 @@ object GraphOps extends QueryPack {
         ed AS (SELECT u AS src, v AS dst FROM e0
                UNION ALL SELECT v, u FROM e0),
         l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM ed),
-        ${round("l0", "l1")},
-        ${round("l1", "l2")},
-        ${round("l2", "l3")},
-        sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
-        SELECT l3.n AS node, l3.lbl AS label, sz.community_size
-        FROM l3 JOIN sz ON sz.lbl = l3.lbl ORDER BY node"""
+        ${(1 to LpaRounds).map(i => round(s"l${i - 1}", s"l$i"))
+          .mkString(",")},
+        sz AS (SELECT lbl, count(*) AS community_size
+               FROM l$LpaRounds GROUP BY 1)
+        SELECT l$LpaRounds.n AS node, l$LpaRounds.lbl AS label,
+               sz.community_size
+        FROM l$LpaRounds JOIN sz ON sz.lbl = l$LpaRounds.lbl
+        ORDER BY node"""
       }),
 
     // --------------------- link prediction (common-neighbor Jaccard)

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
+  // Fixed iteration counts shared VERBATIM by the Scala loop and the
+  // generated oracle SQL of each iterative op — one definition per
+  // family so the two sides cannot drift into a hash mismatch (same
+  // policy as GraphOps.Iters/KcoreRounds).
+  private val PowerRounds = 5 // q_sim_pca power-iteration rounds
+  private val CoresetSteps = 7 // q_sim_coreset greedy picks after the seed
+
   /** Vectors cast to double with their L2 norm. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -993,7 +1000,8 @@ object Similarity extends QueryPack {
       // it paid the whole index build again. Working caches inside the
       // build are still released per run (CacheHygieneSpec).
       run = (s, d) => ivfpqCache.getOrElseUpdate(
-        s.sparkContext.applicationId + d, ivfpqBuild(s, d)),
+        s.sparkContext.applicationId + d,
+        graft.StoreBuilds.timed("sim_ivfpq_index")(ivfpqBuild(s, d))),
       oracle = Some(s"""
         WITH $unnestCte,
         $ivfpqCtes
@@ -2018,7 +2026,7 @@ object Similarity extends QueryPack {
                 while (j < dim) { acc += cm(i)(j) * v(j); j += 1 }; acc
               }
             var v = Array.fill(dim)(1000L)
-            for (_ <- 1 to 5) {
+            for (_ <- 1 to PowerRounds) {
               val w = matvec(v)
               val mx = w.map(math.abs).max
               v =
@@ -2092,26 +2100,28 @@ object Similarity extends QueryPack {
                 FROM cen a JOIN cen b ON b.vec_id = a.vec_id
                 GROUP BY 1, 2),
         v0 AS (SELECT DISTINCT i, 1000 AS v FROM cov),
-        ${(1 to 5).map(k => iter(s"v${k - 1}", k)).mkString(",")},
-        wf AS (SELECT c.i, sum(c.c * v5.v) AS w
-               FROM cov c JOIN v5 ON v5.i = c.j GROUP BY c.i),
-        ray AS (SELECT CAST(sum(v5.v * wf.w) AS BIGINT) AS num,
-                       CAST(sum(v5.v * v5.v) AS BIGINT) AS den
-                FROM v5 JOIN wf ON wf.i = v5.i),
+        ${(1 to PowerRounds).map(k => iter(s"v${k - 1}", k)).mkString(",")},
+        wf AS (SELECT c.i, sum(c.c * v$PowerRounds.v) AS w
+               FROM cov c JOIN v$PowerRounds ON v$PowerRounds.i = c.j
+               GROUP BY c.i),
+        ray AS (SELECT CAST(sum(v$PowerRounds.v * wf.w) AS BIGINT) AS num,
+                       CAST(sum(v$PowerRounds.v * v$PowerRounds.v)
+                            AS BIGINT) AS den
+                FROM v$PowerRounds JOIN wf ON wf.i = v$PowerRounds.i),
         lam AS (SELECT CASE WHEN den = 0 THEN 0
                             WHEN num >= 0 THEN num // den
                             ELSE -((-num) // den) END AS lambda
                 FROM ray),
         tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace
                FROM cov WHERE i = j)
-        SELECT CAST(v5.i - 1 AS BIGINT) AS dim,
-               CAST(v5.v AS BIGINT) AS loading,
+        SELECT CAST(v$PowerRounds.i - 1 AS BIGINT) AS dim,
+               CAST(v$PowerRounds.v AS BIGINT) AS loading,
                CAST(lambda AS BIGINT) AS lambda_q,
                CAST(CASE WHEN trace IS NULL OR trace <= 0 THEN 0
                          WHEN lambda >= 0 THEN lambda * 1000000 // trace
                          ELSE -((-lambda) * 1000000 // trace)
                     END AS BIGINT) AS ev_ppm
-        FROM v5, lam, tr ORDER BY dim"""
+        FROM v$PowerRounds, lam, tr ORDER BY dim"""
       }),
 
     // --------------------- k-center greedy coreset (farthest-point)
@@ -2152,7 +2162,7 @@ object Similarity extends QueryPack {
             var cur = base.withColumn("mind", d2To(r0.getSeq[Long](1)))
             var step = 1L
             var done = false
-            while (step < 8 && !done) {
+            while (step <= CoresetSteps && !done) {
               val top = cur.filter(!col("vec_id").isin(ids.toSeq: _*))
                 .agg(max(struct(col("mind").as("m"),
                   (-col("vec_id")).as("nid"), col("vec_id").as("id"),
@@ -2192,7 +2202,7 @@ object Similarity extends QueryPack {
                 WHERE vec_id NOT IN ($prevSel)
                 ORDER BY d2 DESC, vec_id LIMIT 1)"""
         }
-        val unions = (1 to 7).map(k =>
+        val unions = (1 to CoresetSteps).map(k =>
           s"SELECT $k AS step, id AS vec_id, d2 AS radius_d2 FROM c$k")
           .mkString(" UNION ALL ")
         s"""
@@ -2210,7 +2220,7 @@ object Similarity extends QueryPack {
           FROM kq a JOIN kq b ON b.i = a.i GROUP BY 1, 2),
         c0 AS (SELECT vec_id AS id FROM kq
                GROUP BY vec_id ORDER BY vec_id LIMIT 1),
-        ${(1 to 7).map(stepCte).mkString(",\n        ")}
+        ${(1 to CoresetSteps).map(stepCte).mkString(",\n        ")}
         SELECT CAST(step AS BIGINT) AS step,
                CAST(vec_id AS BIGINT) AS vec_id,
                CAST(radius_d2 AS BIGINT) AS radius_d2

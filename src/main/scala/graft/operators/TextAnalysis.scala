@@ -2083,16 +2083,29 @@ ORDER BY tokenizer"""
           coalesce(sum(col("t")).over(
             Window.orderBy("score")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // Overflow envelope: the rank-sum numerator reaches
+        // 2e6·npos·nneg, which leaves int64 once the held-out set
+        // exceeds ~4M docs (npos·nneg > ~4.6e12) — and a Spark long
+        // sum would WRAP silently while DuckDB promotes to HUGEINT,
+        // diverging exactly at scale. So every term from the rank-sum
+        // on runs in DECIMAL(38,0) (exact to ~1e15 eval docs; the
+        // final integral division returns the BIGINT ppm). The
+        // oracle's per-term BIGINT product errors loudly — never
+        // silently — past ~1.7e9 held-out docs.
         w.agg(
           coalesce(sum(col("tp")), lit(0L)).as("npos"),
           coalesce(sum(col("t")) - sum(col("tp")), lit(0L)).as("nneg"),
-          coalesce(sum(col("tp") * (col("below") * 2 + col("t") + 1)),
-            lit(0L)).as("s2mid"))
+          coalesce(
+            sum((col("tp").cast("decimal(38,0)")) *
+              (col("below") * 2 + col("t") + 1)),
+            lit(0L).cast("decimal(38,0)")).as("s2mid"))
           .select(col("npos"), col("nneg"),
             when(col("npos") === 0 || col("nneg") === 0, lit(0L))
               .otherwise(expr(
-                "(s2mid - npos * (npos + 1)) * 1000000" +
-                  " div (2 * npos * nneg)"))
+                "CAST((s2mid - CAST(npos AS DECIMAL(38,0)) * (npos + 1))" +
+                  " * 1000000" +
+                  " div (CAST(2 AS DECIMAL(38,0)) * npos * nneg)" +
+                  " AS BIGINT)"))
               .as("auc_ppm"))
       },
       oracle = Some(s"""

@@ -153,7 +153,8 @@ object UnigramTrainer {
 
   def trainCached(
       s: SparkSession, d: String, docs: => DataFrame): Seq[Piece] =
-    vocabCache.getOrElseUpdate(d, train(s, docs))
+    vocabCache.getOrElseUpdate(d,
+      graft.StoreBuilds.timed("text_unigram_vocab")(train(s, docs)))
 
   /** Viterbi-encode the corpus with a trained vocab: per-document
     * (chars_in, tokens_out, compression) — the same output contract as

@@ -498,6 +498,50 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     np should not include "CartesianProduct"
   }
 
+  test("iterative graph loops keep their logical plans FLAT per round") {
+    assume(haveData)
+    // The engine's recurring plan disease: an iterative loop that reads
+    // its state frame TWICE per round doubles the LOGICAL plan per
+    // round — 2^rounds copies of the base lineage, a data-independent
+    // driver-side analysis cost (measured three times now: the
+    // DataFrame CC fixpoint, HITS, and round 7's SSSP at 58.8 s cold on
+    // a 25-node graph). The cure is per-round truncation (persisted-RDD
+    // rewrap). Pin it structurally: the final lazy plan of every
+    // fixed-round loop must stay within a SMALL node budget — at
+    // Iters = 5, an untruncated double-read loop lands at ≥ 32 copies
+    // of its base plan (hundreds of nodes), so these bounds cannot be
+    // met by anything but flat (truncated) or strictly single-read
+    // (linear) lineage. A fourth iterative op that reintroduces the
+    // disease fails here before it ships.
+    def nodeCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    // SSSP truncates per round: the final plan starts at the LAST
+    // round's RDD scan — constant-sized regardless of Iters
+    val (ssspOut, ssspCaches, ssspRdds) = GraphOps.ssspLoop(spark, sf)
+    val ssspNodes = nodeCount(ssspOut)
+    ssspOut.collect() // the loop's RDD blocks are live; release below
+    ssspRdds.foreach(_.unpersist())
+    ssspCaches.foreach(_.unpersist())
+    ssspNodes should be <= 40
+    // PageRank/PPR read their state ONCE per round — lineage grows
+    // linearly in Iters (≈ a dozen nodes per round), never doubles
+    def lazyNodes(build: (SparkSession, String) => (
+        org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])): Int = {
+      val (out, caches) = build(spark, sf)
+      val n = nodeCount(out)
+      caches.foreach(_.unpersist())
+      n
+    }
+    // measured: pagerank 384 / ppr ~450 / label-prop ~150 nodes at
+    // Iters = 5 (resp. 3) — a double-read loop at the same round count
+    // multiplies these by ~2^Iters/Iters ≈ 6×, far past the bounds
+    lazyNodes(GraphOps.pagerankPlan) should be <= 500
+    lazyNodes(GraphOps.pprPlan) should be <= 650
+    // label-prop likewise references its label table once per round
+    lazyNodes(GraphOps.labelPropPlan) should be <= 300
+  }
+
   test("PIT join enriches all feature groups in one shuffle and one window") {
     assume(haveData)
     // the operator's scale claim IS this plan shape: union-tagged legs

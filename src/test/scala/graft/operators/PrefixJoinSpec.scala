@@ -34,8 +34,8 @@ class PrefixJoinSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
   }
 
-  private def brute(
-      docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+  private def brute(docs: Seq[(Long, String)],
+      tauPpm: Long = 500000L): Set[(Long, Long, Long, Long)] = {
     val sets = docs.map { case (id, t) => id -> shingleSet(t) }
       .filter(_._2.nonEmpty)
     (for {
@@ -46,21 +46,40 @@ class PrefixJoinSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       c = (a & b).size.toLong
       if c > 0
       jac = c * 1000000L / (a.size + b.size - c)
-      if jac >= 500000L
+      if jac >= tauPpm
     } yield (d1, d2, c, jac)).toSet
   }
 
-  private def check(docs: Seq[(Long, String)]): Unit = {
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ppj").toString
     docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("q_dedup_ppjoin")(spark, dir)
-      .collect()
+    dir
+  }
+
+  private def collectPairs(
+      df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    got shouldBe brute(docs)
+
+  private def check(docs: Seq[(Long, String)]): Unit = {
+    val dir = writeDocs(docs)
+    collectPairs(SparkEntry.queries("q_dedup_ppjoin")(spark, dir)) shouldBe
+      brute(docs)
+    // the τ-parametric bounds must stay false-negative-free (and
+    // false-positive-free: the final cut is exact rational jac ≥ τ) at
+    // every production threshold the store's base prefix covers
+    Seq(700000L, 800000L, 900000L).foreach { tau =>
+      withClue(s"tauPpm=$tau") {
+        val (out, caches) = Dedup.ppjoinPlan(spark, dir, tau)
+        val got = collectPairs(out)
+        caches.foreach(_.unpersist())
+        got shouldBe brute(docs, tau)
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
