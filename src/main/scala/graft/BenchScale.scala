@@ -131,6 +131,16 @@ object BenchScale {
       "q_dedup_ppjoin", // builds the prefix-index store (r7c)
       "q_graph_triangles", // builds the co-purchase edge cache
       "q_graph_hits", // trade store + per-round RDD truncation (r7c)
+      // the iterative graph family (r8): per-round shuffle shape is what
+      // 100× stresses hardest. sssp/ppr iterate on the trade graph
+      // (constant |V|, 10× edge-build input — their curve measures the
+      // 4-table fact-join build); label_prop/kcore iterate on the
+      // co-purchase graph (10 disjoint subgraphs — linear |V| and |E|,
+      // their curve measures the per-round shuffle itself).
+      "q_graph_sssp",
+      "q_graph_ppr",
+      "q_graph_label_prop",
+      "q_graph_kcore",
       "q_sim_ivfpq",
       "q_sim_pca", // corpus-linear one-pass moment matrix (r7c)
       "q_scale_stratified_split", // two-pass distributed rank (r7c)
@@ -147,9 +157,27 @@ object BenchScale {
     }
     def timeAll(dir: String): Map[String, (Double, Double)] =
       qs.map { q => q -> (timeOne(dir, q), timeOne(dir, q)) }.toMap
-    val small = timeAll(smallDir)
-    val canaryMid = canary()
-    val big = timeAll(bigDir)
+    // Contamination guard (r7 lesson: leg 2 ran under a 1.534 canary
+    // and the cell stood): bracket each leg with the load canary and
+    // RE-RUN a leg whose closing probe exceeds 1.2× the baseline —
+    // ambient load, not the algorithm, owns such a cell. A retried
+    // leg's session stores are already warm, so its "first" column no
+    // longer includes the one-time builds; the per-leg attempt count
+    // rides in the artifact so a reader knows which cells are
+    // build-inclusive (attempts=1) and which are store-warm retries.
+    def leg(dir: String): (Map[String, (Double, Double)], Double, Int) = {
+      var attempts = 0
+      var res: Map[String, (Double, Double)] = Map.empty
+      var c = Double.MaxValue
+      while (attempts < 3 && c / canaryStart > 1.2) {
+        res = timeAll(dir)
+        c = canary()
+        attempts += 1
+      }
+      (res, c, attempts)
+    }
+    val (small, canarySmall, attemptsSmall) = leg(smallDir)
+    val (big, canaryBig, attemptsBig) = leg(bigDir)
     // drop the 10× session caches before the closing probe: the canary
     // measures AMBIENT load, and residual GC over ~20M cached rows in
     // this same JVM would read as a loaded box
@@ -169,9 +197,10 @@ object BenchScale {
         ",\"small_rerun\":" + r3(sr) + ",\"big_rerun\":" + r3(br) +
         ",\"rerun_ratio\":" + r3(br / sr) + "}"
     }.mkString("{", ",", "}")
-    val cj = s"""{"start":${r3(canaryStart)},"mid":${r3(canaryMid)},"end":${r3(
+    val cj = s"""{"start":${r3(canaryStart)},"small":${r3(
+        canarySmall)},"big":${r3(canaryBig)},"end":${r3(
         canaryEnd)},"ratio":${r3(
-        math.max(canaryMid, canaryEnd) / canaryStart)}}"""
+        math.max(canarySmall, canaryBig) / canaryStart)},"attempts":{"small":$attemptsSmall,"big":$attemptsBig}}"""
     println(s"""{"metric":"scale_curve","factor":$Copies,"queries":$perQ,"rows":$rows,"canary":$cj,"small":"$smallDir","big":"$bigDir"}""")
     spark.stop()
   }

@@ -124,13 +124,28 @@ object MsPipeline extends QueryPack {
   // against an independent sequential kernel on these REAL slice
   // tensors (not synthetic toys) — the stage boundary is the natural
   // test seam, exactly as the reference's .npy artifacts were.
+  // Materialized (count) inside the ledger block: a lazy persist would
+  // record ~0 s here and silently charge the first consumer — exactly
+  // the misattribution the StoreBuilds ledger exists to remove.
   private[graft] def tensors(s: SparkSession, d: String): Dataset[SliceTensor] =
     tensorCache.getOrElseUpdate(s.sparkContext.applicationId + d,
-      TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm).persist())
+      graft.StoreBuilds.timed("ms_slice_tensors") {
+        val t = TensorizeOp.tensorize(s, adjustedPeaks(s, d), mzTolPpm).persist()
+        t.count()
+        t
+      })
 
   private def models(s: SparkSession, d: String): Dataset[ParafacModelRow] =
-    modelCache.getOrElseUpdate(s.sparkContext.applicationId + d,
-      Decomposer.run(s, tensors(s, d), fMin, fMax, maxIter = maxIter).persist())
+    modelCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      // resolve the tensor stage FIRST so its build lands in its own
+      // ledger entry, not double-counted into this one
+      val t = tensors(s, d)
+      graft.StoreBuilds.timed("ms_parafac_models") {
+        val m = Decomposer.run(s, t, fMin, fMax, maxIter = maxIter).persist()
+        m.count()
+        m
+      }
+    })
 
   private def peakCounts(s: SparkSession, d: String): Dataset[ComponentPeaks] =
     Indexing.countTimeModePeaks(s, models(s, d),
