@@ -29,10 +29,18 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name"))
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
     (1 to reps).foreach { r =>
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[runone] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      println(f"[runone] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, ${rdds.size} persistent RDDs, ${mb} MB cached, gc ${gcMs() - g0} ms, heap ${heapMb} MB)")
     }
     if (showPlan) fn(spark, sfDir).explain("formatted")
     spark.stop()
