@@ -498,6 +498,26 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     np should not include "CartesianProduct"
   }
 
+  test("BFS/LPA/link-prediction probe the shared directed edge store") {
+    assume(haveData)
+    // The both-direction adjacency is a ledgered session store (r8):
+    // each consumer's executed plan must PROBE it (InMemoryTableScan)
+    // rather than re-derive + re-persist the union per call — the
+    // regression this pins is three queries each paying the 2|E|-row
+    // build the store exists to amortize.
+    def lazyPlan(build: (SparkSession, String) => (
+        org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame])): String = {
+      val (out, caches) = build(spark, sf)
+      val p = out.queryExecution.executedPlan.toString
+      caches.foreach(_.unpersist())
+      p
+    }
+    lazyPlan(GraphOps.bfsPlan) should include ("InMemoryTableScan")
+    lazyPlan(GraphOps.labelPropPlan) should include ("InMemoryTableScan")
+    lazyPlan(GraphOps.jaccardLinksPlan) should include ("InMemoryTableScan")
+  }
+
   test("iterative graph loops keep their logical plans FLAT per round") {
     assume(haveData)
     // The engine's recurring plan disease: an iterative loop that reads
