@@ -92,6 +92,11 @@ object GraftFunctions {
       "graft_qcos",
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ixcount",
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1)),
+      "built-in")
   }
 }
 
@@ -112,6 +117,12 @@ class GraftExtensions
       FunctionIdentifier("graft_qcos"),
       new ExpressionInfo(classOf[QuantizedCos].getName, "graft_qcos"),
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ixcount"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "graft_ixcount"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -342,6 +342,7 @@ object Dedup extends QueryPack {
     require(tauPpm >= PpjoinBaseTauPpm && tauPpm < 1000000L,
       s"tauPpm $tauPpm outside the store's base-prefix coverage " +
         s"[$PpjoinBaseTauPpm, 1000000)")
+    graft.functions.GraftFunctions.register(s) // graft_ixcount below
     val (pref0, ns, setsInt) = ppjoinStagesCached(s, d)
     // tighter-τ prefixes are a SUBSET of the stored base prefix rows
     val pref =
@@ -364,8 +365,11 @@ object Dedup extends QueryPack {
         Seq("d1"))
       .join(setsInt.select(col("doc_id").as("d2"), col("tids").as("t2")),
         Seq("d2"))
-      .withColumn("c",
-        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      // native fused merge-count over the store's sorted distinct
+      // integer-id arrays (see graft.functions.SortedIntersectCount):
+      // same exact count as size(array_intersect), no per-pair hash
+      // set or materialized intersection array
+      .withColumn("c", expr("graft_ixcount(t1, t2)"))
       .select(col("d1"), col("d2"), col("c"),
         expr("c * 1000000 div (nsh1 + nsh2 - c)").as("jac_ppm"))
       .filter(col("jac_ppm") >= tauPpm)

@@ -508,12 +508,18 @@ object GraphOps extends QueryPack {
     // every triangle a→b, a→c, b→c is counted exactly once, at its
     // apex edge (a, b): c ∈ N⁺(a) ∩ N⁺(b). Sinks (no out-list) close
     // nothing — hence the left join + empty-array coalesce.
+    // per-edge |N⁺(a) ∩ N⁺(b)| via the native graft_ixcount (fused
+    // two-pointer merge over the sorted distinct adjacency arrays —
+    // zero allocation inside whole-stage codegen; array_intersect
+    // hashed one side and MATERIALIZED the intersection per edge just
+    // for `size` to read its length)
+    graft.functions.GraftFunctions.register(s)
     val closure = oe.select(col("a"), col("b"))
       .join(adj.select(col("a"), col("nb").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nb").as("nbb")),
         Seq("b"), "left")
-      .select(size(array_intersect(col("na"),
-        coalesce(col("nbb"), array()))).cast("long").as("t"))
+      .select(expr(
+        "graft_ixcount(na, coalesce(nbb, array()))").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val out = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
