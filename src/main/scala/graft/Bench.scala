@@ -237,8 +237,12 @@ object Bench {
           rerunCanaryBefore)},"rerun_after":${r3(rerunCanaryAfter)}}"""
     // builds (seconds only — the per-store triggering query is on the
     // BENCH_BUILDS line) + GC/storage summary ride in the final line so
-    // the driver-parsed artifact itself attributes first-consumer cost
-    val buildsJson = buildsBy.toSeq.sortBy(-_._2._1).map {
+    // the driver-parsed artifact itself attributes first-consumer cost.
+    // Top-8 by seconds: the ledger grows a key per store, and the final
+    // line must stay inside the driver's 2000-char tail — the length
+    // guard below would otherwise fail the whole bench when store #14
+    // lands. Full detail is always on the BENCH_BUILDS line.
+    val buildsJson = buildsBy.toSeq.sortBy(-_._2._1).take(8).map {
       case (store, (secs, _)) => "\"" + store + "\":" + r2(secs)
     }.mkString("{", ",", "}")
     val memJson = s"""{"gc_s":${r3(gcTotalMs / 1000.0)},"peak_mb":$storagePeakMb}"""
