@@ -69,13 +69,7 @@ object Bench {
     // round-over-round regression decomposes into (own work, GC share,
     // store builds it happened to trigger) instead of standing
     // unexplained.
-    val gcBeans = java.lang.management.ManagementFactory
-      .getGarbageCollectorMXBeans
-    def gcMillis(): Long = {
-      var t = 0L
-      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
-      t
-    }
+    def gcMillis(): Long = graft.sparkutil.JvmGc.millis()
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val buildsBy = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, String)] // store -> (secs, triggering query)
@@ -89,7 +83,10 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMillis() - gc0)
+      // first pass only: accumulating the rerun's GC into the same key
+      // would show ~2× GC for whichever queries happened to be rerun,
+      // skewing the gc_top decomposition round-over-round
+      if (!gcByQuery.contains(name)) gcByQuery(name) = gcMillis() - gc0
       StoreBuilds.snapshot.foreach { case (store, secs) =>
         val delta = secs - builds0.getOrElse(store, 0.0)
         if (delta > 0.001 && !buildsBy.contains(store))
@@ -134,7 +131,9 @@ object Bench {
         n == "q_dedup_lsh_eval" || // builds the shingle-SET cache
         n == "q_dedup_index_store" || // first pass writes the band store
         n == "q_sim_index_store" || // first pass writes the IVF store
-        n == "q_graph_bfs" || // builds the co-purchase edge cache
+        n == "q_graph_bfs" || // builds the co-purchase + directed edge caches
+        n == "q_dedup_ppjoin" || // first consumer: builds the prefix-index store
+        n == "q_graph_hits" || // first consumer: builds the trade-edge store
         n == "q_sim_ivfpq" // memoized index build: a rerun hits the memo
     val rerun = firstPass.filterNot(p => cacheBuilders(p._1) || p._2 < 0)
       .sortBy(-_._2).take(10).map(_._1).toSet

@@ -186,13 +186,7 @@ object BenchScale {
     // per-leg JVM GC seconds: a stormy leg (collector pauses inflating
     // warm cells) reads as high gc with a CLEAN cpu canary — the two
     // probes separate box load from heap pressure
-    val gcBeans =
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcMs(): Long = {
-      var t = 0L
-      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
-      t
-    }
+    def gcMs(): Long = graft.sparkutil.JvmGc.millis()
     def leg(dir: String)
         : (Map[String, (Double, Double)], Double, Int, Double) = {
       var attempts = 0

@@ -29,10 +29,7 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name"))
-    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcMs(): Long = {
-      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
-    }
+    def gcMs(): Long = graft.sparkutil.JvmGc.millis()
     (1 to reps).foreach { r =>
       val g0 = gcMs()
       val t0 = System.nanoTime()

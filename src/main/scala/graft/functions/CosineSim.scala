@@ -94,8 +94,12 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ixcount",
-      (children: Seq[Expression]) =>
-        SortedIntersectCount(children(0), children(1)),
+      (children: Seq[Expression]) => {
+        // a proper arity error, not IndexOutOfBounds from children(1)
+        require(children.length == 2,
+          s"graft_ixcount takes 2 arguments, got ${children.length}")
+        SortedIntersectCount(children(0), children(1))
+      },
       "built-in")
   }
 }

@@ -36,6 +36,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_ixcount"
 
+  // The function is registered SESSION-WIDE (any SQL can call it), and
+  // getLong over a 4-byte-element UnsafeArrayData returns garbage
+  // rather than throwing — so unlike the engine-internal expressions,
+  // wrong input types here must be an ANALYSIS error, not a silently
+  // wrong count. (ExpectsInputTypes is unavailable — AbstractDataType
+  // is private[sql] — so the check is spelled out.)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def isLongArray(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -285,7 +285,13 @@ object Dedup extends QueryPack {
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
         .join(ns, "doc_id")
         .filter(col("rk") <=
-          col("nsh") - expr("(nsh + 1) div 2") + 1)
+          // the base prefix DERIVES from PpjoinBaseTauPpm (the τ₀
+          // ceil-form n − ⌈τ₀·n⌉ + 1, here ⌈n/2⌉ at τ₀ = 0.5) — one
+          // definition, so lowering the base threshold automatically
+          // widens the stored prefix instead of silently breaking
+          // ppjoinPlan's "the store covers every τ ≥ τ₀" guarantee
+          col("nsh") - expr(
+            s"($PpjoinBaseTauPpm * nsh + 999999) div 1000000") + 1)
         .select("doc_id", "s", "rk", "nsh")
         .persist()
       val setsInt = kept.groupBy("doc_id")

@@ -138,8 +138,13 @@ object GraphOps extends QueryPack {
       out: org.apache.spark.sql.DataFrame,
       caches: Seq[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
-    val rows = out.collect()
-    caches.foreach(_.unpersist())
+    // release in finally: the bench harness swallows query failures
+    // and keeps running, so a collect that throws (executor OOM, task
+    // failure past retries) must not pin |V|-sized blocks in executor
+    // storage for every subsequent query
+    val rows =
+      try out.collect()
+      finally caches.foreach(_.unpersist())
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -373,8 +378,15 @@ object GraphOps extends QueryPack {
     val (lazyOut, caches, rdds) = ssspLoop(s, d)
     if (caches.isEmpty && rdds.isEmpty) (lazyOut, Nil)
     else {
-      val rows = lazyOut.collect()
-      rdds.foreach(_.unpersist())
+      // finally: a throwing collect must release the per-round RDDs
+      // AND the node cache (the caller never sees `caches` on throw)
+      val rows =
+        try lazyOut.collect()
+        catch {
+          case t: Throwable =>
+            caches.foreach(_.unpersist())
+            throw t
+        } finally rdds.foreach(_.unpersist())
       (s.createDataFrame(
         java.util.Arrays.asList(rows: _*), lazyOut.schema), caches)
     }
@@ -447,9 +459,16 @@ object GraphOps extends QueryPack {
         col("node") === col("n_nationkey"))
       .select(col("n_name"), col("h").as("hub_q"), col("a").as("auth_q"))
       .orderBy(col("auth_q").desc, col("hub_q").desc, col("n_name"))
-    // materialize before releasing the round RDDs the plan reads
-    val rows = lazyOut.collect()
-    rddCaches.foreach(_.unpersist())
+    // materialize before releasing the round RDDs the plan reads;
+    // finally + catch: a throwing collect must release the round RDDs
+    // and the node cache (the caller never sees them on throw)
+    val rows =
+      try lazyOut.collect()
+      catch {
+        case t: Throwable =>
+          nodes.unpersist()
+          throw t
+      } finally rddCaches.foreach(_.unpersist())
     val out = s.createDataFrame(
       java.util.Arrays.asList(rows: _*), lazyOut.schema)
     (out, Seq(nodes))

@@ -69,6 +69,21 @@ class SortedIntersectCountSpec
     check(pairs)
   }
 
+  test("non-ARRAY<BIGINT> inputs are an analysis error, not a wrong count") {
+    // getLong over a 4-byte-element UnsafeArrayData would return
+    // garbage — the session-wide function must reject at analysis time
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_ixcount(array(1, 2, 3), array(2, 3))").collect()
+    }
+    e.getMessage should include ("ARRAY<BIGINT>")
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_ixcount(array(1L))").collect()
+    }
+    arity.getMessage.toLowerCase should include ("argument")
+  }
+
   test("interpreted eval agrees with the codegen path") {
     // a literal fold goes through nullSafeEval (constant folding runs
     // the interpreted expression); the DataFrame pipeline above runs

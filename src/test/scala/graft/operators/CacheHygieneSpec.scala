@@ -44,7 +44,8 @@ class CacheHygieneSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll 
     // working cache (degrees, adjacency, frontiers, node flags) leaked.
     var seen: Set[Int] = Set.empty
     Seq("q_graph_pagerank", "q_graph_ppr", "q_graph_sssp",
-      "q_graph_triangles", "q_graph_bfs", "q_graph_hits",
+      "q_graph_triangles", "q_graph_triangles_capped", "q_graph_bfs",
+      "q_graph_hits", "q_graph_kcore",
       "q_graph_label_prop", "q_graph_jaccard_links")
       .foreach { q =>
         withClue(q) {
