@@ -25,13 +25,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers supply ARRAY<DOUBLE> (vecs() casts at the source); type
-  // validation is intentionally omitted — AbstractDataType is
-  // private[sql], and the analyzer still rejects non-array children via
-  // ArrayData casts at bind time
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_cosine"
+
+  // an ARRAY<BIGINT>/<FLOAT> passed by mistake would reinterpret raw
+  // bits through getDouble and return plausible-looking garbage — the
+  // session-wide function rejects anything but ARRAY<DOUBLE> at
+  // analysis time, the same guard graft_qcos and graft_ixcount carry
+  // (spelled out because AbstractDataType/ExpectsInputTypes is
+  // private[sql])
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
