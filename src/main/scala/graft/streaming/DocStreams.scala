@@ -34,6 +34,25 @@ object DocStreams extends QueryPack {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The one documents stream reader — mirror of
+    * [[EventStreams.eventStream]]: a schema/option change lands here
+    * once instead of silently diverging across hand-built readers. */
+  private def docStream(
+      s: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
+  }
+
+  /** Scratch band-index store per (session, dataset) for the streaming
+    * index-upsert query — see its run() comment. */
+  private val indexScratch =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** (doc_id, partner) stream: every document that shares a MinHash band
     * key with an already-seen document, paired with that key's canonical
     * (first-seen) doc. First-ARRIVAL-wins: the state per band key is the
@@ -46,12 +65,9 @@ object DocStreams extends QueryPack {
       s: SparkSession, dir: String, glob: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val reader = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
     Dedup.minhashBandRows(
-        Dedup.shingleSets(reader.parquet(dir)).as[(Long, Seq[String])])
+        Dedup.shingleSets(docStream(s, dir, glob, maxFilesPerTrigger))
+          .as[(Long, Seq[String])])
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -67,7 +83,11 @@ object DocStreams extends QueryPack {
           } else {
             val m = ids(0)
             state.update(m)
-            ids.iterator.drop(1).map(id => (id, m))
+            // filter, not drop(1): an at-least-once re-delivery can
+            // put the SAME doc_id in one batch twice, and drop(1)
+            // would emit the canonical as a near-dup of itself —
+            // the exact replay case the claimed branch guards
+            ids.iterator.filter(_ != m).map(id => (id, m))
           }
         })
       .toDF("doc_id", "partner")
@@ -124,8 +144,7 @@ object DocStreams extends QueryPack {
         val cBands = Dedup.minhashBandRows(
             Dedup.shingleSets(corpus).as[(Long, Seq[String])])
           .toDF("c_id", "band", "key")
-        def batchStream = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        def batchStream = docStream(s, d)
           .filter(col("doc_id") % 5 === 4)
         val exactProbe = batchStream
           .select(col("doc_id"), md5(col("text")).as("dig"))
@@ -187,8 +206,7 @@ object DocStreams extends QueryPack {
               .filter(col("doc_id") % 5 =!= 4))
           .filter(col("sig").isNotNull)
           .withColumnRenamed("doc_id", "c_id")
-        def batchStream = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        def batchStream = docStream(s, d)
           .filter(col("doc_id") % 5 === 4)
         val pairCounts = graft.operators.Multimodal
           .frameSigRows(batchStream)
@@ -239,10 +257,16 @@ object DocStreams extends QueryPack {
     // maintenance converge on one artifact.
     "q_stream_index_upsert" -> GraftQuery(
       run = (s, d) => {
-        val store = graft.sparkutil.TempStores
-          .scratchDir("graft-stream-band-index") + "/store"
-        val docs = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        // scratch store cached per (session, dataset), NOT per call: a
+        // fresh dir per invocation accumulates a full band-index copy
+        // in tmp per run until JVM exit (the leak EventStreams'
+        // mvScratch comment names) — and the anti-join resume makes
+        // reuse both correct and cheaper (a second run indexes nothing)
+        val store = indexScratch.getOrElseUpdate(
+          s.sparkContext.applicationId + d,
+          graft.sparkutil.TempStores
+            .scratchDir("graft-stream-band-index") + "/store")
+        val docs = docStream(s, d)
           .select(col("doc_id"), col("text"))
         val q = docs.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>

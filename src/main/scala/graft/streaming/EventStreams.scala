@@ -344,15 +344,6 @@ object EventStreams extends QueryPack {
       .toDF("user_id", "n_sessions", "n_events", "longest_session")
   }
 
-  /** The streaming conversion funnel: per-user [[FunnelState]] (three
-    * longs) advanced by a greedy time-ordered fold — first view, first
-    * click strictly after it, first purchase strictly after that. The
-    * greedy fold equals the batch min-join form (q_window_funnel) on
-    * any time-ordered replay: t_view is the global min view time, so
-    * every later qualifying click seen in order IS the min qualifying
-    * click, and so on down the funnel. Emits each user's current depth
-    * per batch (Update). Public so specs can drive the cross-batch
-    * carry (a click in batch 2 must qualify against batch 1's view). */
   /** Streaming point-in-time feature serving: per-user state is the
     * latest value of each feature group; every arriving spine event
     * (click) emits enriched with the features as of its event time —
@@ -396,6 +387,15 @@ object EventStreams extends QueryPack {
         round(col("lvb"), 4).as("last_error_value"))
   }
 
+  /** The streaming conversion funnel: per-user [[FunnelState]] (three
+    * longs) advanced by a greedy time-ordered fold — first view, first
+    * click strictly after it, first purchase strictly after that. The
+    * greedy fold equals the batch min-join form (q_window_funnel) on
+    * any time-ordered replay: t_view is the global min view time, so
+    * every later qualifying click seen in order IS the min qualifying
+    * click, and so on down the funnel. Emits each user's current depth
+    * per batch (Update). Public so specs can drive the cross-batch
+    * carry (a click in batch 2 must qualify against batch 1's view). */
   def funnelStream(
       s: SparkSession,
       dir: String,
@@ -554,7 +554,12 @@ object EventStreams extends QueryPack {
     // (min over both sides of max event time, minus the 10-minute
     // delay) and emits exactly the unmatched clicks whose window closed
     // before it; clicks still in flight at end-of-stream are in neither
-    // result. All time arithmetic is µs on both sides.
+    // result. Watermark reconstruction floors each side's max event
+    // time to MILLISECONDS before subtracting the delay — Spark's
+    // EventTimeWatermarkExec tracks event-time stats in ms
+    // (microsToMillis floors), so a µs-precision oracle watermark
+    // would sit up to 999 µs LATER than the engine's and emit an
+    // unmatched click the engine still holds in join state.
     "q_stream_outer_join" -> GraftQuery(
       run = (s, d) => {
         def side(tpe: String, alias: String) =
@@ -579,7 +584,8 @@ object EventStreams extends QueryPack {
                    FROM events WHERE event_type = 'click'),
         e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS t
               FROM events WHERE event_type = 'error'),
-        wm AS (SELECT least((SELECT max(t) FROM c), (SELECT max(t) FROM e))
+        wm AS (SELECT least((SELECT (max(t) // 1000) * 1000 FROM c),
+                            (SELECT (max(t) // 1000) * 1000 FROM e))
                       - 600000000 AS w),
         matched AS (
           SELECT c.user_id, c.click_id, e.error_id
@@ -724,10 +730,8 @@ object EventStreams extends QueryPack {
         }
         // a zero-file source fires no batch: the store was never
         // created — an empty corpus is an empty view, not a read error
-        val p = new org.apache.hadoop.fs.Path(store)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         val partials =
-          if (!fs.exists(p))
+          if (!storeFs.exists(storePath))
             s.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("event_type", StringType),
@@ -1081,28 +1085,50 @@ object EventStreams extends QueryPack {
     // micro-batch map-side joins the static side. At 100 TB/day the
     // static side refreshes per batch via foreachBatch; the stream
     // never shuffles before the final aggregate.
+    // "above average" decided by exact integer cross-multiplication
+    // (value_c · n > Σvalue_c on the centi grid), NOT value > avg(value):
+    // a float average is a nondeterministically-ordered double sum on
+    // both engines, and a per-row knife-edge comparison against it is
+    // exactly the cross-engine hazard every other query here moves onto
+    // integer grids to exclude. The displayed average derives from the
+    // same exact integers (one division, then round) so it too is
+    // order-independent.
     "q_stream_static_join" -> GraftQuery(
       run = (s, d) => {
         val typeAvg = graft.Tables.events(s, d)
           .groupBy(col("event_type"))
-          .agg(avg(col("value")).as("type_avg"))
+          .agg(sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+              .as("sum_c"),
+            count(lit(1)).as("n_dim"))
         val enriched = eventStream(s, d)
+          .withColumn("value_c",
+            expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
           .join(broadcast(typeAvg), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
-            count(when(col("value") > col("type_avg"), lit(1)))
-              .as("n_above_avg"),
-            round(max(col("type_avg")), 4).as("type_avg"))
+            count(when(col("value_c") * col("n_dim") > col("sum_c"),
+              lit(1))).as("n_above_avg"),
+            // CAST first: a bare 100.0 literal is DECIMAL in BOTH
+            // engines' parsers, and decimal division would dump as
+            // pandas `object` vs the oracle's float64
+            round(max(expr("CAST(sum_c AS DOUBLE) / 100.0 / n_dim")), 4)
+              .as("type_avg"))
         runToMemory(s, enriched, "graft_stream_static_join",
           OutputMode.Complete())
           .orderBy("event_type")
       },
       oracle = Some("""
-        WITH ta AS (SELECT event_type, avg(value) AS type_avg
+        WITH ta AS (SELECT event_type,
+                           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                             AS sum_c,
+                           count(*) AS n_dim
                     FROM events GROUP BY event_type)
         SELECT e.event_type, count(*) AS n_total,
-               count(*) FILTER (WHERE e.value > ta.type_avg) AS n_above_avg,
-               round(max(ta.type_avg), 4) AS type_avg
+               count(*) FILTER (
+                 WHERE CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
+                         * ta.n_dim > ta.sum_c) AS n_above_avg,
+               round(max(CAST(ta.sum_c AS DOUBLE) / 100.0 / ta.n_dim), 4)
+                 AS type_avg
         FROM events e JOIN ta ON ta.event_type = e.event_type
         GROUP BY e.event_type ORDER BY e.event_type"""))
   )

@@ -57,4 +57,31 @@ class DocStreamsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     pairs shouldBe Set((11L, 10L), (5L, 10L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("a doc re-delivered within ONE batch never pairs with itself") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docstream-redeliver").toString
+    val text = "the quick brown fox jumps over the lazy dog again"
+    def doc(id: Long, t: String) = (id, t, "en", "spec", t.length.toLong)
+    // at-least-once delivery: the SAME doc lands twice (two files, one
+    // AvailableNow batch) on an UNCLAIMED band key — the canonical must
+    // not be reported as a near-dup of itself
+    Seq(doc(7L, text))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+    Seq(doc(7L, text))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode(SaveMode.Append).parquet(dir)
+
+    val q = DocStreams
+      .minhashPartnerStream(spark, dir, "*.parquet") // one batch
+      .writeStream.queryName("graft_docstream_redeliver").format("memory")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table("graft_docstream_redeliver").collect() shouldBe empty
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
