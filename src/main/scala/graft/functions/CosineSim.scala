@@ -139,8 +139,20 @@ class GraftExtensions
       (children: Seq[Expression]) => QuantizedCos(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_ixcount"),
+      // the sorted-distinct PRECONDITION rides in the usage string: the
+      // type check can reject wrong TYPES, but unsorted/duplicated
+      // input silently undercounts, and DESCRIBE FUNCTION is the one
+      // place an ad-hoc SQL caller learns a contract the name alone
+      // can't carry
       new ExpressionInfo(
-        classOf[SortedIntersectCount].getName, "graft_ixcount"),
+        classOf[SortedIntersectCount].getName, null, "graft_ixcount",
+        "graft_ixcount(a, b) - Returns |a ∩ b| for two ARRAY<BIGINT> " +
+          "columns that are SORTED ascending and duplicate-free " +
+          "(e.g. built with sort_array(collect_list(...)) over distinct " +
+          "values). On unsorted or duplicated input the fused merge " +
+          "undercounts; under the contract it equals " +
+          "size(array_intersect(a, b)) exactly.",
+        "", "", "", "array_funcs", "", "", "built-in"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)

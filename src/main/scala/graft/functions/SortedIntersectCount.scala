@@ -42,18 +42,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   // wrong input types here must be an ANALYSIS error, not a silently
   // wrong count. (ExpectsInputTypes is unavailable — AbstractDataType
   // is private[sql] — so the check is spelled out.)
+  // containsNull=true element types are rejected for the same reason:
+  // getLong on a null slot reads whatever bits sit in the slot — a
+  // silently wrong count on a LEGAL SQL input, the exact class the
+  // type guard exists to kill. Engine call sites always pass
+  // sort_array(collect_list(...)) arrays, whose element type is
+  // non-null by construction; ad-hoc SQL over nullable arrays gets
+  // the fix spelled out in the error instead of garbage.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    def isLongArray(dt: DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
-      case _ => false
+    def check(side: String, dt: DataType): Option[String] = dt match {
+      case org.apache.spark.sql.types.ArrayType(LongType, false) => None
+      case org.apache.spark.sql.types.ArrayType(LongType, true) => Some(
+        s"$prettyName $side argument has nullable elements " +
+          s"(${dt.catalogString}); a null slot would be counted as " +
+          "garbage bits. Drop nulls first, e.g. filter(x, v -> v IS NOT " +
+          "NULL), or build the array with collect_list/sort_array")
+      case _ => Some(
+        s"$prettyName expects ARRAY<BIGINT> arguments, $side is " +
+          dt.catalogString)
     }
-    if (isLongArray(left.dataType) && isLongArray(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
-        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    check("left", left.dataType).orElse(check("right", right.dataType))
+      .map(TypeCheckResult.TypeCheckFailure(_))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -1106,6 +1106,15 @@ object EventStreams extends QueryPack {
           .join(broadcast(typeAvg), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
+            // OVERFLOW ENVELOPE (cross-engine): value_c · n_dim runs in
+            // int64 — Spark (non-ANSI) wraps silently while DuckDB
+            // raises on BIGINT overflow, so the product must stay
+            // below 2^63: max|value|·100 · rows-per-type < 9.2e18
+            // (e.g. values ≤ 10⁶ up to ~92 G rows per type). Same
+            // envelope class as q_text_auc's rank-sum numerator, which
+            // moved to DECIMAL(38,0); here the bound is ~10⁴× looser
+            // than any realistic per-type stream, so it is documented
+            // rather than paid for with decimal arithmetic per row.
             count(when(col("value_c") * col("n_dim") > col("sum_c"),
               lit(1))).as("n_above_avg"),
             // CAST first: a bare 100.0 literal is DECIMAL in BOTH

@@ -44,8 +44,13 @@ class StoreBuildsSpec extends AnyFunSuite with Matchers {
     outer() shouldBe 2L
     val m = StoreBuilds.snapshot.toMap
     m("spec_inner") should be >= 0.055
-    // the outer entry must NOT contain the inner's ~60 ms
-    m("spec_outer") should be < 0.055
+    // the outer entry must NOT contain the inner's ~60 ms. RELATIVE
+    // bound, not an absolute 55 ms cap: on a preempted CI box the
+    // outer 20 ms spin can legitimately stretch past any fixed cap,
+    // but absorbing the inner build would push it past the inner's
+    // own (equally-stretched) wall-clock — the misattribution, not
+    // scheduler jitter, is what fails this
+    m("spec_outer") should be < m("spec_inner")
     StoreBuilds.clear()
   }
 

@@ -84,6 +84,26 @@ class SortedIntersectCountSpec
     arity.getMessage.toLowerCase should include ("argument")
   }
 
+  test("nullable-element arrays are an analysis error, not garbage bits") {
+    // ARRAY<BIGINT> with containsNull=true is a LEGAL SQL type, and
+    // getLong on a null slot reads garbage silently — the last hole
+    // the r8 type-guard commit left open. Engine call sites build
+    // arrays via sort_array(collect_list(...)) (element non-null by
+    // construction); ad-hoc SQL gets a spelled-out analysis error.
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ixcount(array(1L, CAST(NULL AS BIGINT))," +
+        " array(1L, 2L))").collect()
+    }
+    e.getMessage should include ("nullable elements")
+    // right side checked too, not just left
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_ixcount(array(1L, 2L)," +
+        " array(CAST(NULL AS BIGINT)))").collect()
+    }
+    e2.getMessage should include ("nullable elements")
+  }
+
   test("interpreted eval agrees with the codegen path") {
     // a literal fold goes through nullSafeEval (constant folding runs
     // the interpreted expression); the DataFrame pipeline above runs
