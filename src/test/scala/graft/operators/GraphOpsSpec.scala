@@ -68,6 +68,36 @@ class GraphOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     r(0).getAs[Long]("n_triangles") shouldBe 1L
   }
 
+  test("capped triangles: both branches of the hub early-out agree with " +
+      "hand counts") {
+    // nodes {1,2,3,4}; edges {12,13,23,34}; degrees 1:2, 2:2, 3:3, 4:1.
+    // cap=2 → node 3 is a hub: every incident edge drops, leaving
+    // e1={12} — no wedge, no triangle, one hub dropped (the anti-join
+    // branch). Default cap → no hubs: the EARLY-OUT branch must return
+    // exactly the uncapped kernel's answer with n_hubs_dropped=0 and
+    // WITHOUT the anti-join machinery in its plan (the n_hubs=0 regime
+    // measured 1.7× the exact kernel's cost at sf0.1 before the
+    // early-out).
+    val (capped, cc) = GraphOps.trianglesCappedPlan(spark, dir, cap = 2L)
+    val r1 = capped.collect()
+    cc.foreach(_.unpersist())
+    r1.length shouldBe 1
+    r1(0).getAs[Long]("n_nodes") shouldBe 2L
+    r1(0).getAs[Long]("n_edges") shouldBe 1L
+    r1(0).getAs[Long]("n_wedges") shouldBe 0L
+    r1(0).getAs[Long]("n_triangles") shouldBe 0L
+    r1(0).getAs[Long]("n_hubs_dropped") shouldBe 1L
+
+    val (eo, ec) = GraphOps.trianglesCappedPlan(spark, dir)
+    eo.queryExecution.executedPlan.toString should not include ("LeftAnti")
+    val r2 = eo.collect()
+    ec.foreach(_.unpersist())
+    r2(0).getAs[Long]("n_nodes") shouldBe 4L
+    r2(0).getAs[Long]("n_edges") shouldBe 4L
+    r2(0).getAs[Long]("n_triangles") shouldBe 1L
+    r2(0).getAs[Long]("n_hubs_dropped") shouldBe 0L
+  }
+
   test("label propagation: path-attached triangle converges to one community") {
     // nodes {1,2,3,4}; edges {12,13,23,34}. Hand trace (mode, ties → min):
     // r1: 1→2 (nbr labels {2,3} tie), 2→1, 3→1, 4→3

@@ -560,6 +560,19 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     lazyNodes(GraphOps.pprPlan) should be <= 650
     // label-prop likewise references its label table once per round
     lazyNodes(GraphOps.labelPropPlan) should be <= 300
+    // BFS is the one remaining DOUBLE-READ loop (relax + union carry
+    // both read the frontier): its LOGICAL plan grows as 2^BfsRounds
+    // copies of the base lineage — GEOMETRIC growth class, benign only
+    // because BfsRounds = 3 caps it (measured 399 nodes; the physical
+    // reads start at the per-round persisted cache, so no recompute).
+    // Each extra round ~doubles the count, so raising BfsRounds past 3
+    // fails here loudly instead of silently re-entering the
+    // analyzer-blowup disease — the fix then is sssp-style per-round
+    // RDD truncation, not a bigger bound. This closes the "every
+    // iterative loop in the codebase is pinned" claim (sssp truncates,
+    // pagerank/ppr/label-prop are single-read linear, bfs is
+    // geometric-but-bounded).
+    lazyNodes(GraphOps.bfsPlan) should be <= 450
   }
 
   test("PIT join enriches all feature groups in one shuffle and one window") {
