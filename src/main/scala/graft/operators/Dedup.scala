@@ -304,6 +304,14 @@ object Dedup extends QueryPack {
       }
     })
 
+  /** ExactSubstr threshold (tokens): a span is removed when a verbatim
+    * copy of ≥ this many tokens occurs anywhere else in the corpus —
+    * 50, the Lee et al. 2022 setting. Position-marking with L-grams is
+    * exact at this threshold (see q_dedup_exact_substr), so the knob
+    * trades nothing: lower L = stricter dedup, higher = only long
+    * boilerplate, always the literature's semantics. */
+  private[operators] val ExactSubstrMinTokens = 50
+
   /** The base threshold the prefix-index store is built at: the store
     * keeps each doc's first n − ⌈τ₀·n⌉ + 1 rarity-ordered tokens, and
     * since the prefix SHRINKS as τ grows, the τ₀ = 0.5 store serves
@@ -1072,6 +1080,106 @@ object Dedup extends QueryPack {
                        / n.n_words + 5e-1) / 1e4 END AS kept_frac
         FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
         ORDER BY n.doc_id""")),
+
+    // --------------------------- ExactSubstr dedup (suffix granularity)
+    // The Lee et al. 2022 curation primitive: every maximal token span
+    // of length ≥ ExactSubstrMinTokens that appears verbatim at least
+    // twice in the corpus (any second occurrence — cross-doc or
+    // within-doc), emitted span-by-span with a content fingerprint.
+    // The literature computes this over a suffix array of the
+    // concatenated corpus — inherently sequential/RAM-bound. The
+    // distributed form here needs no suffix structure because
+    // position-marking is EXACT at threshold L, not an approximation:
+    //   a repeat of length M ≥ L contains a duplicated L-gram at every
+    //   one of its M−L+1 offsets, and a duplicated L-gram IS a repeat
+    //   of length L — so the union of [p, p+L) over duplicated-L-gram
+    //   positions p equals the union of all ≥L-token repeat spans.
+    // That turns ExactSubstr into the engine's standard bounded shape:
+    // corpus-linear gram stream (map-side, zero shuffle to build), ONE
+    // exchange on the 32-char digest for the tot>1 screen (partial
+    // aggregate — no posting lists, no pair materialization, so a
+    // boilerplate gram shared by a million docs costs one count, never
+    // Σdf² pairs), one digest-keyed join back, and a gaps-and-islands
+    // window over each doc's OWN duplicated positions (Zipf-small,
+    // never cross-document). Distinct from q_dedup_span_removal, which
+    // runs the same island kernel at 8-gram granularity for per-doc
+    // removal STATS: this is the ≥L-token span inventory itself —
+    // span bounds, length, and removed-text md5 (equal spans across
+    // docs carry equal fingerprints, the clustering handle).
+    "q_dedup_exact_substr" -> GraftQuery(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = ExactSubstrMinTokens
+        val t = Tables.documents(s, d)
+          .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+          .filter(size(col("ws")) >= L)
+          .select(col("doc_id"), col("ws"))
+        val sh = t.select(col("doc_id"),
+            explode(expr(s"transform(sequence(1, size(ws) - ${L - 1}), " +
+              s"i -> struct(i AS i, " +
+              s"md5(array_join(slice(ws, i, $L), ' ')) AS h))")).as("x"))
+          .select(col("doc_id"), col("x.i").as("st"),
+            (col("x.i") + (L - 1)).as("en"), col("x.h").as("h"))
+        val dup = sh.groupBy("h").agg(count(lit(1)).as("tot"))
+          .filter(col("tot") > 1)
+        val w = Window.partitionBy("doc_id").orderBy("st")
+        val spans = sh.join(dup.select("h"), "h")
+          .select(col("doc_id"), col("st"), col("en"))
+          .withColumn("pmax", max(col("en"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("pmax").isNull || col("st") > col("pmax") + 1, 1)
+              .otherwise(0))
+          .withColumn("isl",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("st")).as("sp_s"), max(col("en")).as("sp_e"))
+        spans.join(t, Seq("doc_id"))
+          .select(col("doc_id"),
+            col("sp_s").cast("long").as("span_start"),
+            col("sp_e").cast("long").as("span_end"),
+            (col("sp_e") - col("sp_s") + 1).cast("long").as("n_tokens"),
+            expr("md5(array_join(slice(ws, sp_s, sp_e - sp_s + 1), ' '))")
+              .as("span_md5"))
+          .orderBy("doc_id", "span_start")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS ws
+          FROM documents),
+        tt AS (SELECT doc_id, ws FROM t
+               WHERE len(ws) >= $ExactSubstrMinTokens),
+        g AS (SELECT doc_id, i AS st,
+                     i + ${ExactSubstrMinTokens - 1} AS en,
+                     md5(array_to_string(
+                       ws[i:i+${ExactSubstrMinTokens - 1}], ' ')) AS h
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1,
+                             len(ws) - ${ExactSubstrMinTokens - 2})) AS i
+                    FROM tt)),
+        c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        pos AS (SELECT g.doc_id, g.st, g.en FROM g JOIN c ON c.h = g.h),
+        m AS (SELECT doc_id, st, en,
+                     max(en) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pmax
+              FROM pos),
+        isl AS (SELECT doc_id, st, en,
+                       sum(CASE WHEN pmax IS NULL OR st > pmax + 1
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY st
+                               ROWS UNBOUNDED PRECEDING) AS gid
+                FROM m),
+        sp AS (SELECT doc_id, gid, min(st) AS sp_s, max(en) AS sp_e
+               FROM isl GROUP BY 1, 2)
+        SELECT sp.doc_id AS doc_id,
+               CAST(sp_s AS BIGINT) AS span_start,
+               CAST(sp_e AS BIGINT) AS span_end,
+               CAST(sp_e - sp_s + 1 AS BIGINT) AS n_tokens,
+               md5(array_to_string(tt.ws[sp_s:sp_e], ' ')) AS span_md5
+        FROM sp JOIN tt ON tt.doc_id = sp.doc_id
+        ORDER BY doc_id, span_start""")),
 
     // ------------------------------------------------- exact n-gram Jaccard
     // Inverted-index pair generation over the stop-shingle-removed
