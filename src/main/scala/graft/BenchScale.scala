@@ -211,6 +211,18 @@ object BenchScale {
     System.gc()
     val canaryEnd = canary()
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // EXPLICIT per-leg contamination verdicts (r8 ADVICE): if all 3
+    // retry attempts closed loaded, the cell stands anyway — readers
+    // must not have to cross-reference attempts+canary to distrust it.
+    // Flags are judged against the MINIMUM probe seen across the whole
+    // run, not canaryStart: ambient load only ever ADDS probe time, so
+    // the min is the closest available estimate of the unloaded box —
+    // this also de-vacuouses the guard when the START itself ran
+    // loaded (in-run retries compare against canaryStart and would
+    // under-trigger; the report recomputes against the honest floor).
+    val baselineMin = Seq(canaryStart, canarySmall, canaryBig, canaryEnd).min
+    val contamSmall = canarySmall / baselineMin > 1.2
+    val contamBig = canaryBig / baselineMin > 1.2
     val rows = Seq("documents", "lineitem", "embeddings").map { t =>
       val a = spark.read.parquet(s"$smallDir/$t.parquet").count()
       val b = spark.read.parquet(s"$bigDir/$t.parquet").count()
@@ -227,7 +239,8 @@ object BenchScale {
         canarySmall)},"big":${r3(canaryBig)},"end":${r3(
         canaryEnd)},"ratio":${r3(
         math.max(canarySmall, canaryBig) / canaryStart)},"attempts":{"small":$attemptsSmall,"big":$attemptsBig},"gc_s":{"small":${r3(
-        gcSmall)},"big":${r3(gcBig)}}}"""
+        gcSmall)},"big":${r3(
+        gcBig)}},"contaminated":{"small":$contamSmall,"big":$contamBig}}"""
     println(s"""{"metric":"scale_curve","factor":$Copies,"queries":$perQ,"rows":$rows,"canary":$cj,"small":"$smallDir","big":"$bigDir"}""")
     spark.stop()
   }

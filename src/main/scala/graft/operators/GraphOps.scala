@@ -584,18 +584,21 @@ object GraphOps extends QueryPack {
       .persist()
     // EARLY-OUT: one count against the (|V|-sized, persisted) degree
     // frame decides whether the cap machinery buys anything. When no
-    // node clears the cap, e1 ≡ e0, and the anti-join path pays its
-    // full overhead — an extra edge persist, two broadcast anti-joins,
-    // and the kernel re-reading the copy instead of the session edge
-    // store — for an identical answer (measured at sf0.1: capped 8.6 s
-    // rerun vs 5.0 s exact, the whole gap being this machinery in the
-    // n_hubs_dropped = 0 regime). The CROSSOVER is graph shape, not
-    // size: the cap pays for itself exactly when hubs exist above it
-    // (the kernel is Θ(Σ outdeg²) and the dropped tail owns the
-    // super-linear share), so "any hubs at all" is the decision
-    // boundary — no threshold to tune. Deterministic either way (the
-    // branch replays the same degree filter the oracle does), so the
-    // hash is unaffected.
+    // node clears the cap, e1 ≡ e0, and the anti-join path would pay
+    // its full overhead — an extra edge persist, two broadcast
+    // anti-joins, and a SECOND degree aggregate (the kernel recomputes
+    // degrees on its input) — for an identical answer. MEASURED
+    // CROSSOVER (sf0.1, cap=160): the co-purchase degree distribution
+    // is near-uniform (max degree 222), so the cap drops 1056/20000
+    // nodes = 15% of edges but only 22% of wedges — machinery ≈ 80%
+    // of the kernel's own cost buys a 22% smaller closure, and capped
+    // runs ~1.8× the exact kernel. The cap pays exactly where it is
+    // MEANT to: when density rises with corpus size and the hub tail
+    // owns the super-linear wedge share (the 10× replica's 7–9×
+    // triangles cell), i.e. when n_wedges grows super-linearly
+    // round-over-round — the flip rule on TriDegreeCap. Deterministic
+    // either way (the branch replays the same degree filter the
+    // oracle does), so the hash is unaffected.
     val nHubs = deg0.filter(col("dg") > cap).count()
     if (nHubs == 0L) {
       val (kOut, kCaches) = triangleKernel(s, e0)
