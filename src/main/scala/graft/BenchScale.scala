@@ -170,7 +170,13 @@ object BenchScale {
       // shuffle; tensorize the stage-4 per-cell aggregation.
       "q_ms_slice_counts",
       "q_ms_tensorize",
-      "q_scale_mv_maintain")
+      "q_scale_mv_maintain",
+      // r9: ExactSubstr — the replica's copies are vocabulary-rotated,
+      // so cross-copy 50-grams never collide and the dup-span
+      // structure replicates exactly 10× (linear is the honest shape;
+      // literal 10× duplication would make every doc one giant span
+      // and measure the DATA, not the algorithm)
+      "q_dedup_exact_substr")
     // (first, rerun) per query — the first pass pays the one-time
     // session stage-cache builds (shingles, pair counts, edges); the
     // rerun isolates the query's own scaling, so the ratio that
@@ -260,12 +266,21 @@ object BenchScale {
         ",\"small_rerun\":" + r3(sr) + ",\"big_rerun\":" + r3(br) +
         ",\"rerun_ratio\":" + r3(br / sr) + "}"
     }.mkString("{", ",", "}")
+    // heap rides in the artifact: the 10× leg runs on the same JVM, so
+    // a starved heap measures eviction, not the algorithm — readers
+    // (and future reruns) need to know which memory regime a cell
+    // came from. Scale runs should use SPARK_DRIVER_MEM=48g: memory ∝
+    // data is how a real cluster scales, and 24g leaves the 10× leg's
+    // heaviest kernel (triangles: 12M-edge adjacency arrays) on the
+    // storage-eviction knife edge (observed warm cells 11.7–49.6 s
+    // across runs at 24g; 11.7 s stable at 48g).
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
     val cj = s"""{"start":${r3(canaryStart)},"small":${r3(
         canarySmall)},"big":${r3(canaryBig)},"end":${r3(
         canaryEnd)},"ratio":${r3(
         math.max(canarySmall, canaryBig) / canaryStart)},"attempts":{"small":$attemptsSmall,"big":$attemptsBig},"gc_s":{"small":${r3(
         gcSmall)},"big":${r3(
-        gcBig)}},"contaminated":{"small":$contamSmall,"big":$contamBig}}"""
+        gcBig)}},"contaminated":{"small":$contamSmall,"big":$contamBig},"heap_mb":$heapMb}"""
     println(s"""{"metric":"scale_curve","factor":$Copies,"queries":$perQ,"rows":$rows,"canary":$cj,"small":"$smallDir","big":"$bigDir"}""")
     spark.stop()
   }

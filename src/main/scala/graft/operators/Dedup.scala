@@ -1101,7 +1101,13 @@ object Dedup extends QueryPack {
     // boilerplate gram shared by a million docs costs one count, never
     // Σdf² pairs), one digest-keyed join back, and a gaps-and-islands
     // window over each doc's OWN duplicated positions (Zipf-small,
-    // never cross-document). Distinct from q_dedup_span_removal, which
+    // never cross-document). Per-position cost is Θ(L) (md5 over the
+    // joined 50-token window — ~4× span_removal's 8-gram cost at
+    // sf0.1, measured 3.4 s vs 0.3 s); a production variant would
+    // swap in a Karp-Rabin ROLLING hash (O(1) per position, same
+    // marking semantics) — kept as md5 here because the DuckDB oracle
+    // replays md5 bit-for-bit and the exchange already carries only
+    // digests either way. Distinct from q_dedup_span_removal, which
     // runs the same island kernel at 8-gram granularity for per-doc
     // removal STATS: this is the ≥L-token span inventory itself —
     // span bounds, length, and removed-text md5 (equal spans across
