@@ -13,20 +13,36 @@ object Bench {
   private val HistoryPath = sys.env.getOrElse(
     "SPARK_GRAFT_HISTORY", "BENCH_HISTORY.json")
 
-  private def readHistory(): Map[String, List[Double]] =
+  /** Reads the history, REJECTING a file stamped with a different
+    * scale factor: medians only mean something against the same data,
+    * and one forgotten SPARK_GRAFT_HISTORY on a sf0.01 smoke run must
+    * not pollute the committed sf0.1 baseline (the `_sf` stamp is the
+    * structural guard; the SKILL.md note is just the courtesy copy).
+    * An unstamped legacy file is accepted as-is. */
+  private def readHistory(sfDir: String): Map[String, List[Double]] =
     try {
       val p = java.nio.file.Paths.get(HistoryPath)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         org.json4s.jackson.JsonMethods.parse(txt) match {
-          case org.json4s.JObject(fields) => fields.collect {
-            case (k, org.json4s.JArray(vs)) => k -> vs.collect {
-              case org.json4s.JDouble(d) => d
-              case org.json4s.JInt(i) => i.toDouble
-              case org.json4s.JDecimal(d) => d.toDouble
+          case org.json4s.JObject(fields) =>
+            val stamped = fields.collectFirst {
+              case ("_sf", org.json4s.JString(s)) => s
             }
-          }.toMap
+            if (stamped.exists(_ != sfDir)) {
+              println(s"BENCH_HISTORY_SF_MISMATCH file=${stamped.get} " +
+                s"run=$sfDir — ignoring history, thresholds fall back " +
+                "to 2 s flat and the file will be restamped")
+              Map.empty
+            } else fields.collect {
+              case (k, org.json4s.JArray(vs)) if k != "_sf" =>
+                k -> vs.collect {
+                  case org.json4s.JDouble(d) => d
+                  case org.json4s.JInt(i) => i.toDouble
+                  case org.json4s.JDecimal(d) => d.toDouble
+                }
+            }.toMap
           case _ => Map.empty
         }
       }
@@ -95,10 +111,15 @@ object Bench {
     // to end brackets. A short single-shot probe at every pack
     // boundary localizes the window to a section instead of leaving
     // it inferred. Quarter-length and unreplicated (≈0.25 s × ~14
-    // packs): these are DIAGNOSTIC ratios, compared against their own
-    // quarter-length baseline, never used to adjust any number.
+    // packs): these are DIAGNOSTIC ratios, never used to adjust any
+    // number. RAW probe seconds are recorded here; ratios are computed
+    // at REPORT time against the minimum probe seen across the whole
+    // run (start probe included) — the BenchScale lesson applied:
+    // dividing by a single start-of-run sample lets a loaded or
+    // hiccuped startup deflate every section ratio and mask exactly
+    // the mid-run window the feature exists to catch.
     val sectionBase = { probeOnce(25000000L); probeOnce(25000000L) }
-    val sectionRatios =
+    val sectionProbes =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def sectionOf(name: String): String =
       name.split("_").take(2).mkString("_") // "q_agg", "q_dedup", …
@@ -154,13 +175,20 @@ object Bench {
       val sec = sectionOf(name)
       if (sec != prevSection) {
         if (prevSection.nonEmpty)
-          sectionRatios(prevSection) = probeOnce(25000000L) / sectionBase
+          sectionProbes(prevSection) = probeOnce(25000000L)
         prevSection = sec
       }
       name -> time(name, fn)
     }
     if (prevSection.nonEmpty)
-      sectionRatios(prevSection) = probeOnce(25000000L) / sectionBase
+      sectionProbes(prevSection) = probeOnce(25000000L)
+    // report-time floor: min over the start baseline and every boundary
+    // probe — load only ever ADDS probe time, so the min is the honest
+    // unloaded-box estimate even when the START itself ran loaded
+    val sectionFloor = (sectionBase +: sectionProbes.values.toSeq).min
+    val sectionRatios = sectionProbes.map { case (s, p) =>
+      s -> p / sectionFloor
+    }
     // Outlier re-measurement, CRITERION-based (r8: rank-based take(10)
     // left four >2.5× single-sample movers unmeasured because the
     // contamination inflated more than ten queries): re-run every
@@ -194,7 +222,7 @@ object Bench {
         n == "q_dedup_ppjoin" || // first consumer: builds the prefix-index store
         n == "q_graph_hits" || // first consumer: builds the trade-edge store
         n == "q_sim_ivfpq" // memoized index build: a rerun hits the memo
-    val history = readHistory()
+    val history = readHistory(sfDir)
     // r8 verdict directive #2: these four recorded 2.6–4.5× single-
     // sample moves in untouched code below the old top-10 cut; they
     // get an unconditional second sample this round (and hereafter —
@@ -358,31 +386,45 @@ object Bench {
           totalFirst)},"queries":$qs,"rerun":${rerunJsonOf(
           nPairs)},"rerun_cut":$cut,"rerun_skipped":$rerunDropped,"builds":$buildsJson,"mem":$memJson,"canary":$canaryJson,"section_worst":$worstSection,"sf":"$sfDir"}"""
     }
-    val line = (rerunTimes.length to 0 by -1).map(lineOf)
+    val line = (rerunTimes.length to 0 by -1).iterator.map(lineOf)
       .find(_.length <= 1900)
       .getOrElse(sys.error("metric line overflows even with 0 rerun pairs"))
     // Full artifact to disk as well: every first/steady/pair/section/
     // build/GC number without the 1900-char squeeze, for diffing and
     // for the judge (the stdout tail only carries the last 2000 chars).
+    // Write failures must not kill the bench, but they must be LOUD: a
+    // silent failure leaves last round's file on disk masquerading as
+    // this round's artifact.
     try {
       val full =
         s"""{"metric":"bench_full","value":${r3(totalSteady)},"value_first":${r3(
             totalFirst)},"unit":"sec","n":${results.size},"queries":$qsAll,"rerun":$rerunPairs,"rerun_skipped":$rerunDropped,"sections":$sectionsJson,"builds":$buildsDetail,"gc_top":$gcTop,"gc_total_ms":$gcTotalMs,"storage_peak_mb":$storagePeakMb,"canary":$canaryJson,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch { case t: Throwable =>
+      println(s"BENCH_FULL_WRITE_FAILED ${t.getClass.getSimpleName}: " +
+        s"${t.getMessage} — BENCH_FULL.json on disk is STALE")
+    }
     // History update: append this run's steady values, keep last 5 per
     // query — the medians the NEXT run's rerun criterion diffs against.
+    // A query that FAILED this run (-1) keeps its accumulated baseline
+    // untouched: one transient crash must not erase committed samples.
     try {
-      val updated = results.filter(_._2 >= 0).map { case (k, v) =>
-        k -> (history.getOrElse(k, Nil) :+ v).takeRight(5)
-      }
-      val hist = updated.sortBy(_._1).map { case (k, vs) =>
+      val succeeded = results.filter(_._2 >= 0).toMap
+      val keys = (history.keySet ++ succeeded.keySet).toSeq.sorted
+      val hist = keys.map { k =>
+        val vs = succeeded.get(k) match {
+          case Some(v) => (history.getOrElse(k, Nil) :+ v).takeRight(5)
+          case None => history(k) // failed or renamed: carry forward
+        }
         "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
-      }.mkString("{\n", ",\n", "\n}")
+      }.mkString("{\n\"_sf\":\"" + sfDir + "\",\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(HistoryPath),
         (hist + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch { case t: Throwable =>
+      println(s"BENCH_HISTORY_WRITE_FAILED ${t.getClass.getSimpleName}: " +
+        s"${t.getMessage} — $HistoryPath on disk is STALE")
+    }
     println(line)
     spark.stop()
   }

@@ -1107,7 +1107,13 @@ object Dedup extends QueryPack {
     // swap in a Karp-Rabin ROLLING hash (O(1) per position, same
     // marking semantics) — kept as md5 here because the DuckDB oracle
     // replays md5 bit-for-bit and the exchange already carries only
-    // digests either way. Distinct from q_dedup_span_removal, which
+    // digests either way. The gram stream is computed TWICE (once
+    // under the tot>1 aggregate, once as the join probe — the plan
+    // shows two scans) BY DESIGN: at corpus scale the alternatives
+    // are worse — persisting a corpus-sized gram intermediate is the
+    // cache-what-you-can-recompute anti-pattern, and the recompute is
+    // pure map-side work while the shuffle (the scarce resource)
+    // still carries each gram row exactly once. Distinct from q_dedup_span_removal, which
     // runs the same island kernel at 8-gram granularity for per-doc
     // removal STATS: this is the ≥L-token span inventory itself —
     // span bounds, length, and removed-text md5 (equal spans across

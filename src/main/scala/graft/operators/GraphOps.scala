@@ -616,12 +616,11 @@ object GraphOps extends QueryPack {
         .persist()
       e1.count() // materialize: the kernel reads it through many branches
       val (kOut, kCaches) = triangleKernel(s, e1)
-      val out = kOut
-        .crossJoin(deg0.agg(
-          coalesce(sum((col("dg") > cap).cast("long")), lit(0L))
-            .as("n_hubs_dropped")))
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"), col("n_hubs_dropped"))
+      // nHubs was already computed eagerly for the branch decision —
+      // inline it as a literal rather than re-aggregating deg0 through
+      // a crossJoin (same deterministic value, one less scan+aggregate
+      // in the plan)
+      val out = kOut.withColumn("n_hubs_dropped", lit(nHubs))
       (out, Seq(deg0, e1) ++ kCaches)
     }
   }

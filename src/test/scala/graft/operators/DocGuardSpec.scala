@@ -28,14 +28,21 @@ class DocGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
   private def haveData = new java.io.File(s"$sf/lineitem.parquet").exists
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]").appName("doc-guard")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .getOrCreate()
+  private var sparkUsed = false
+  private lazy val spark: SparkSession = {
+    sparkUsed = true
+    SparkSession.builder()
+      .master("local[4]").appName("doc-guard")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  // don't force the lazy session just to stop it: when the plan test
+  // is skipped (no testdata) the doc-only tests shouldn't pay — or
+  // fail on — a Spark startup in teardown
+  override def afterAll(): Unit = if (sparkUsed) spark.stop()
 
   private lazy val doc: String = {
     val p = java.nio.file.Paths.get("docs/PLANS.md")
