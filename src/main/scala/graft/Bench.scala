@@ -18,10 +18,14 @@ object Bench {
     * and one forgotten SPARK_GRAFT_HISTORY on a sf0.01 smoke run must
     * not pollute the committed sf0.1 baseline (the `_sf` stamp is the
     * structural guard; the SKILL.md note is just the courtesy copy).
-    * An unstamped legacy file is accepted as-is. */
-  private def readHistory(sfDir: String): Map[String, List[Double]] =
+    * An unstamped legacy file is accepted as-is.
+    * (private[graft] + explicit path so BenchHistorySpec pins the
+    * contract on temp files — this function guards the committed
+    * baseline every future round's criterion reads.) */
+  private[graft] def readHistory(
+      path: String, sfDir: String): Map[String, List[Double]] =
     try {
-      val p = java.nio.file.Paths.get(HistoryPath)
+      val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -49,7 +53,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty } // a corrupt history must
       // not kill the bench; the criterion just falls back to 2 s flat
 
-  private def median(vs: List[Double]): Double = {
+  private[graft] def median(vs: List[Double]): Double = {
     val s = vs.sorted
     if (s.isEmpty) Double.NaN
     else if (s.length % 2 == 1) s(s.length / 2)
@@ -222,7 +226,7 @@ object Bench {
         n == "q_dedup_ppjoin" || // first consumer: builds the prefix-index store
         n == "q_graph_hits" || // first consumer: builds the trade-edge store
         n == "q_sim_ivfpq" // memoized index build: a rerun hits the memo
-    val history = readHistory(sfDir)
+    val history = readHistory(HistoryPath, sfDir)
     // r8 verdict directive #2: these four recorded 2.6–4.5× single-
     // sample moves in untouched code below the old top-10 cut; they
     // get an unconditional second sample this round (and hereafter —
