@@ -18,7 +18,10 @@ object Bench {
     * and one forgotten SPARK_GRAFT_HISTORY on a sf0.01 smoke run must
     * not pollute the committed sf0.1 baseline (the `_sf` stamp is the
     * structural guard; the SKILL.md note is just the courtesy copy).
-    * An unstamped legacy file is accepted as-is.
+    * An unstamped legacy file is accepted as-is. [[historyStamp]]
+    * exposes the stamp so main can ALSO skip the write-back on
+    * mismatch — ignoring the file for reading but then restamping it
+    * would destroy the committed baseline anyway.
     * (private[graft] + explicit path so BenchHistorySpec pins the
     * contract on temp files — this function guards the committed
     * baseline every future round's criterion reads.) */
@@ -36,8 +39,8 @@ object Bench {
             }
             if (stamped.exists(_ != sfDir)) {
               println(s"BENCH_HISTORY_SF_MISMATCH file=${stamped.get} " +
-                s"run=$sfDir — ignoring history, thresholds fall back " +
-                "to 2 s flat and the file will be restamped")
+                s"run=$sfDir — ignoring history (thresholds fall back " +
+                "to 2 s flat); the file will NOT be overwritten")
               Map.empty
             } else fields.collect {
               case (k, org.json4s.JArray(vs)) if k != "_sf" =>
@@ -52,6 +55,20 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty } // a corrupt history must
       // not kill the bench; the criterion just falls back to 2 s flat
+
+  /** The `_sf` stamp of a history file, if present and parseable. */
+  private[graft] def historyStamp(path: String): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")) match {
+        case org.json4s.JObject(fields) => fields.collectFirst {
+          case ("_sf", org.json4s.JString(s)) => s
+        }
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
 
   private[graft] def median(vs: List[Double]): Double = {
     val s = vs.sorted
@@ -398,22 +415,38 @@ object Bench {
     // for the judge (the stdout tail only carries the last 2000 chars).
     // Write failures must not kill the bench, but they must be LOUD: a
     // silent failure leaves last round's file on disk masquerading as
-    // this round's artifact.
+    // this round's artifact. The path follows the history override,
+    // and a run whose sf MISMATCHES the committed history stamp also
+    // diverts to a side file (same footgun class the _sf stamp
+    // guards): a smoke run at another scale factor must not clobber
+    // the committed sf0.1 artifact either.
+    val stampMismatch = historyStamp(HistoryPath).exists(_ != sfDir)
+    val fullPath =
+      if (HistoryPath != "BENCH_HISTORY.json")
+        HistoryPath.stripSuffix(".json") + "_full.json"
+      else if (stampMismatch) "BENCH_FULL_othersf.json"
+      else "BENCH_FULL.json"
     try {
       val full =
         s"""{"metric":"bench_full","value":${r3(totalSteady)},"value_first":${r3(
             totalFirst)},"unit":"sec","n":${results.size},"queries":$qsAll,"rerun":$rerunPairs,"rerun_skipped":$rerunDropped,"sections":$sectionsJson,"builds":$buildsDetail,"gc_top":$gcTop,"gc_total_ms":$gcTotalMs,"storage_peak_mb":$storagePeakMb,"canary":$canaryJson,"sf":"$sfDir"}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (full + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable =>
       println(s"BENCH_FULL_WRITE_FAILED ${t.getClass.getSimpleName}: " +
-        s"${t.getMessage} — BENCH_FULL.json on disk is STALE")
+        s"${t.getMessage} — $fullPath on disk is STALE")
     }
     // History update: append this run's steady values, keep last 5 per
     // query — the medians the NEXT run's rerun criterion diffs against.
     // A query that FAILED this run (-1) keeps its accumulated baseline
     // untouched: one transient crash must not erase committed samples.
-    try {
+    // A file stamped with a DIFFERENT scale factor is never written:
+    // the read path already ignored it, and restamping it here would
+    // destroy the committed baseline the guard exists to protect.
+    if (stampMismatch)
+      println(s"BENCH_HISTORY_WRITE_SKIPPED $HistoryPath is stamped for " +
+        "a different sf — committed baseline left untouched")
+    else try {
       val succeeded = results.filter(_._2 >= 0).toMap
       val keys = (history.keySet ++ succeeded.keySet).toSeq.sorted
       val hist = keys.map { k =>

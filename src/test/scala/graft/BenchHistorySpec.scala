@@ -55,6 +55,17 @@ class BenchHistorySpec extends AnyFunSuite with Matchers {
     Bench.readHistory(path, "/d")("q_a") shouldBe List(1.0, 2.5)
   }
 
+  test("historyStamp surfaces the _sf field for the write-skip guard") {
+    // main skips BOTH write-backs when the committed file is stamped
+    // for another sf — ignoring it on read but restamping on write
+    // would destroy the baseline anyway
+    Bench.historyStamp(tempWith("""{"_sf":"/d/sf0.1","q_a":[1.0]}""")) shouldBe
+      Some("/d/sf0.1")
+    Bench.historyStamp(tempWith("""{"q_a":[1.0]}""")) shouldBe None
+    Bench.historyStamp("/nonexistent/hist.json") shouldBe None
+    Bench.historyStamp(tempWith("garbage{{")) shouldBe None
+  }
+
   test("median: odd picks middle, even averages, empty is NaN") {
     Bench.median(List(3.0, 1.0, 2.0)) shouldBe 2.0
     Bench.median(List(4.0, 1.0, 2.0, 3.0)) shouldBe 2.5
