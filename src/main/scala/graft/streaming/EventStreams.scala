@@ -1106,10 +1106,13 @@ object EventStreams extends QueryPack {
           .join(broadcast(typeAvg), Seq("event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
-            // OVERFLOW ENVELOPE (cross-engine): value_c · n_dim runs in
-            // int64 — Spark (non-ANSI) wraps silently while DuckDB
-            // raises on BIGINT overflow, so the product must stay
-            // below 2^63: max|value|·100 · rows-per-type < 9.2e18
+            // OVERFLOW ENVELOPE: value_c · n_dim runs in int64. Under
+            // this deployment's defaults (Spark 4.x ANSI mode on, no
+            // ansi.enabled override anywhere in the repo) BOTH engines
+            // raise on BIGINT overflow — loud, not a silent-wrap
+            // divergence — so this bound documents when the query is
+            // SAFE, not a cross-engine hazard: max|value|·100 ·
+            // rows-per-type < 2^63 ≈ 9.2e18
             // (e.g. values ≤ 10⁶ up to ~92 G rows per type). Same
             // envelope class as q_text_auc's rank-sum numerator, which
             // moved to DECIMAL(38,0); here the bound is ~10⁴× looser
