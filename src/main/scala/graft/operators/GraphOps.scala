@@ -111,8 +111,23 @@ object GraphOps extends QueryPack {
       // own ledger entry, not double-counted into this one
       val e0 = coPurchaseEdgesCached(s, d)
       graft.StoreBuilds.timed("graph_directed_edges") {
+        // persisted HASH-PARTITIONED ON src: every consumer keys on it
+        // (label_prop's per-round (src,lbl) mode aggregate, BFS's
+        // frontier-relax join, link prediction's adjacency) — paying
+        // ONE exchange at build time makes every round's aggregate
+        // exchange-free, because HashPartitioning(src) satisfies
+        // ClusteredDistribution((src, lbl)) and the broadcast join
+        // preserves the streamed side's partitioning (label_prop at
+        // sf0.1: 72 MB shuffled per run → per-round zero; only the
+        // |V|-sized label broadcast moves). The partition count is
+        // EXPLICIT: with a bare repartition(col) AQE is free to
+        // coalesce the cached exchange to ~1 partition at this data
+        // size and every later round runs single-threaded — the exact
+        // pathology the kcore note records for its persisted rounds.
         val e = e0.select(col("u").as("src"), col("v").as("dst"))
           .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("src"))
           .persist()
         e.count()
         e
@@ -668,7 +683,29 @@ object GraphOps extends QueryPack {
       // this replaces paid a sort + exchange per round (7.7 s → 6.5 s
       // warm at sf0.1), and an aggregate stays map-side combinable at
       // any graph size
-      labels = dir.join(labels, col("dst") === col("n"))
+      //
+      // GROWTH CLASS (the r9 scale-cell question): per round the work
+      // is one join of the persisted edge store against the |V|-sized
+      // label frame + the two hash aggregates — LpaRounds × O(|E|)
+      // scanned, with shuffled bytes O(post-combine (src,lbl)) ≤ |E|.
+      // The labels side must be the EXPLICIT broadcast side: it is
+      // |V|-sized by construction (one row per node), but its static
+      // size estimate is derived through a round of join+agg lineage,
+      // and past ~|E| ≈ 1M Catalyst planned SMJ — re-exchanging the
+      // 2|E| edge store EVERY round (measured at sf0.1: 113 MB
+      // shuffle ≈ 3 rounds × the 38 MB store, vs 1.2 MB total at
+      // sf0.01 where the store fit the broadcast estimate; AQE
+      // converts the join after the store's shuffle write is already
+      // paid). That flip — not the aggregate — was the 5.25× warm
+      // 10×-scale cell in BENCH_SCALE_r09. With the hint, rounds are
+      // map-side over the cached store and the only per-round
+      // exchanges are |V|-sized (labels build) + post-combine pairs.
+      // REGIME: broadcast holds while |V|·16 B fits an executor
+      // (~100M nodes); past that, flip to the edge store persisted
+      // hash-partitioned on dst so each round exchanges only the
+      // |V|-sized label frame — same trade as kcore's broadcast
+      // semi-joins, recorded here like its two-regime note.
+      labels = dir.join(broadcast(labels), col("dst") === col("n"))
         .groupBy(col("src"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
@@ -764,6 +801,22 @@ object GraphOps extends QueryPack {
     * broadcast, the same loop holds with shuffled semi-joins keyed on
     * node id — then persist each round and size partitions off |e_r|,
     * the standard iterative-graph trade the PageRank loop documents. */
+  /** MEASUREMENT NOTE (the r9 "kcore history drift" question — five
+    * committed sf0.1 samples 5.70→7.89 s on fixed code): the drift is
+    * the MEASUREMENT CONTEXT, not the operator. Decomposition (r10,
+    * RunOne): fresh-session steady is flat 2.6–2.8 s; a session aged
+    * to exactly bench order (all 48 alphabetically-earlier queries
+    * replayed first) reproduces the history — 5.4 s first pass,
+    * 3.0–3.4 s steady. The bench's single sample IS that aged first
+    * pass: ~3 s execution + ~2.3 s one-time plan work that kcore pays
+    * more than most queries (each peel round re-plans a lineage one
+    * semi-join pair DEEPER over e0, so 2×KcoreRounds distinct
+    * round-growing plans get analyzed + whole-stage-codegen'd in one
+    * action). The 7.89 s tail sample is the r9 run's documented
+    * contention window (its own artifact: q_graph section probe
+    * 1.08×, adjacent q_sim 7.46×). Nothing accumulates IN kcore —
+    * same class as the BenchScale cross-leg-session finding: the
+    * number moved because the session around it did. */
   private[operators] def kcorePlan(
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Long = KcoreK)
