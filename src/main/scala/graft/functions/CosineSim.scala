@@ -117,6 +117,14 @@ object GraftFunctions {
         SortedIntersectCount(children(0), children(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_roll64",
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_roll64 takes 2 arguments, got ${children.length}")
+        RollingGramHash(children(0), children(1))
+      },
+      "built-in")
   }
 }
 
@@ -155,6 +163,25 @@ class GraftExtensions
         "", "", "", "array_funcs", "", "", "built-in"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_roll64"),
+      // superset semantics in the contract string: the screen over
+      // these hashes may (very rarely) include a colliding non-equal
+      // window — exact callers re-screen candidates with a full hash
+      new ExpressionInfo(
+        classOf[RollingGramHash].getName, null, "graft_roll64",
+        "graft_roll64(ws, L) - Karp-Rabin rolling 64-bit hash of every " +
+          "L-token window of an ARRAY<STRING> (null slots hash to a " +
+          "fixed sentinel; L a " +
+          "literal >= 2): returns ARRAY<BIGINT> with size(ws)-L+1 " +
+          "entries (empty when size(ws) < L). Equal windows always " +
+          "hash equal; unequal windows collide with ~2^-64 probability, " +
+          "so a duplicate screen over these hashes is a SUPERSET of the " +
+          "true duplicated-window set - re-screen candidates with md5 " +
+          "where exactness is required.",
+        "", "", "", "hash_funcs", "", "", "built-in"),
+      (children: Seq[Expression]) =>
+        RollingGramHash(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntervalLookupJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1096,21 +1096,31 @@ object Dedup extends QueryPack {
     //   positions p equals the union of all ≥L-token repeat spans.
     // That turns ExactSubstr into the engine's standard bounded shape:
     // corpus-linear gram stream (map-side, zero shuffle to build), ONE
-    // exchange on the 32-char digest for the tot>1 screen (partial
+    // exchange on the gram hash for the tot>1 screen (partial
     // aggregate — no posting lists, no pair materialization, so a
     // boilerplate gram shared by a million docs costs one count, never
-    // Σdf² pairs), one digest-keyed join back, and a gaps-and-islands
+    // Σdf² pairs), one hash-keyed join back, and a gaps-and-islands
     // window over each doc's OWN duplicated positions (Zipf-small,
-    // never cross-document). Per-position cost is Θ(L) (md5 over the
-    // joined 50-token window — ~4× span_removal's 8-gram cost at
-    // sf0.1, measured 3.4 s vs 0.3 s); a production variant would
-    // swap in a Karp-Rabin ROLLING hash (O(1) per position, same
-    // marking semantics) — kept as md5 here because the DuckDB oracle
-    // replays md5 bit-for-bit and the exchange already carries only
-    // digests either way. The gram stream is computed TWICE (once
-    // under the tot>1 aggregate, once as the join probe — the plan
-    // shows two scans) BY DESIGN: at corpus scale the alternatives
-    // are worse — persisting a corpus-sized gram intermediate is the
+    // never cross-document).
+    //
+    // SCREEN (r10, the r9 "honest debt" paid): the gram hash is the
+    // native Karp-Rabin rolling hash `graft_roll64` — Θ(1) per
+    // position and an 8-byte exchange key, replacing the Θ(L) md5
+    // that re-serialized the full 50-token window at every position
+    // (3.4 s → see bench; ~50× fewer hashed bytes map-side, 4×
+    // narrower screen exchange). The rolled screen is a SUPERSET of
+    // the true duplicated-gram set (equal windows always hash equal;
+    // unequal collide at ~2^-64), so the Zipf-small survivors are
+    // RE-SCREENED with md5 — the oracle's own digest — which restores
+    // bit-exact DuckDB agreement: for any truly duplicated gram, all
+    // of its occurrences survive the rolling screen, so the md5
+    // re-count over candidates equals the corpus-wide count; false
+    // candidates md5-count to 1 and drop. Θ(L) md5 is paid only on
+    // candidate positions (the duplicated tail), never the corpus.
+    // The gram stream is computed TWICE (once under the tot>1
+    // aggregate, once as the join probe — the plan shows two scans)
+    // BY DESIGN: at corpus scale the alternatives are worse —
+    // persisting a corpus-sized gram intermediate is the
     // cache-what-you-can-recompute anti-pattern, and the recompute is
     // pure map-side work while the shuffle (the scarce resource)
     // still carries each gram row exactly once. Distinct from q_dedup_span_removal, which
@@ -1121,21 +1131,28 @@ object Dedup extends QueryPack {
     "q_dedup_exact_substr" -> GraftQuery(
       run = (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s) // graft_roll64 below
         val L = ExactSubstrMinTokens
         val t = Tables.documents(s, d)
           .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
           .filter(size(col("ws")) >= L)
           .select(col("doc_id"), col("ws"))
         val sh = t.select(col("doc_id"),
-            explode(expr(s"transform(sequence(1, size(ws) - ${L - 1}), " +
-              s"i -> struct(i AS i, " +
-              s"md5(array_join(slice(ws, i, $L), ' ')) AS h))")).as("x"))
-          .select(col("doc_id"), col("x.i").as("st"),
-            (col("x.i") + (L - 1)).as("en"), col("x.h").as("h"))
-        val dup = sh.groupBy("h").agg(count(lit(1)).as("tot"))
+            posexplode(expr(s"graft_roll64(ws, $L)")).as(Seq("p", "h64")))
+          .select(col("doc_id"), (col("p") + 1).as("st"),
+            (col("p") + L).as("en"), col("h64"))
+        val dup64 = sh.groupBy("h64").agg(count(lit(1)).as("tot"))
+          .filter(col("tot") > 1)
+        // md5 confirm over the rolled screen's survivors only — joined
+        // back to ws so the window text exists just for candidates
+        val cand = sh.join(dup64.select("h64"), "h64")
+          .join(t, Seq("doc_id"))
+          .select(col("doc_id"), col("st"), col("en"),
+            expr(s"md5(array_join(slice(ws, st, $L), ' '))").as("h"))
+        val dup = cand.groupBy("h").agg(count(lit(1)).as("tot"))
           .filter(col("tot") > 1)
         val w = Window.partitionBy("doc_id").orderBy("st")
-        val spans = sh.join(dup.select("h"), "h")
+        val spans = cand.join(dup.select("h"), "h")
           .select(col("doc_id"), col("st"), col("en"))
           .withColumn("pmax", max(col("en"))
             .over(w.rowsBetween(Window.unboundedPreceding, -1)))
