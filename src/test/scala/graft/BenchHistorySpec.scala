@@ -55,6 +55,17 @@ class BenchHistorySpec extends AnyFunSuite with Matchers {
     Bench.readHistory(path, "/d")("q_a") shouldBe List(1.0, 2.5)
   }
 
+  test("readHistoryRaw returns stamp AND samples from one parse") {
+    // main derives BOTH guards (criterion read, write-skip) from this
+    // single read — r10 closed the re-read TOCTOU the old shape had
+    val path = tempWith("""{"_sf":"/d/sf0.1","q_a":[1.0,2.0]}""")
+    val (stamp, samples) = Bench.readHistoryRaw(path)
+    stamp shouldBe Some("/d/sf0.1")
+    samples("q_a") shouldBe List(1.0, 2.0)
+    Bench.readHistoryRaw("/nonexistent/h.json") shouldBe (None, Map.empty)
+    Bench.readHistoryRaw(tempWith("junk{{")) shouldBe (None, Map.empty)
+  }
+
   test("historyStamp surfaces the _sf field for the write-skip guard") {
     // main skips BOTH write-backs when the committed file is stamped
     // for another sf — ignoring it on read but restamping on write
