@@ -88,7 +88,7 @@ class DocGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     // the doc lags a swap (the r8 finding); reverse failure = the doc
     // claims a native path the plan no longer takes.
     val vocab = Seq("graft_ixcount", "graft_cosine", "graft_qcos",
-      "graft_interval_index")
+      "graft_interval_index", "graft_roll64")
     // LAZY plan builders, not registry entries — the registry
     // materializes (and releases caches), which erases the plan text
     val documented: Seq[(String, () => (org.apache.spark.sql.DataFrame,
@@ -97,6 +97,9 @@ class DocGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       "q_dedup_ppjoin" -> (() => Dedup.ppjoinPlan(spark, sf)),
       "q_join_interval_lookup" ->
         (() => (SparkEntry.queries("q_join_interval_lookup")(spark, sf),
+          Nil)),
+      "q_dedup_exact_substr" ->
+        (() => (SparkEntry.queries("q_dedup_exact_substr")(spark, sf),
           Nil)))
     documented.foreach { case (q, build) =>
       val sec = sectionFor(q)
