@@ -118,6 +118,22 @@ class ShuffleVolumeSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     wCont should be < textBytes * 12
   }
 
+  test("ExactSubstr shuffles 8-byte rolled hashes, never window text") {
+    assume(haveData)
+    // the KR screen's exchange carries (h64, doc_id, positions) rows —
+    // ~24 payload bytes per token position, NOT the 50-token window
+    // (≈300 bytes) the per-position md5 form would tempt one to ship,
+    // and not the 32-char hex digest either. The md5 confirm leg runs
+    // only over the duplicated tail, so its contribution is bounded by
+    // the duplicate density, not the corpus. A window-text (or
+    // full-digest) shuffle overshoots textBytes several-fold; the
+    // rolled screen stays in the same linear-in-positions envelope as
+    // span_removal's 8-gram stream.
+    val w = shuffleWrite("q_dedup_exact_substr")
+    w should be > 0L
+    w should be < textBytes * 10
+  }
+
   test("video near-dup shuffle is linear in docs, independent of payloads") {
     assume(haveData)
     // the inverted index carries ≤ 8 (doc_id, 8-byte sig) rows per doc
