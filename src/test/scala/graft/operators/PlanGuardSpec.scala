@@ -518,6 +518,26 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     lazyPlan(GraphOps.jaccardLinksPlan) should include ("InMemoryTableScan")
   }
 
+  test("LPA rounds are exchange-free: broadcast labels over the partitioned store") {
+    assume(haveData)
+    // The r10 fix pinned structurally: the label frame is the explicit
+    // broadcast side and the directed store persists hash-partitioned
+    // on src, so HashPartitioning(src) satisfies every round's
+    // (src, lbl) mode-aggregate clustering — a round contributes NO
+    // ShuffleExchange and NO SortMergeJoin (the regression this kills:
+    // labels' size estimate degrading past the broadcast threshold and
+    // the whole edge store re-exchanging per round — the 5.25x warm
+    // scale cell of BENCH_SCALE_r09). The only exchanges allowed are
+    // the round-independent ones (label init distinct, final sizes +
+    // sort) — so the count must stay WELL below one-per-round.
+    val (out, caches) = GraphOps.labelPropPlan(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    p should not include "SortMergeJoin"
+    p should include ("BroadcastHashJoin")
+    "ShuffleExchange".r.findAllIn(p).size should be <= 4
+  }
+
   test("iterative graph loops keep their logical plans FLAT per round") {
     assume(haveData)
     // The engine's recurring plan disease: an iterative loop that reads
