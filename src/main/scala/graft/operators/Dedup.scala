@@ -999,6 +999,13 @@ object Dedup extends QueryPack {
     // each document's OWN duplicated positions (partitioned by doc_id,
     // Zipf-small), never cross-document. All integers until the final
     // ratio, which both engines compute with the same IEEE op sequence.
+    // Deliberately KEEPS the per-position md5 screen (measured, r10):
+    // the graft_roll64 two-phase form (rolled screen + md5 confirm,
+    // q_dedup_exact_substr's shape) was tried here and is 3× SLOWER at
+    // this granularity — 0.25 s → 0.80 s steady at sf0.1 — because at
+    // L=8 the Θ(L) digest is already cheap and the confirm leg's extra
+    // join + second digest exchange dominate. The crossover is L:
+    // rolling pays at exact_substr's L=50 (3.4 s → 1.8 s), not at 8.
     "q_dedup_span_removal" -> GraftQuery(
       run = (s, d) => {
         import org.apache.spark.sql.expressions.Window
