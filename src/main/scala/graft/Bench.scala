@@ -389,8 +389,18 @@ object Bench {
     // excluded from the rerun net by design (a min-of-2 would hide the
     // build instead of removing noise), so their steady value still
     // carries the build; the BENCH_BUILDS ledger attributes it and
-    // this is the report-time arithmetic.
-    val buildsTotalSecs = buildsBy.values.map(_._1).sum
+    // this is the report-time arithmetic. Only subtract a build whose
+    // triggering query's KEPT steady value is its build-inclusive
+    // first pass (r10 ADVICE: a build first hit by a rerun-eligible
+    // query is already absent from totalSteady when min(first, rerun)
+    // kept the rerun — subtracting it again double-discounts).
+    val firstByName = firstPass.toMap
+    val steadyByName = results.toMap
+    val buildsTotalSecs = buildsBy.collect {
+      case (_, (secs, by))
+          if steadyByName.get(by).exists(v =>
+            v >= 0 && firstByName.get(by).contains(v)) => secs
+    }.sum
     val totalSteadyExBuilds = math.max(0.0, totalSteady - buildsTotalSecs)
     // The FINAL metric line must fit, whole, inside the driver's 2000-char
     // output tail (with sbt's trailing "[success]" line after it) or the

@@ -175,10 +175,21 @@ class GraftExtensions
           "fixed sentinel; L a " +
           "literal >= 2): returns ARRAY<BIGINT> with size(ws)-L+1 " +
           "entries (empty when size(ws) < L). Equal windows always " +
-          "hash equal; unequal windows collide with ~2^-64 probability, " +
-          "so a duplicate screen over these hashes is a SUPERSET of the " +
-          "true duplicated-window set - re-screen candidates with md5 " +
-          "where exactness is required.",
+          "hash equal; unequal windows collide heuristically at " +
+          "~2^-64 on non-adversarial data - a polynomial hash mod " +
+          "2^64 is NOT a universal family (structured token-hash " +
+          "differences collide far more often), so a duplicate screen " +
+          "over these hashes is a SUPERSET of the true " +
+          "duplicated-window set and callers must ALWAYS re-screen " +
+          "candidates where exactness matters, e.g. with md5 over an " +
+          "unambiguous window encoding. NOTE on the md5 re-screen: " +
+          "md5(array_join(ws, ' ')) equality is JOIN-TEXT equality, " +
+          "coarser than this function's token-exact windows when " +
+          "tokens may contain the separator or nulls (array_join " +
+          "skips nulls and conflates token boundaries) - it is exact " +
+          "only for separator-free, null-free tokens (e.g. split on " +
+          "' ' with empties filtered); otherwise join with a " +
+          "length-prefixed or unit-separator encoding first.",
         "", "", "", "hash_funcs", "", "", "built-in"),
       (children: Seq[Expression]) =>
         RollingGramHash(children(0), children(1))))

@@ -20,12 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   *   h(i+1) = (h(i) − x(i)·B^(L−1))·B + x(i+L)  (mod 2^64,
   * the JVM's natural wrapping arithmetic). Equal windows always hash
   * equal (token-exact), so the duplicate screen over these hashes is a
-  * SUPERSET of the true duplicated-window set — callers that need
-  * exactness (the oracled ExactSubstr query) re-screen the surviving
-  * candidates with md5, which restores bit-exact agreement with the
-  * DuckDB oracle while paying Θ(L) only on candidates instead of every
-  * position. The 8-byte hash is also a 4× narrower exchange key than
-  * the 32-char md5 hex digest the screen used to shuffle.
+  * SUPERSET of the true duplicated-window set. Unequal windows collide
+  * heuristically at ~2^-64 on NON-ADVERSARIAL data — a polynomial hash
+  * mod 2^64 is not a universal family (structured token-hash
+  * differences, e.g. differences divisible by high powers of 2,
+  * collide far more often than a uniform bound suggests), so callers
+  * must ALWAYS re-screen where exactness matters, never treat the
+  * rolled hash as a fingerprint. The oracled ExactSubstr query does
+  * exactly that: it re-screens surviving candidates with md5 over the
+  * space-joined window — sound THERE because its tokens come from
+  * split-on-space with empties filtered (separator-free, null-free),
+  * the precondition under which join-text equality IS token equality —
+  * restoring bit-exact agreement with the DuckDB oracle while paying
+  * Θ(L) only on candidates instead of every position. The 8-byte hash
+  * is also a 4× narrower exchange key than the 32-char md5 hex digest
+  * the screen used to shuffle.
   *
   * The per-row kernel lives in [[RollingGramHash.roll]] (a static
   * helper both eval and the generated code call — one implementation,

@@ -147,9 +147,28 @@ object MsPipeline extends QueryPack {
       }
     })
 
+  // The CWT peak-count stage feeds THREE registry queries
+  // (best_models, sample_modes, spectra_abundance) plus the fixture
+  // export, and each call used to recompute the wavelet transform over
+  // every (model, component) time mode — a |models|·F-row stage
+  // boundary exactly like tensors/models above. Session-cached and
+  // ledgered (r11, the q_ms_best_models 9.4 s decomposition): the
+  // steady cost of the consumers is the relational tail only.
+  private val peakCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[ComponentPeaks]]
+
   private def peakCounts(s: SparkSession, d: String): Dataset[ComponentPeaks] =
-    Indexing.countTimeModePeaks(s, models(s, d),
-      avgPeakFwhmSec = 5.0, windowSizeSec = rtWindowSec)
+    peakCountCache.getOrElseUpdate(s.sparkContext.applicationId + d, {
+      // resolve the model stage FIRST so its build lands in its own
+      // ledger entry, not double-counted into this one
+      val m = models(s, d)
+      graft.StoreBuilds.timed("ms_peak_counts") {
+        val pc = Indexing.countTimeModePeaks(s, m,
+          avgPeakFwhmSec = 5.0, windowSizeSec = rtWindowSec).persist()
+        pc.count()
+        pc
+      }
+    })
 
   // ------------------------------------------------------------------
   // Relational-tail oracle fixtures. The ALS itself is sequential
@@ -179,27 +198,37 @@ object MsPipeline extends QueryPack {
     * each other). */
   private def ensureRelationalFixture(s: SparkSession, d: String): Unit =
     fixtureDone.getOrElseUpdate(s.sparkContext.applicationId + d, {
-      // count AND content checksum: two datasets with equal row counts
-      // (a regenerated corpus, a different seed) must not cross-read
-      // each other's fixture through the count filter alone
-      val idRow = Tables.lineitem(s, d)
-        .agg(count(lit(1)),
-          // coalesce: sum over an EMPTY table is null (the zero-row
-          // robustness shape EmptyInputSpec drives)
-          coalesce(sum(col("l_orderkey") % 1000000007L), lit(0L))).head()
-      val nLine = idRow.getLong(0)
-      val liSum = idRow.getLong(1)
-      peakCounts(s, d).toDF()
-        .withColumn("n_lineitem", lit(nLine))
-        .withColumn("li_checksum", lit(liSum)).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$FixtureDir/peak_counts/sf_${nLine}_$liSum")
-      Indexing.stackedSampleModes(s, models(s, d))
-        .withColumn("n_lineitem", lit(nLine))
-        .withColumn("li_checksum", lit(liSum)).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$FixtureDir/sample_modes_raw/sf_${nLine}_$liSum")
-      true
+      // resolve the upstream stores FIRST so their builds land in
+      // their own ledger entries, not double-counted into the export's
+      val pc = peakCounts(s, d)
+      val m = models(s, d)
+      // the export is a one-time session artifact exactly like a store
+      // build — ledgered (r11) so the first tail query's steady number
+      // stops carrying the two parquet writes
+      graft.StoreBuilds.timed("ms_fixture_export") {
+        // count AND content checksum: two datasets with equal row
+        // counts (a regenerated corpus, a different seed) must not
+        // cross-read each other's fixture through the count filter
+        // alone
+        val idRow = Tables.lineitem(s, d)
+          .agg(count(lit(1)),
+            // coalesce: sum over an EMPTY table is null (the zero-row
+            // robustness shape EmptyInputSpec drives)
+            coalesce(sum(col("l_orderkey") % 1000000007L), lit(0L))).head()
+        val nLine = idRow.getLong(0)
+        val liSum = idRow.getLong(1)
+        pc.toDF()
+          .withColumn("n_lineitem", lit(nLine))
+          .withColumn("li_checksum", lit(liSum)).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$FixtureDir/peak_counts/sf_${nLine}_$liSum")
+        Indexing.stackedSampleModes(s, m)
+          .withColumn("n_lineitem", lit(nLine))
+          .withColumn("li_checksum", lit(liSum)).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$FixtureDir/sample_modes_raw/sf_${nLine}_$liSum")
+        true
+      }
     })
 
   private val nF = fMax - fMin + 1

@@ -669,58 +669,121 @@ object GraphOps extends QueryPack {
     (out, Seq(dist)) // edges is the session-shared directed store
   }
 
-  /** Lazy label-propagation plan + its caches. */
-  private[operators] def labelPropPlan(
+  /** One synchronous LPA round over the partitioned directed store.
+    * Mode adoption as an ARGMAX aggregate — max(struct(c, −lbl))
+    * picks the most frequent label with smallest-label tie-break in
+    * one partial+final hash aggregate; the row_number window this
+    * replaces paid a sort + exchange per round (7.7 s → 6.5 s warm at
+    * sf0.1), and an aggregate stays map-side combinable at any graph
+    * size.
+    *
+    * GROWTH CLASS (the r9 scale-cell question): per round the work is
+    * one join of the persisted edge store against the |V|-sized label
+    * frame + the two hash aggregates — LpaRounds × O(|E|) scanned,
+    * with shuffled bytes O(post-combine (src,lbl)) ≤ |E|. The labels
+    * side must be the EXPLICIT broadcast side: it is |V|-sized by
+    * construction (one row per node), but its static size estimate is
+    * derived through a round of join+agg lineage (or, post-truncation,
+    * an RDD scan with no estimate at all), and past ~|E| ≈ 1M Catalyst
+    * planned SMJ — re-exchanging the 2|E| edge store EVERY round
+    * (measured at sf0.1: 113 MB shuffle ≈ 3 rounds × the 38 MB store,
+    * vs 1.2 MB total at sf0.01 where the store fit the broadcast
+    * estimate; AQE converts the join after the store's shuffle write
+    * is already paid). That flip — not the aggregate — was the 5.25×
+    * warm 10×-scale cell in BENCH_SCALE_r09. With the hint, rounds
+    * are map-side over the cached store and the only per-round
+    * exchanges are |V|-sized (labels build) + post-combine pairs.
+    * REGIME: broadcast holds while |V|·16 B fits an executor
+    * (~100M nodes); past that, flip to the edge store persisted
+    * hash-partitioned on dst so each round exchanges only the
+    * |V|-sized label frame — same trade as kcore's broadcast
+    * semi-joins, recorded here like its two-regime note. */
+  private def lpaRound(
+      dir: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dir.join(broadcast(labels), col("dst") === col("n"))
+      .groupBy(col("src"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(expr("-max(struct(c, -lbl AS nl)).nl").as("lbl"))
+      .select(col("src").as("n"), col("lbl"))
+
+  /** ONE round's lazy plan over the session store, exposed so
+    * PlanGuardSpec can pin the round's physical shape (store probe,
+    * broadcast labels, zero per-round hash exchanges) now that
+    * [[lpaLoop]] truncates between rounds and the final plan no longer
+    * contains any round. */
+  private[operators] def lpaRoundPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+      : org.apache.spark.sql.DataFrame = {
+    val dir = directedEdgesCached(s, d)
+    lpaRound(dir, dir.select(col("src").as("n")).distinct()
+      .withColumn("lbl", col("n")))
+  }
+
+  /** LPA rounds with per-round truncation; returns the lazy output,
+    * which reads the LAST round's persisted RDD (release the returned
+    * handles only after materializing it).
+    *
+    * Each round's frame is |V|-sized and feeds the next round's
+    * broadcast build, so a plain DataFrame loop grows the LOGICAL plan
+    * by a join + two aggregates per round — linear growth, not the
+    * 2^rounds double-read disease, but still a per-action re-analysis
+    * + codegen cost that an AGED session (the bench replays 48 earlier
+    * queries first) amplified to 5.4–6.7 s in-bench vs 2.8 s fresh on
+    * identical data (the r10→r11 kcore/LPA plan-time finding).
+    * Truncate per round exactly as [[ssspLoop]] does: materialize the
+    * |V|-row label frame as a persisted RDD (blocks stay on executors)
+    * and rewrap, so every round's plan starts at an RDD scan and
+    * plan-time is flat AND session-age-independent. The per-round
+    * action this adds (rdd.count) materializes work the single final
+    * action would have run anyway — same total execution, flat
+    * analysis. */
+  private[operators] def lpaLoop(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
     val dir = directedEdgesCached(s, d)
     var labels = dir.select(col("src").as("n")).distinct()
       .withColumn("lbl", col("n"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
     for (_ <- 1 to LpaRounds) {
-      // mode adoption as an ARGMAX aggregate — max(struct(c, −lbl))
-      // picks the most frequent label with smallest-label tie-break
-      // in one partial+final hash aggregate; the row_number window
-      // this replaces paid a sort + exchange per round (7.7 s → 6.5 s
-      // warm at sf0.1), and an aggregate stays map-side combinable at
-      // any graph size
-      //
-      // GROWTH CLASS (the r9 scale-cell question): per round the work
-      // is one join of the persisted edge store against the |V|-sized
-      // label frame + the two hash aggregates — LpaRounds × O(|E|)
-      // scanned, with shuffled bytes O(post-combine (src,lbl)) ≤ |E|.
-      // The labels side must be the EXPLICIT broadcast side: it is
-      // |V|-sized by construction (one row per node), but its static
-      // size estimate is derived through a round of join+agg lineage,
-      // and past ~|E| ≈ 1M Catalyst planned SMJ — re-exchanging the
-      // 2|E| edge store EVERY round (measured at sf0.1: 113 MB
-      // shuffle ≈ 3 rounds × the 38 MB store, vs 1.2 MB total at
-      // sf0.01 where the store fit the broadcast estimate; AQE
-      // converts the join after the store's shuffle write is already
-      // paid). That flip — not the aggregate — was the 5.25× warm
-      // 10×-scale cell in BENCH_SCALE_r09. With the hint, rounds are
-      // map-side over the cached store and the only per-round
-      // exchanges are |V|-sized (labels build) + post-combine pairs.
-      // REGIME: broadcast holds while |V|·16 B fits an executor
-      // (~100M nodes); past that, flip to the edge store persisted
-      // hash-partitioned on dst so each round exchanges only the
-      // |V|-sized label frame — same trade as kcore's broadcast
-      // semi-joins, recorded here like its two-regime note.
-      labels = dir.join(broadcast(labels), col("dst") === col("n"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(expr("-max(struct(c, -lbl AS nl)).nl").as("lbl"))
-        .select(col("src").as("n"), col("lbl"))
+      val next = lpaRound(dir, labels)
+      val rdd = next.rdd.persist()
+      rdd.count()
+      // round r's blocks are never read once round r+1 materializes —
+      // release eagerly so storage holds ONE |V|-sized frame, not
+      // LpaRounds of them
+      prevRdd.foreach(_.unpersist())
+      prevRdd = Some(rdd)
+      labels = s.createDataFrame(rdd, next.schema)
     }
-    val fin = labels.persist()
-    fin.count() // read twice below: size aggregate + join
-    val sizes = fin.groupBy("lbl")
+    // final labels are read twice below (size aggregate + join) — both
+    // reads hit the last round's persisted RDD
+    val sizes = labels.groupBy("lbl")
       .agg(count(lit(1)).as("community_size"))
-    val out = fin.join(broadcast(sizes), "lbl")
+    val out = labels.join(broadcast(sizes), "lbl")
       .select(col("n").as("node"), col("lbl").as("label"),
         col("community_size"))
       .orderBy("node")
-    (out, Seq(fin)) // dir is the session-shared directed store
+    (out, prevRdd.toSeq) // dir is the session-shared directed store
+  }
+
+  /** Materialized label-propagation result: collects [[lpaLoop]]'s
+    * output (|V| rows — the registry query's own contract, exactly
+    * what [[materializeAndRelease]] did before truncation) and
+    * releases the last round's RDD blocks. */
+  private[operators] def labelPropPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val (lazyOut, rdds) = lpaLoop(s, d)
+    val rows =
+      try lazyOut.collect()
+      finally rdds.foreach(_.unpersist())
+    (s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyOut.schema), Nil)
   }
 
   /** Lazy link-prediction plan + its caches. */
@@ -783,43 +846,46 @@ object GraphOps extends QueryPack {
   /** Fixed-round k-core peel; returns the per-round count table as a
     * LOCAL frame (every count is an action the loop already ran, so
     * deferring them into a collected plan would only re-execute the
-    * whole peel) plus an empty cache list — the per-round keep sets
-    * release before returning. `k` is a parameter so specs can drive
+    * whole peel) plus an empty cache list — every per-round cache
+    * releases before returning. `k` is a parameter so specs can drive
     * the cascade on hand-built graphs whose degrees sit far below the
-    * registry threshold.
+    * registry threshold; `roundProbe` receives each round's LAZY
+    * survivor-edge plan before materialization so PlanGuardSpec can
+    * pin the flat-lineage contract without re-implementing the loop.
     *
-    * Only the keep sets persist (|V|-bounded, read by count + both
-    * semi-join builds of every later round); the survivor EDGE rounds
-    * stay unpersisted and recompute from the shared e0 store through
-    * the semi-join chain. Two reasons: the keeps are tiny, so AQE
-    * plans every semi-join as a runtime broadcast and the whole chain
-    * is ONE map-side scan of e0 per action — and persisting the
-    * shrinking edge rounds is an anti-pattern under AQE locally
-    * (coalesced to ~1 cached partition, every later round ran
-    * single-threaded: 4.5 s round-3 joins over 443k rows, vs 1.3 s
-    * recomputed 32-way). At a scale where a keep set outgrows
-    * broadcast, the same loop holds with shuffled semi-joins keyed on
-    * node id — then persist each round and size partitions off |e_r|,
+    * PER-ROUND TRUNCATION (r11, closing the r10 verdict's one `weak`):
+    * each round's survivor edges materialize as a persisted RDD and
+    * rewrap, so round r+1's plan starts at an RDD scan — the same cure
+    * [[ssspLoop]]/[[hitsPlan]]/[[lpaLoop]] use. The pre-r11 shape
+    * recomputed every round from the shared e0 store through a
+    * semi-join chain one pair deeper per round: data-wise sound (AQE
+    * broadcast semi-joins, one map-side scan of e0 per action) but
+    * 2×KcoreRounds round-GROWING plans were analyzed + codegen'd per
+    * run, a data-independent driver cost that an aged session (the
+    * bench replays 48 alphabetically-earlier queries first) amplified
+    * to 5.5–8.3 s in-bench vs 2.6–2.8 s fresh on identical data. The
+    * earlier anti-pattern note about persisting the shrinking edge
+    * rounds applied to DataFrame persists under AQE (the cached plan's
+    * exchange coalesced to ~1 partition and every later round ran
+    * single-threaded); the RDD rewrap dodges it structurally — the
+    * round plan is broadcast-join-only, so `.rdd` inherits the e0
+    * store's partitioning with no exchange for AQE to coalesce.
+    *
+    * The keep sets stay persisted within their round (read by the
+    * count + both semi-join builds) and release as soon as the round's
+    * RDD materializes; keeps are tiny (nodes above the degree
+    * threshold), so each semi-join is an EXPLICIT broadcast — the RDD
+    * scan has no size estimate, and leaving the choice to static
+    * planning would re-exchange the survivor edges per round, the
+    * estimate-flip class the LPA note documents. At a scale where a
+    * keep set outgrows broadcast, the same loop holds with shuffled
+    * semi-joins keyed on node id — then size partitions off |e_r|,
     * the standard iterative-graph trade the PageRank loop documents. */
-  /** MEASUREMENT NOTE (the r9 "kcore history drift" question — five
-    * committed sf0.1 samples 5.70→7.89 s on fixed code): the drift is
-    * the MEASUREMENT CONTEXT, not the operator. Decomposition (r10,
-    * RunOne): fresh-session steady is flat 2.6–2.8 s; a session aged
-    * to exactly bench order (all 48 alphabetically-earlier queries
-    * replayed first) reproduces the history — 5.4 s first pass,
-    * 3.0–3.4 s steady. The bench's single sample IS that aged first
-    * pass: ~3 s execution + ~2.3 s one-time plan work that kcore pays
-    * more than most queries (each peel round re-plans a lineage one
-    * semi-join pair DEEPER over e0, so 2×KcoreRounds distinct
-    * round-growing plans get analyzed + whole-stage-codegen'd in one
-    * action). The 7.89 s tail sample is the r9 run's documented
-    * contention window (its own artifact: q_graph section probe
-    * 1.08×, adjacent q_sim 7.46×). Nothing accumulates IN kcore —
-    * same class as the BenchScale cross-leg-session finding: the
-    * number moved because the session around it did. */
   private[operators] def kcorePlan(
       s: org.apache.spark.sql.SparkSession, d: String,
-      k: Long = KcoreK)
+      k: Long = KcoreK,
+      roundProbe: (Int, org.apache.spark.sql.DataFrame) => Unit =
+        (_, _) => ())
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val e0 = coPurchaseEdgesCached(s, d)
     var e = e0
@@ -828,7 +894,8 @@ object GraphOps extends QueryPack {
       e0.select(col("u").as("x"))
         .unionByName(e0.select(col("v").as("x"))).distinct().count(),
       e0.count()))
-    val keeps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
     (1 to KcoreRounds).foreach { r =>
       // one map-side-combinable degree aggregate + one semi-join per
       // end, all keyed on node id — the identical round at any size
@@ -839,15 +906,23 @@ object GraphOps extends QueryPack {
         .select("x")
         .persist()
       val nKeep = keep.count()
-      keeps += keep
       val next = e
-        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .join(broadcast(keep.select(col("x").as("u"))), Seq("u"), "left_semi")
+        .join(broadcast(keep.select(col("x").as("v"))), Seq("v"), "left_semi")
         .select("u", "v")
-      rows += ((r.toLong, nKeep, next.count()))
-      e = next
+      roundProbe(r, next)
+      val rdd = next.rdd.persist()
+      val nEdges = rdd.count()
+      // round r−1's blocks and this round's keep set are never read
+      // again once the survivor RDD materializes — release eagerly so
+      // storage holds ONE survivor edge list, not KcoreRounds of them
+      prevRdd.foreach(_.unpersist())
+      keep.unpersist()
+      prevRdd = Some(rdd)
+      rows += ((r.toLong, nKeep, nEdges))
+      e = s.createDataFrame(rdd, next.schema)
     }
-    keeps.result().foreach(_.unpersist())
+    prevRdd.foreach(_.unpersist())
     import s.implicits._
     (rows.result().sortBy(_._1).toDF("round", "n_nodes", "n_edges"), Nil)
   }
@@ -1218,7 +1293,7 @@ object GraphOps extends QueryPack {
     "q_graph_label_prop" -> GraftQuery(
       run = (s, d) => {
         val (out, caches) = labelPropPlan(s, d)
-        materializeAndRelease(s, out, caches)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def round(prev: String, cur: String) = s"""
@@ -1304,7 +1379,7 @@ object GraphOps extends QueryPack {
     "q_graph_kcore" -> GraftQuery(
       run = (s, d) => {
         val (out, caches) = kcorePlan(s, d)
-        materializeAndRelease(s, out, caches)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def peel(prevE: String, r: Int) = s"""
