@@ -265,8 +265,21 @@ object Bench {
     // get an unconditional second sample this round (and hereafter —
     // the cost is their own steady seconds) so the (first, rerun) pair
     // is IN the artifact rather than inferred from history.
+    //
+    // r11: kcore / label_prop / tpch_q3 join the set for the aged-
+    // session-first-pass class the r10/r11 RunOne `pre` decompositions
+    // named: their steady cost is flat (kcore 3.0 s, LPA 2.3–2.8 s,
+    // q3 1.1–1.5 s, fresh AND aged), but the bench's single sample is
+    // an aged-session FIRST pass that adds ~1.3–1.6 s of one-time
+    // analysis+codegen — below the criterion threshold once the
+    // history median carries the same inflation, so the criterion
+    // alone never re-samples them and the history reads as drift
+    // (q3: 0.74→1.95 monotone over five rounds of registry growth).
+    // The unconditional pair makes the headline the query's own
+    // steady cost and keeps the first-pass envelope in the artifact.
     val forcedRerun = Set("q_scale_salted_join", "q_graph_pagerank",
-      "q_scale_bucketed_join", "q_text_dsir")
+      "q_scale_bucketed_join", "q_text_dsir",
+      "q_graph_kcore", "q_graph_label_prop", "q_join_tpch_q3")
     // loud, not silent (same class as the headline guard below): a
     // future rename would otherwise just drop the unconditional
     // second sample the r8 directive mandates
