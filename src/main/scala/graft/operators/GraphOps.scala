@@ -911,6 +911,14 @@ object GraphOps extends QueryPack {
         .join(broadcast(keep.select(col("x").as("v"))), Seq("v"), "left_semi")
         .select("u", "v")
       roundProbe(r, next)
+      // DESERIALIZED persist, measured both ways at sf0.1:
+      // MEMORY_ONLY_SER costs +1.2–1.8 s steady per run here (Java
+      // serialization walks GenericRowWithSchema's full object graph,
+      // schema included, per row), while the deserialized blocks'
+      // object overhead (~90 B per 16-B edge) is storage the rounds
+      // release eagerly below. At a scale where |E_r| blocks pressure
+      // the heap, the right storage is columnar (persist the FRAME,
+      // accepting linear lineage) or UnsafeRow-backed — not Row SER.
       val rdd = next.rdd.persist()
       val nEdges = rdd.count()
       // round r−1's blocks and this round's keep set are never read
