@@ -640,33 +640,59 @@ object GraphOps extends QueryPack {
     }
   }
 
-  /** Lazy bounded-BFS plan + its caches. */
-  private[operators] def bfsPlan(
+  /** Bounded-BFS rounds with per-round truncation (r11 — the sixth
+    * application of the rewrap cure, standardizing the LAST remaining
+    * growth-class loop). Each round reads the frontier TWICE (relax +
+    * carry), so the pre-r11 DataFrame persists kept the PHYSICAL reads
+    * cached but still doubled the LOGICAL plan per round — 2^BfsRounds
+    * copies of the base lineage (measured 399 nodes at 3 rounds), a
+    * data-independent analysis+codegen cost that an aged session
+    * amplified by ~2.5 s (in-bench 10.45 s vs 3.5 s steady net of the
+    * edge-store builds). Truncate exactly as [[ssspLoop]]: the
+    * |V|-row frontier materializes as a persisted RDD before the
+    * round, both reads start from the RDD scan, and the returned
+    * handles release after the output materializes. */
+  private[operators] def bfsLoop(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
     val edges = directedEdgesCached(s, d)
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 97 === 0)
       .withColumn("dist", lit(0))
-      .persist()
-    dist.count()
+    val rddCaches =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     (1 to BfsRounds).foreach { _ =>
-      // each round reads the frontier TWICE (relax + carry); persist
-      // and materialize per round or round k recomputes round k−1
-      // in both branches — 2^k blowup over the loop
-      val next = dist
+      // truncate BEFORE the round: both of this round's reads (relax
+      // + carry) start from the RDD scan, keeping lineage flat
+      val rdd = dist.rdd.persist()
+      rdd.count()
+      rddCaches += rdd
+      val t = s.createDataFrame(rdd, dist.schema)
+      dist = t
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
-        .unionByName(dist)
+        .unionByName(t)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .persist()
-      next.count()
-      dist.unpersist()
-      dist = next
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
-    (out, Seq(dist)) // edges is the session-shared directed store
+    (out, rddCaches.toSeq) // edges is the session-shared directed store
+  }
+
+  /** Materialized BFS result: collects [[bfsLoop]]'s aggregate-sized
+    * output and releases the per-round truncation RDDs the final
+    * plan reads. */
+  private[operators] def bfsPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val (lazyOut, rdds) = bfsLoop(s, d)
+    val rows =
+      try lazyOut.collect()
+      finally rdds.foreach(_.unpersist())
+    (s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyOut.schema), Nil)
   }
 
   /** One synchronous LPA round over the partitioned directed store.
@@ -1261,7 +1287,7 @@ object GraphOps extends QueryPack {
     "q_graph_bfs" -> GraftQuery(
       run = (s, d) => {
         val (out, caches) = bfsPlan(s, d)
-        materializeAndRelease(s, out, caches)
+        if (caches.isEmpty) out else materializeAndRelease(s, out, caches)
       },
       oracle = Some {
         def round(prev: String, cur: String) = s"""

@@ -513,7 +513,13 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       caches.foreach(_.unpersist())
       p
     }
-    lazyPlan(GraphOps.bfsPlan) should include ("InMemoryTableScan")
+    // BFS truncates per round (r11) but its LAST round's relax join
+    // still probes the store in the final lazy plan
+    val (bfsOut, bfsRdds) = GraphOps.bfsLoop(spark, sf)
+    val bfsPlanStr = bfsOut.queryExecution.executedPlan.toString
+    bfsOut.collect() // the loop's RDD blocks are live; release below
+    bfsRdds.foreach(_.unpersist())
+    bfsPlanStr should include ("InMemoryTableScan")
     // LPA truncates per round (r11), so the final plan starts at an
     // RDD scan — the store probe is asserted on the ROUND plan, the
     // unit the loop actually repeats
@@ -630,19 +636,17 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val postTrunc = kcoreRoundNodes.drop(1)
     (postTrunc.max - postTrunc.min) should be <= 2
     postTrunc.max should be <= kcoreRoundNodes.head
-    // BFS is the one remaining DOUBLE-READ loop (relax + union carry
-    // both read the frontier): its LOGICAL plan grows as 2^BfsRounds
-    // copies of the base lineage — GEOMETRIC growth class, benign only
-    // because BfsRounds = 3 caps it (measured 399 nodes; the physical
-    // reads start at the per-round persisted cache, so no recompute).
-    // Each extra round ~doubles the count, so raising BfsRounds past 3
-    // fails here loudly instead of silently re-entering the
-    // analyzer-blowup disease — the fix then is sssp-style per-round
-    // RDD truncation, not a bigger bound. This closes the "every
-    // iterative loop in the codebase is pinned" claim (sssp truncates,
-    // pagerank/ppr/label-prop are single-read linear, bfs is
-    // geometric-but-bounded).
-    lazyNodes(GraphOps.bfsPlan) should be <= 450
+    // BFS truncates per round since r11 (it was the last geometric
+    // double-read loop — 399 nodes at 3 rounds before; the final plan
+    // now starts at the LAST round's RDD scan plus one relax join over
+    // the store lineage). This closes the "every iterative loop in the
+    // codebase is pinned" claim: sssp/bfs/kcore/lpa truncate,
+    // pagerank/ppr are single-read linear.
+    val (bfsOut2, bfsRdds2) = GraphOps.bfsLoop(spark, sf)
+    val bfsNodes = nodeCount(bfsOut2)
+    bfsOut2.collect() // the loop's RDD blocks are live; release below
+    bfsRdds2.foreach(_.unpersist())
+    bfsNodes should be <= 80
   }
 
   test("PIT join enriches all feature groups in one shuffle and one window") {
