@@ -358,12 +358,16 @@ object GraphOps extends QueryPack {
           .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
       var dist = nodes.withColumn("dist",
         when(col("node") === srcId, lit(0L)).otherwise(lit(SsspInf)))
-      (1 to Iters).foreach { _ =>
+      // a throwing mid-loop count must release the rounds persisted so
+      // far AND the node cache — the caller never sees either on throw
+      // (the same leak class the collect guards below close; the bench
+      // harness swallows query failures and keeps running)
+      try (1 to Iters).foreach { _ =>
         // truncate BEFORE the round: both of this round's reads (relax
         // + carry) start from the RDD scan, keeping lineage flat
         val rdd = dist.rdd.persist()
-        rdd.count()
         rddCaches += rdd
+        rdd.count()
         val t = s.createDataFrame(rdd, dist.schema)
         val relax = t
           .join(edges, col("node") === col("src"))
@@ -371,6 +375,11 @@ object GraphOps extends QueryPack {
             (col("dist") + col("cost")).as("dist"))
         dist = t.unionByName(relax)
           .groupBy("node").agg(min(col("dist")).as("dist"))
+      } catch {
+        case t: Throwable =>
+          rddCaches.foreach(_.unpersist())
+          nodes.unpersist()
+          throw t
       }
       val out = dist
         .join(broadcast(Tables.nation(s, d)),
@@ -445,8 +454,8 @@ object GraphOps extends QueryPack {
         raw: org.apache.spark.sql.DataFrame, // (node, r)
         out: String): org.apache.spark.sql.DataFrame = {
       val rdd = raw.rdd.persist()
+      rddCaches += rdd // registered BEFORE the count so a throw releases it
       rdd.count()
-      rddCaches += rdd
       val r = s.createDataFrame(rdd, raw.schema)
       val mx = r.agg(max(col("r")).as("mx"))
       nodes.join(r, Seq("node"), "left")
@@ -459,7 +468,10 @@ object GraphOps extends QueryPack {
     }
     var hub = nodes.withColumn("h", lit(1000L))
     var auth = nodes.withColumn("a", lit(0L))
-    (1 to HitsRounds).foreach { _ =>
+    // a throwing mid-loop count (inside normalize) must release the
+    // half-rounds persisted so far AND the node cache — same leak
+    // class as the guarded collect below
+    try (1 to HitsRounds).foreach { _ =>
       auth = normalize(
         edges.join(hub, col("node") === col("src"))
           .groupBy(col("dst").as("node"))
@@ -468,6 +480,11 @@ object GraphOps extends QueryPack {
         edges.join(auth, col("node") === col("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(expr("a * w")).as("r")), "h")
+    } catch {
+      case t: Throwable =>
+        rddCaches.foreach(_.unpersist())
+        nodes.unpersist()
+        throw t
     }
     val lazyOut = hub.join(auth, "node")
       .join(broadcast(Tables.nation(s, d)),
@@ -663,18 +680,25 @@ object GraphOps extends QueryPack {
     val rddCaches =
       scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    (1 to BfsRounds).foreach { _ =>
+    // a throwing mid-loop count must release the rounds persisted so
+    // far — the caller never sees the handles on throw (the leak class
+    // the collect guard in bfsPlan closes for the final read)
+    try (1 to BfsRounds).foreach { _ =>
       // truncate BEFORE the round: both of this round's reads (relax
       // + carry) start from the RDD scan, keeping lineage flat
       val rdd = dist.rdd.persist()
-      rdd.count()
       rddCaches += rdd
+      rdd.count()
       val t = s.createDataFrame(rdd, dist.schema)
       dist = t
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
         .unionByName(t)
         .groupBy("node").agg(min(col("dist")).as("dist"))
+    } catch {
+      case t: Throwable =>
+        rddCaches.foreach(_.unpersist())
+        throw t
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
@@ -775,16 +799,25 @@ object GraphOps extends QueryPack {
       .withColumn("lbl", col("n"))
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
       None
-    for (_ <- 1 to LpaRounds) {
+    // a throwing mid-loop count must release BOTH live rounds (the
+    // one being materialized and the one it reads) — the caller never
+    // sees the handles on throw (the q_sim_ivfpq leak class; the
+    // bench harness swallows failures and keeps running)
+    try for (_ <- 1 to LpaRounds) {
       val next = lpaRound(dir, labels)
       val rdd = next.rdd.persist()
-      rdd.count()
+      try rdd.count()
+      catch { case t: Throwable => rdd.unpersist(); throw t }
       // round r's blocks are never read once round r+1 materializes —
       // release eagerly so storage holds ONE |V|-sized frame, not
       // LpaRounds of them
       prevRdd.foreach(_.unpersist())
       prevRdd = Some(rdd)
       labels = s.createDataFrame(rdd, next.schema)
+    } catch {
+      case t: Throwable =>
+        prevRdd.foreach(_.unpersist())
+        throw t
     }
     // final labels are read twice below (size aggregate + join) — both
     // reads hit the last round's persisted RDD
@@ -922,7 +955,12 @@ object GraphOps extends QueryPack {
       e0.count()))
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
       None
-    (1 to KcoreRounds).foreach { r =>
+    // failure-path hygiene (the q_sim_ivfpq leak class — the bench
+    // harness swallows query failures and keeps running): the keep
+    // set releases in a finally (it is consumed within its round
+    // either way), the round being materialized has an inner guard,
+    // and the outer catch releases the surviving previous round
+    try (1 to KcoreRounds).foreach { r =>
       // one map-side-combinable degree aggregate + one semi-join per
       // end, all keyed on node id — the identical round at any size
       val keep = e.select(col("u").as("x"))
@@ -931,30 +969,40 @@ object GraphOps extends QueryPack {
         .filter(col("dg") >= k)
         .select("x")
         .persist()
-      val nKeep = keep.count()
-      val next = e
-        .join(broadcast(keep.select(col("x").as("u"))), Seq("u"), "left_semi")
-        .join(broadcast(keep.select(col("x").as("v"))), Seq("v"), "left_semi")
-        .select("u", "v")
-      roundProbe(r, next)
-      // DESERIALIZED persist, measured both ways at sf0.1:
-      // MEMORY_ONLY_SER costs +1.2–1.8 s steady per run here (Java
-      // serialization walks GenericRowWithSchema's full object graph,
-      // schema included, per row), while the deserialized blocks'
-      // object overhead (~90 B per 16-B edge) is storage the rounds
-      // release eagerly below. At a scale where |E_r| blocks pressure
-      // the heap, the right storage is columnar (persist the FRAME,
-      // accepting linear lineage) or UnsafeRow-backed — not Row SER.
-      val rdd = next.rdd.persist()
-      val nEdges = rdd.count()
-      // round r−1's blocks and this round's keep set are never read
-      // again once the survivor RDD materializes — release eagerly so
-      // storage holds ONE survivor edge list, not KcoreRounds of them
-      prevRdd.foreach(_.unpersist())
-      keep.unpersist()
-      prevRdd = Some(rdd)
-      rows += ((r.toLong, nKeep, nEdges))
-      e = s.createDataFrame(rdd, next.schema)
+      try {
+        val nKeep = keep.count()
+        val next = e
+          .join(broadcast(keep.select(col("x").as("u"))),
+            Seq("u"), "left_semi")
+          .join(broadcast(keep.select(col("x").as("v"))),
+            Seq("v"), "left_semi")
+          .select("u", "v")
+        roundProbe(r, next)
+        // DESERIALIZED persist, measured both ways at sf0.1:
+        // MEMORY_ONLY_SER costs +1.2–1.8 s steady per run here (Java
+        // serialization walks GenericRowWithSchema's full object
+        // graph, schema included, per row), while the deserialized
+        // blocks' object overhead (~90 B per 16-B edge) is storage
+        // the rounds release eagerly below. At a scale where |E_r|
+        // blocks pressure the heap, the right storage is columnar
+        // (persist the FRAME, accepting linear lineage) or
+        // UnsafeRow-backed — not Row SER.
+        val rdd = next.rdd.persist()
+        val nEdges =
+          try rdd.count()
+          catch { case t: Throwable => rdd.unpersist(); throw t }
+        // round r−1's blocks are never read again once the survivor
+        // RDD materializes — release eagerly so storage holds ONE
+        // survivor edge list, not KcoreRounds of them
+        prevRdd.foreach(_.unpersist())
+        prevRdd = Some(rdd)
+        rows += ((r.toLong, nKeep, nEdges))
+        e = s.createDataFrame(rdd, next.schema)
+      } finally keep.unpersist()
+    } catch {
+      case t: Throwable =>
+        prevRdd.foreach(_.unpersist())
+        throw t
     }
     prevRdd.foreach(_.unpersist())
     import s.implicits._
