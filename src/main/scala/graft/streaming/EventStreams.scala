@@ -173,20 +173,43 @@ object EventStreams extends QueryPack {
     * re-plans them): 8 state-store partitions instead of the session's
     * batch setting — every stateful operator initializes one state
     * store PER shuffle partition, which dominates short-lived streaming
-    * queries; results are partition-count independent. */
-  private def withStreamShufflePartitions[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
+    * queries; results are partition-count independent.
+    *
+    * r11 (optimization, guide §1 measured): `noDataMicroBatches`
+    * defaults OFF here. A watermarked query under AvailableNow runs one
+    * extra EMPTY micro-batch after the data is exhausted, purely to
+    * advance the watermark — measured ~1.0–1.6 s per query at sf0.1
+    * (state-store load+commit across 8 partitions for zero input rows).
+    * For every query whose OUTPUT does not depend on watermark-driven
+    * emission (Update/Complete aggregates, inner stream-stream joins,
+    * dropDuplicates[WithinWatermark]) that batch only EVICTS state —
+    * in a continuous production stream eviction rides the next data
+    * batch anyway, so skipping it is the standard knob
+    * (`spark.sql.streaming.noDataMicroBatches.enabled=false`), not a
+    * semantics change; oracle-verified per query. Queries whose rows
+    * only EXIST once the watermark passes (stream-stream OUTER join's
+    * unmatched side, event-time-timer emission) pass
+    * `needsNoDataBatch = true` and keep the batch. */
+  private def withStreamConfs[A](
+      s: SparkSession, needsNoDataBatch: Boolean)(body: => A): A = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = s.conf.get(pKey)
+    val prevN = s.conf.get(nKey)
+    s.conf.set(pKey, "8")
+    s.conf.set(nKey, needsNoDataBatch.toString)
+    try body finally {
+      s.conf.set(pKey, prevP)
+      s.conf.set(nKey, prevN)
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. */
   private[streaming] def runToMemory(
       s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
-    withStreamShufflePartitions(s) {
+      mode: OutputMode, needsNoDataBatch: Boolean = false): DataFrame = {
+    withStreamConfs(s, needsNoDataBatch) {
       val q = df.writeStream
         .queryName(name)
         .format("memory")
@@ -576,7 +599,11 @@ object EventStreams extends QueryPack {
           "leftOuter")
           .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
             col("e_id").as("error_id"))
-        runToMemory(s, joined, "graft_stream_outer_join", OutputMode.Append())
+        // needsNoDataBatch: the unmatched-click rows EXIST only because
+        // the post-data empty batch advances the watermark past their
+        // join window — skipping it would drop them (oracle-pinned)
+        runToMemory(s, joined, "graft_stream_outer_join", OutputMode.Append(),
+          needsNoDataBatch = true)
           .orderBy("user_id", "click_id", "error_id")
       },
       oracle = Some("""
@@ -647,7 +674,7 @@ object EventStreams extends QueryPack {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")), 4).as("sum_value"))
-        withStreamShufflePartitions(s) {
+        withStreamConfs(s, needsNoDataBatch = false) {
           val q = stream.writeStream
             .outputMode(OutputMode.Update())
             .trigger(Trigger.AvailableNow())
@@ -708,7 +735,7 @@ object EventStreams extends QueryPack {
         // stream on the ns contract even if the landing write changes
         val stream = eventStream(s, landing, globFilter = None,
           maxFilesPerTrigger = Some(1))
-        withStreamShufflePartitions(s) {
+        withStreamConfs(s, needsNoDataBatch = false) {
           val q = stream.writeStream
             .trigger(Trigger.AvailableNow())
             .foreachBatch {
@@ -808,7 +835,7 @@ object EventStreams extends QueryPack {
           .write.mode("overwrite").parquet(s"$store/batch_id=base")
         val stream = eventStream(s, landing, globFilter = None,
           maxFilesPerTrigger = Some(1))
-        withStreamShufflePartitions(s) {
+        withStreamConfs(s, needsNoDataBatch = false) {
           val q = stream.writeStream
             .trigger(Trigger.AvailableNow())
             .foreachBatch {
@@ -1007,8 +1034,10 @@ object EventStreams extends QueryPack {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val closed = sessionTimeoutStream(s, d, Some("events.parquet"))
+          // needsNoDataBatch: emission is driven PURELY by event-time
+          // timers firing in the post-data empty batch (oracle-pinned)
           runToMemory(s, closed, "graft_stream_session_timeout",
-            OutputMode.Append()).orderBy("user_id")
+            OutputMode.Append(), needsNoDataBatch = true).orderBy("user_id")
         } finally prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
