@@ -25,9 +25,14 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
+      // materializing queries (run() collects + releases caches) expose
+      // their real computation through LazyPlans; the registry entry
+      // would explain as a LocalTableScan
+      val fn = LazyPlans.builders.get(n).orElse(
+        SparkEntry.queries.get(n))
+      fn.foreach { f =>
         println(s"\n========== $n ==========")
-        try fn(spark, sfDir).explain("formatted")
+        try f(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"explain failed: $e") }
       }
     }

@@ -147,7 +147,7 @@ object ScaleOps extends QueryPack {
     * `PlanGuardSpec` can pin that the zone-probe leg broadcasts the
     * tiny probe set against the zone table's range condition instead
     * of shuffling either side). */
-  private[operators] def secondaryIndexPlan(
+  private[graft] def secondaryIndexPlan(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"),
@@ -175,6 +175,48 @@ object ScaleOps extends QueryPack {
         coalesce(col("zone_files"), lit(0L)).as("zone_files"))
       .orderBy("l_partkey")
     (out, Seq(post))
+  }
+
+  /** Lazy count-min heavy-hitters plan + its caches (exposed so the
+    * plan audit sees the real computation — the registry query
+    * materializes its 10-row output and releases the vocab cache).
+    *
+    * r11 (guide §2.3 "shuffle fewer bytes" applied to CPU): hash the
+    * VOCABULARY, not the occurrence stream. The sketch cell counts are
+    * Σ n(w) grouped by (r, bucket(w)) — bit-identical to counting
+    * occurrences — so count words FIRST (one map-side-combinable
+    * aggregate, shared with the exact top-10 leg) and md5 each DISTINCT
+    * word 4×, not every occurrence 4×: ~0.4M hashes instead of ~20M at
+    * sf0.1 (measured 3.4 → 1.2 s warm). At 100 TB the gap is the
+    * corpus/vocab ratio — the same reason production CMS deployments
+    * sketch pre-aggregated partials. */
+  private[graft] def heavyHittersPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+        .as("w"))
+    val rows = Seq(0, 1, 2, 3)
+    def bucket(wCol: String) = expr(
+      s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '_', $wCol)), 1, 8), 16, 10) AS BIGINT) % 64")
+    val wc = words.groupBy("w").agg(count(lit(1)).as("n")).persist()
+    val cells = wc
+      .withColumn("r", explode(lit(rows.toArray)))
+      .withColumn("b", bucket("w"))
+      .groupBy("r", "b").agg(sum(col("n")).as("c"))
+    val top = wc.orderBy(col("n").desc, col("w")).limit(10)
+    val est = top.select(col("w"), explode(lit(rows.toArray)).as("r"))
+      .withColumn("b", bucket("w"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("w").agg(min(col("c")).as("est"))
+    val out = top.join(est, "w")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("w"))))
+      .select(col("rank"), col("w"), col("n"), col("est"),
+        (col("est") - col("n")).as("overcount"))
+      .orderBy("rank")
+    (out, Seq(wc))
   }
 
   val queries: Map[String, GraftQuery] = Map(
@@ -916,29 +958,11 @@ object ScaleOps extends QueryPack {
     // for comparison (the part a real deployment cannot do at scale).
     "q_scale_heavy_hitters" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val words = Tables.documents(s, d)
-          .select(explode(filter(split(col("text"), " "), w => w =!= ""))
-            .as("w"))
-        val rows = Seq(0, 1, 2, 3)
-        def bucket(wCol: String) = expr(
-          s"CAST(conv(substr(md5(concat(CAST(r AS STRING), '_', $wCol)), 1, 8), 16, 10) AS BIGINT) % 64")
-        val cells = words
-          .withColumn("r", explode(lit(rows.toArray)))
-          .withColumn("b", bucket("w"))
-          .groupBy("r", "b").agg(count(lit(1)).as("c"))
-        val top = words.groupBy("w").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("w")).limit(10)
-        val est = top.select(col("w"), explode(lit(rows.toArray)).as("r"))
-          .withColumn("b", bucket("w"))
-          .join(broadcast(cells), Seq("r", "b"))
-          .groupBy("w").agg(min(col("c")).as("est"))
-        top.join(est, "w")
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("n").desc, col("w"))))
-          .select(col("rank"), col("w"), col("n"), col("est"),
-            (col("est") - col("n")).as("overcount"))
-          .orderBy("rank")
+        val (out, caches) = heavyHittersPlan(s, d)
+        // 10-row output: materialize and release the vocab cache
+        val res = out.collect()
+        caches.foreach(_.unpersist())
+        s.createDataFrame(java.util.Arrays.asList(res: _*), out.schema)
       },
       oracle = Some("""
         WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
