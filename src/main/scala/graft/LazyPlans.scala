@@ -13,6 +13,8 @@ object LazyPlans {
     "q_scale_heavy_hitters" -> ((s, d) =>
       operators.ScaleOps.heavyHittersPlan(s, d)._1),
     "q_scale_secondary_index" -> ((s, d) =>
-      operators.ScaleOps.secondaryIndexPlan(s, d)._1)
+      operators.ScaleOps.secondaryIndexPlan(s, d)._1),
+    "q_graph_lift" -> ((s, d) =>
+      operators.GraphOps.liftPlan(s, d)._1)
   )
 }
