@@ -15,6 +15,10 @@ object LazyPlans {
     "q_scale_secondary_index" -> ((s, d) =>
       operators.ScaleOps.secondaryIndexPlan(s, d)._1),
     "q_graph_lift" -> ((s, d) =>
-      operators.GraphOps.liftPlan(s, d)._1)
+      operators.GraphOps.liftPlan(s, d)._1),
+    "q_graph_triangles" -> ((s, d) =>
+      operators.GraphOps.trianglesPlan(s, d)._1),
+    "q_graph_triangles_capped" -> ((s, d) =>
+      operators.GraphOps.trianglesCappedPlan(s, d)._1)
   )
 }

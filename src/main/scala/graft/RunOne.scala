@@ -57,6 +57,10 @@ object RunOne {
       val mb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
       val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
       println(f"[runone] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, ${rdds.size} persistent RDDs, ${mb} MB cached, gc ${gcMs() - g0} ms, heap ${heapMb} MB, shuffle w ${vol.shuffleWrite >> 10} KiB / r ${vol.shuffleRead >> 10} KiB)")
+      val builds = StoreBuilds.snapshot
+      if (r == 1 && builds.nonEmpty)
+        println("[runone] builds: " + builds.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
     }
     if (showPlan) fn(spark, sfDir).explain("formatted")
     spark.stop()
