@@ -221,14 +221,17 @@ object Similarity extends QueryPack {
     val cent = grid(allVecs, "label")
       .groupBy(col("label").as("c_label"), col("i").as("ci"))
       .agg(expr("sum(xq) div count(1)").as("cq"))
+    // argmin as a min(struct) aggregate, not a row_number window (r11,
+    // guide §2.4/§4): same (d2 asc, c_label asc) total order, but
+    // map-side combinable with no per-partition sort — the window paid
+    // an exchange + sort over every (vec, list) distance row
     grid(todo, "vec_id").join(broadcast(cent), col("i") === col("ci"))
       .groupBy(col("vec_id"), col("c_label"))
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
         .as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("list"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+      .select(col("vec_id"), col("m.c_label").as("list"))
       .write.mode("append").parquet(storePath)
     s.read.parquet(storePath)
   }
@@ -256,15 +259,15 @@ object Similarity extends QueryPack {
         val cent = grid(all, "label")
           .groupBy(col("label").as("c_label"), col("i").as("ci"))
           .agg(expr("sum(xq) div count(1)").as("cq"))
+        // argmin via min(struct) — identical (d2, c_label) total order,
+        // map-side combinable, no window sort (r11, guide §2.4/§4)
         val assign = uq.join(broadcast(cent), col("i") === col("ci"))
           .groupBy(col("vec_id"), col("c_label"))
           .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
             .as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id")
-              .orderBy(col("d2"), col("c_label"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_label").as("list"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+          .select(col("vec_id"), col("m.c_label").as("list"))
         // the residual stream feeds four downstream branches (quadrant
         // codes, codebook means, code selection, and the query tables);
         // Spark does not common-subexpression-eliminate across joins, so
@@ -301,11 +304,9 @@ object Similarity extends QueryPack {
           .groupBy(col("vec_id"), col("sub"), col("code"))
           .agg(sum((col("r") - col("cmean")) * (col("r") - col("cmean")))
             .as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "sub")
-              .orderBy(col("d2"), col("code"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("code"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("d2"), col("code"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
         val qAssign = assign.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("list").as("probe"))
         val qs = uq.filter(col("vec_id") < 10)
@@ -1126,10 +1127,9 @@ object Similarity extends QueryPack {
         val assign = comp.join(broadcast(cent), Seq("i"))
           .groupBy(col("vec_id"), col("c_label"))
           .agg(sum(expr("(xq - cq) * (xq - cq)")).as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_label").as("list"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+          .select(col("vec_id"), col("m.c_label").as("list"))
         val m = all.join(assign, "vec_id")
           .select(col("vec_id"), col("list"), col("vq"))
         val sims = m.as("a").join(m.as("b"),
@@ -1902,14 +1902,18 @@ object Similarity extends QueryPack {
           .select(col("vec_id").as("c"), col("vq").as("cq"))
         // one Lloyd assignment: nearest centroid by exact integer L2,
         // ties to the lowest cluster id
+        // nearest-centroid argmin via min_by on the (d2, c) total order
+        // — map-side combinable, no window sort (r11, guide §2.4/§4);
+        // ties impossible past c (cluster ids unique)
         def assign(cent: DataFrame): DataFrame =
           all.crossJoin(broadcast(cent))
             .withColumn("d2", expr(
               "aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("c"), col("d2"), col("vq"))
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("c"), col("d2"), col("vq")),
+              struct(col("d2"), col("c"))).as("m"))
+            .select(col("vec_id"), col("m.c").as("c"),
+              col("m.d2").as("d2"), col("m.vq").as("vq"))
         // one centroid update: per-dimension integer mean (sum div count)
         def update(asg: DataFrame): DataFrame =
           asg.select(col("c"), posexplode(col("vq")).as(Seq("i", "xq")))

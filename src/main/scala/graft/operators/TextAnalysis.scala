@@ -497,11 +497,14 @@ ORDER BY tokenizer"""
   private def classifierPreds(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (held, scores) = classifierScores(s, d)
+    // argmax via min_by on the (-score, c) total order — identical to
+    // the (score desc, c asc) row_number pick, map-side combinable with
+    // no window sort (r11, guide §2.4/§4)
     val best = scores
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("c"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("c"), col("score")),
+        struct(negate(col("score")), col("c"))).as("m"))
+      .select(col("doc_id"), col("m.c").as("c"), col("m.score").as("score"))
     held
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
