@@ -27,6 +27,12 @@ object RunMany {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides after reps: k=v pairs (A/B loops)
+    args.drop(1).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[runmany] conf $k=$v")
+    }
     spark.range(1 << 20).selectExpr("sum(id)").collect() // session warm-up
     val chosen = SparkEntry.queries.toSeq
       .filter { case (n, _) => pats.exists(p => n == p || n.startsWith(p)) }

@@ -702,8 +702,16 @@ object GraphOps extends QueryPack {
       rddCaches += rdd
       rdd.count()
       val t = s.createDataFrame(rdd, dist.schema)
-      dist = t
-        .join(edges, col("node") === col("src"))
+      // EXPLICIT broadcast of the frontier (r11 — the same estimate
+      // hole the kcore/LPA rounds already plug): an RDD scan carries
+      // no size estimate, so static planning defaults it huge and
+      // plans SMJ — per-round re-sort of the 2|E| edge store that the
+      // hash-partitioned persist exists to avoid. The frontier is
+      // ≤ |V| rows of (long, int); the broadcast regime bound is the
+      // LPA note's |V|·16 B per executor (~100M nodes) — past it, flip
+      // to exchanging the frontier keyed on src, never the edge store.
+      dist = edges
+        .join(broadcast(t), col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
         .unionByName(t)
         .groupBy("node").agg(min(col("dist")).as("dist"))
