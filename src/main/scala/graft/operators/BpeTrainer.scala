@@ -72,11 +72,19 @@ object BpeTrainer {
       .as[(String, Long)]
       .map { case (w, c) => (w.map(_.toString).toArray, c) }
       .persist()
-    words.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // ONE job per rank (r11, guide §1.2 "remove unnecessary passes"):
+    // the argmax job itself materializes the current generation's
+    // persist, so no separate count() pass is needed — the PARENT
+    // generation just has to stay cached until that job has run (it
+    // feeds the child's map), then releases. Two vocab-sized
+    // generations are briefly live instead of one; the per-rank
+    // lineage still truncates at the cached parent exactly as before.
+    var parent: Option[org.apache.spark.sql.Dataset[(Array[String], Long)]] =
+      None
     var rank = 1
     var exhausted = false
-    while (rank <= k && !exhausted) {
+    try while (rank <= k && !exhausted) {
       val best = words
         .flatMap { case (sym, c) =>
           if (sym.length < 2) Iterator.empty
@@ -91,6 +99,10 @@ object BpeTrainer {
           .as("best"))
         .select(col("best.l"), col("best.r"), (-col("best.nc")).as("cnt"))
         .collect()
+      // `words` is materialized now — its parent generation is no
+      // longer read by anything and can release
+      parent.foreach(_.unpersist())
+      parent = None
       if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
       else {
         val (l, r, cnt) =
@@ -98,14 +110,18 @@ object BpeTrainer {
         merges += Merge(rank, l, r, cnt)
         val next = words
           .map { case (sym, c) => (mergeSeq(sym, l, r), c) }
-          .persist()
-        next.count()
-        words.unpersist()
+          .persist() // lazy: next rank's argmax job materializes it
+        parent = Some(words)
         words = next
         rank += 1
       }
+    } finally {
+      // normal exit or a throwing mid-loop job: both live generations
+      // must release (the bench harness swallows failures and keeps
+      // running — the q_sim_ivfpq leak class)
+      parent.foreach(_.unpersist())
+      words.unpersist()
     }
-    words.unpersist()
     s.createDataFrame(merges.toSeq).orderBy("merge_rank")
   }
 
