@@ -375,11 +375,19 @@ object MsPipeline extends QueryPack {
         // for re-updated slice keys. Complete truncates and re-emits the
         // full (small, aggregated) slice table each batch — correct under
         // any batching. Same pattern as q_stream_session_window.
-        val q = sliced.writeStream.queryName("graft_ms_stream_slices")
-          .format("memory").outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // r11: run under the streaming pack's shared confs (8 state
+        // partitions, no watermark so the no-data flag is moot) — this
+        // writeStream previously ran at the session's 32 shuffle
+        // partitions, 4× the state-store instances per micro-batch of
+        // every other streaming query
+        graft.streaming.EventStreams.withStreamConfs(s,
+          needsNoDataBatch = false) {
+          val q = sliced.writeStream.queryName("graft_ms_stream_slices")
+            .format("memory").outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_ms_stream_slices").orderBy("swath_key", "rt_window")
       },
       oracle = Some(sliceCountsOracle)),

@@ -190,7 +190,7 @@ object EventStreams extends QueryPack {
     * only EXIST once the watermark passes (stream-stream OUTER join's
     * unmatched side, event-time-timer emission) pass
     * `needsNoDataBatch = true` and keep the batch. */
-  private def withStreamConfs[A](
+  private[graft] def withStreamConfs[A](
       s: SparkSession, needsNoDataBatch: Boolean)(body: => A): A = {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
