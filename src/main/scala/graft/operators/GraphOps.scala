@@ -564,10 +564,15 @@ object GraphOps extends QueryPack {
     val adj = oe.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nb"))
       .persist()
-    adj.count() // read three times below (sizes + both closure joins)
-    val nWedges = adj
+    // materialize adj with the wedge aggregate itself (r11 — one job
+    // instead of a count + a lazy agg leg in the final assembly): the
+    // closed form Σ C(|N⁺|, 2) reads every adjacency partition, so it
+    // materializes the persist exactly like count() did, and the final
+    // plan carries the value as a literal (one fewer crossJoin leg)
+    val nWedgesVal = adj
       .select(size(col("nb")).cast("long").as("k"))
-      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("n_wedges"))
+      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)))
+      .head.getLong(0)
     // every triangle a→b, a→c, b→c is counted exactly once, at its
     // apex edge (a, b): c ∈ N⁺(a) ∩ N⁺(b). Sinks (no out-list) close
     // nothing — hence the left join + empty-array coalesce.
@@ -586,8 +591,8 @@ object GraphOps extends QueryPack {
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val out = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(nWedges)
       .crossJoin(closure)
+      .withColumn("n_wedges", lit(nWedgesVal))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
     (out, Seq(deg, oe, adj)) // e0 is the session-shared edge cache
