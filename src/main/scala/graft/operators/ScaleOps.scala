@@ -317,11 +317,17 @@ object ScaleOps extends QueryPack {
           .filter(col("event_id") % 2 === 0)
           .select(col("event_id"), col("event_type"),
             (col("value") + 1000.0).as("value"), lit(1).as("version"))
+        // latest-wins as a max_by aggregate, not a row_number window
+        // (r11, guide §2.4/§4): versions are unique per key (0 = base,
+        // 1 = change, event_id unique per side), so the pick is
+        // identical — and the aggregate partially reduces map-side,
+        // where the window exchanged + sorted every merged row
         base.unionByName(changes)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("event_id")
-              .orderBy(col("version").desc)))
-          .filter(col("rn") === 1)
+          .groupBy("event_id")
+          .agg(max_by(struct(col("event_type"), col("value"),
+            col("version")), col("version")).as("m"))
+          .select(col("event_id"), col("m.event_type").as("event_type"),
+            col("m.value").as("value"), col("m.version").as("version"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")), 4).as("sum_value"),
