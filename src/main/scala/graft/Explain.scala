@@ -27,13 +27,23 @@ object Explain {
     names.foreach { n =>
       // materializing queries (run() collects + releases caches) expose
       // their real computation through LazyPlans; the registry entry
-      // would explain as a LocalTableScan
-      val fn = LazyPlans.builders.get(n).orElse(
-        SparkEntry.queries.get(n))
+      // would explain as a LocalTableScan. LazyPlans builders may run
+      // small plan-build-time jobs and return live caches — release
+      // them after printing so an all-queries audit doesn't accumulate
+      // persisted frames.
+      val fn: Option[(SparkSession, String)
+          => (org.apache.spark.sql.DataFrame,
+              Seq[org.apache.spark.sql.DataFrame])] =
+        LazyPlans.builders.get(n).orElse(
+          SparkEntry.queries.get(n).map(q =>
+            (s: SparkSession, d: String) => (q(s, d), Nil)))
       fn.foreach { f =>
         println(s"\n========== $n ==========")
-        try f(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val (df, caches) = f(spark, sfDir)
+          try df.explain("formatted")
+          finally caches.foreach(_.unpersist())
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     }
     spark.stop()

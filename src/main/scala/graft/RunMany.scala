@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object RunMany {
   def main(args: Array[String]): Unit = {
-    val pats = args(0).split(",").toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 2
+    // k=v args are conf overrides wherever they appear; the rest are
+    // positional (name-or-prefix list, sfDir, reps) — so an override
+    // can't be misread as sfDir or crash reps.toInt
+    val (overrides, pos) = args.partition(_.contains("="))
+    val pats = pos(0).split(",").toSeq
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.1"
+    val reps = if (pos.length > 2) pos(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,8 +31,8 @@ object RunMany {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional conf overrides after reps: k=v pairs (A/B loops)
-    args.drop(1).filter(_.contains("=")).foreach { kv =>
+    // conf overrides: k=v pairs anywhere in the args (A/B loops)
+    overrides.foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
       println(s"[runmany] conf $k=$v")

@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 2
+    // k=v args are conf overrides wherever they appear; the rest are
+    // positional (query name, sfDir, reps)
+    val (overrides, pos) = args.partition(_.contains("="))
+    val name = pos(0)
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.1"
+    val reps = if (pos.length > 2) pos(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,8 +53,8 @@ object StreamProbe {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"[probe] terminated runId=${e.runId}")
     })
-    // optional conf overrides after the query name: k=v pairs
-    args.drop(1).filter(_.contains("=")).foreach { kv =>
+    // conf overrides: k=v pairs anywhere in the args
+    overrides.foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
       println(s"[probe] conf $k=$v")

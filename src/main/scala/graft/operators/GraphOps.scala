@@ -164,16 +164,11 @@ object GraphOps extends QueryPack {
       s: org.apache.spark.sql.SparkSession,
       out: org.apache.spark.sql.DataFrame,
       caches: Seq[org.apache.spark.sql.DataFrame])
-      : org.apache.spark.sql.DataFrame = {
-    // release in finally: the bench harness swallows query failures
-    // and keeps running, so a collect that throws (executor OOM, task
-    // failure past retries) must not pin |V|-sized blocks in executor
-    // storage for every subsequent query
-    val rows =
-      try out.collect()
-      finally caches.foreach(_.unpersist())
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+      : org.apache.spark.sql.DataFrame =
+    // shared copy (r12): lifted to sparkutil so Scale/Window
+    // materializing queries release caches through the same
+    // collect-in-try / unpersist-in-finally path
+    graft.sparkutil.ScalableRank.materializeAndRelease(s, out, caches)
 
   // The weighted trade-edge list (supplier nation → customer nation,
   // w = shipped lineitems) is the SECOND shared stage boundary of this

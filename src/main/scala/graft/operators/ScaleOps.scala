@@ -219,6 +219,33 @@ object ScaleOps extends QueryPack {
     (out, Seq(wc))
   }
 
+  /** Lazy range-partition boundary plan (the 15 split points from the
+    * ~2% sample) + the staged rank cache — exposed for the plan audit;
+    * the registry query materializes the 15-row bounds and releases
+    * the cache before the broadcast theta-join. Plan construction is
+    * side-effect free; nothing runs until an action. */
+  private[graft] def rangeBoundsPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.sql.DataFrame]) = {
+    val sample = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+          .as("price_c"))
+      .filter(
+        expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) % 50 = 0"))
+    val (ranked, staged) = graft.sparkutil.ScalableRank
+      .withGlobalRank(sample, lit(1),
+        Seq(col("price_c"), col("o_orderkey")), "__rank", "__tot")
+    val bounds = ranked
+      .withColumn("tile", graft.sparkutil.ScalableRank
+        .ntileFromRank("__rank", 16, "__tot"))
+      .filter(col("tile") < 16)
+      .groupBy("tile").agg(max(col("price_c")).as("hi"))
+    (bounds, Seq(staged))
+  }
+
   val queries: Map[String, GraftQuery] = Map(
 
     // -------------------------------------------------- salted aggregation
@@ -966,9 +993,8 @@ object ScaleOps extends QueryPack {
       run = (s, d) => {
         val (out, caches) = heavyHittersPlan(s, d)
         // 10-row output: materialize and release the vocab cache
-        val res = out.collect()
-        caches.foreach(_.unpersist())
-        s.createDataFrame(java.util.Arrays.asList(res: _*), out.schema)
+        // (shared helper — unpersists in finally even if collect throws)
+        graft.sparkutil.ScalableRank.materializeAndRelease(s, out, caches)
       },
       oracle = Some("""
         WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
@@ -1157,28 +1183,29 @@ object ScaleOps extends QueryPack {
     // -------------------------------------------------- range partitioning
     // Range-partitioner boundary planning, the way RangePartitioner
     // actually works at scale: boundaries come from a SAMPLE (here an
-    // md5-deterministic ~2% of orders — the only global sort touches
-    // those few rows), then every row is assigned its range by a
-    // broadcast theta-join against the 15 split points (rng = number of
-    // boundaries below the key) and the per-range histogram validates
-    // the plan's balance. No full-data sort anywhere.
+    // md5-deterministic ~2% of orders — since r12 ranked partition-
+    // parallel via ScalableRank, no global sort even over the sample),
+    // then every row is assigned its range by a broadcast theta-join
+    // against the 15 split points (rng = number of boundaries below
+    // the key) and the per-range histogram validates the plan's
+    // balance. No full-data sort anywhere.
     "q_scale_range_partition" -> GraftQuery(
       run = (s, d) => {
         val priced = Tables.orders(s, d)
           .select(col("o_orderkey"),
             expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
               .as("price_c"))
-        val sample = priced.filter(
-          expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), " +
-            "16, 10) AS BIGINT) % 50 = 0"))
-        val bounds = sample
-          .withColumn("tile", ntile(16).over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("price_c"), col("o_orderkey"))))
-          .filter(col("tile") < 16)
-          .groupBy("tile").agg(max(col("price_c")).as("hi"))
+        // r12 (guide §2.4): the boundary ntile(16) ran as an
+        // unpartitioned window (Exchange SinglePartition over the whole
+        // sample — still ~2% of orders, data-scale at 100 TB).
+        // ScalableRank computes the identical global rank partition-
+        // parallel; the 15-row bounds materialize (releasing the rank
+        // cache) and broadcast as before.
+        val (bounds, caches) = rangeBoundsPlan(s, d)
+        val boundsLocal = graft.sparkutil.ScalableRank
+          .materializeAndRelease(s, bounds, caches)
         priced
-          .join(broadcast(bounds), col("price_c") > col("hi"), "left")
+          .join(broadcast(boundsLocal), col("price_c") > col("hi"), "left")
           .groupBy("o_orderkey", "price_c")
           .agg(count(col("hi")).as("rng"))
           .groupBy("rng")

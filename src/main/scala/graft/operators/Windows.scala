@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryPack, Tables}
+import graft.sparkutil.ScalableRank
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +72,47 @@ object Windows extends QueryPack {
         WHERE n >= 8 AND n*q - sm*sm > 0
           AND (n*v - sm)*(n*v - sm) > 9*(n*q - sm*sm)
         ORDER BY user_id, us, event_id"""
+
+  /** Lazy RFM cell plan + the staged rank cache (exposed so the plan
+    * audit sees the real computation — the registry query materializes
+    * its ≤125-cell output and releases the cache). Plan construction is
+    * side-effect free; nothing runs until an action. */
+  private[graft] def rfmPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[org.apache.spark.sql.DataFrame]) = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+        .as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+          .as("monetary_c"))
+    // one row per (customer, metric): m=1 recency, 2 frequency,
+    // 3 monetary — all three quintile ranks ride one exchange
+    val melted = per.select(col("o_custkey"), col("monetary_c"),
+      explode(array(
+        struct(lit(1).as("m"), col("recency_us").as("k")),
+        struct(lit(2).as("m"), col("frequency").as("k")),
+        struct(lit(3).as("m"), col("monetary_c").as("k")))).as("mk"))
+      .select(col("o_custkey"), col("monetary_c"),
+        col("mk.m").as("m"), col("mk.k").as("k"))
+    val (ranked, staged) = ScalableRank.withGlobalRank(
+      melted, col("m"), Seq(col("k").desc, col("o_custkey")),
+      "__rank", "__tot")
+    val seg = ranked
+      .withColumn("q", ScalableRank.ntileFromRank("__rank", 5, "__tot"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("m") === 1, col("q"))).as("r_q"),
+        max(when(col("m") === 2, col("q"))).as("f_q"),
+        max(when(col("m") === 3, col("q"))).as("m_q"),
+        min(col("monetary_c")).as("monetary_c"))
+    val cells = seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_c")).as("cell_monetary_c"))
+      .orderBy("r_q", "f_q", "m_q")
+    (cells, Seq(staged))
+  }
 
   val queries: Map[String, GraftQuery] = Map(
     // Interval adjustment over the distinct sorted value domain.
@@ -454,30 +496,22 @@ object Windows extends QueryPack {
     // lands in an (r, f, m) quintile cell and the output is the cell
     // census. Monetary is summed on the integer cents grid and every
     // ntile ordering carries a custkey tie-break, so cell assignment is
-    // total-ordered and engine-independent. Two aggregations and three
-    // windows over the same per-customer frame — one shuffle on
-    // custkey, then one on the (tiny) cell key.
+    // total-ordered and engine-independent.
+    //
+    // r12 (guide §2.4): the three `ntile(5)` windows had no partition
+    // spec — each planned `Exchange SinglePartition` + one whole-frame
+    // sort task, the unpartitioned-at-scale shape the r11 audit
+    // flagged. Rewritten as ONE melted range-partitioned pass through
+    // ScalableRank (exact global row_number per metric, every stage
+    // partition-parallel) + the closed-form ntile bucket from the
+    // rank; bucket assignment is bit-identical (ScalableRankSpec pins
+    // the remainder rule against the window ntile, the oracle pins the
+    // result at sf0.01 AND sf0.1).
     "q_window_rfm" -> GraftQuery(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val per = Tables.orders(s, d)
-          .groupBy(col("o_custkey"))
-          .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
-            .as("recency_us"),
-            count(lit(1)).as("frequency"),
-            sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
-              .as("monetary_c"))
-        val seg = per
-          .withColumn("r_q", ntile(5).over(
-            Window.orderBy(col("recency_us").desc, col("o_custkey"))))
-          .withColumn("f_q", ntile(5).over(
-            Window.orderBy(col("frequency").desc, col("o_custkey"))))
-          .withColumn("m_q", ntile(5).over(
-            Window.orderBy(col("monetary_c").desc, col("o_custkey"))))
-        seg.groupBy("r_q", "f_q", "m_q")
-          .agg(count(lit(1)).as("n_customers"),
-            sum(col("monetary_c")).as("cell_monetary_c"))
-          .orderBy("r_q", "f_q", "m_q")
+        // ≤125-cell output: materialize and release the staged cache
+        val (cells, caches) = rfmPlan(s, d)
+        ScalableRank.materializeAndRelease(s, cells, caches)
       },
       oracle = Some("""
         WITH per AS (

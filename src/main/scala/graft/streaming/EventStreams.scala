@@ -196,7 +196,20 @@ object EventStreams extends QueryPack {
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevP = s.conf.get(pKey)
     val prevN = s.conf.get(nKey)
-    s.conf.set(pKey, "8")
+    // r12: parameterized (was a literal "8"). Every stateful operator
+    // runs one state store PER shuffle partition per batch, and each
+    // store's load+commit is a fixed filesystem cost (~50-90 ms here)
+    // regardless of how little state it holds — so the right partition
+    // count follows STATE VOLUME, not core count. Production sets
+    // spark.graft.stream.statePartitions to keep per-store state in the
+    // 10-100 MB band; the local default of 4 is measured against the
+    // bench streams (~200k rows/batch, ≤40k state rows — overhead-
+    // dominated): the 8→4→2 sweep read 35.3→27.8→26.8 s over the
+    // 23-query section with EVERY query improving at 4, and 2 within
+    // noise of 4 (RocksDB + changelog checkpointing was also measured
+    // here and REJECTED: 2.9→3.9 s warm on q_stream_outer_join — 32
+    // native store instances per batch for ~40k state rows).
+    s.conf.set(pKey, s.conf.get("spark.graft.stream.statePartitions", "4"))
     s.conf.set(nKey, needsNoDataBatch.toString)
     try body finally {
       s.conf.set(pKey, prevP)
