@@ -277,13 +277,25 @@ object Dedup extends QueryPack {
           Window.partitionBy(col("bkt")).orderBy(col("s"))))
         .withColumn("tid", col("bkt") * lit(1L << 40) + col("rkb"))
         .select(col("s"), col("df"), col("tid"))
-      val kept = sh.join(ids, "s")
-      val ns = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-        .persist()
-      val pref = kept
+      // r12 (guide §2.4): the capped stream used to be consumed by
+      // THREE separate subplans (ns aggregate, prefix window, tid-array
+      // aggregate), each re-running the sh⋈ids join and paying its own
+      // doc_id exchange. One rarity-rank window now establishes the
+      // doc_id clustering once (persisted for the build), and both
+      // per-doc aggregates and the prefix cut derive from it — the
+      // sets/nsh aggregate is a single pass sharing the window's
+      // partitioning, and the old standalone `ns` frame (never read by
+      // ppjoinPlan — pref carries nsh) is a projection, not a store.
+      val ranked = sh.join(ids, "s")
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-        .join(ns, "doc_id")
+        .persist()
+      val setsNs = ranked.groupBy("doc_id")
+        .agg(count(lit(1)).as("nsh"),
+          sort_array(collect_list(col("tid"))).as("tids"))
+        .persist()
+      val pref = ranked
+        .join(setsNs.select(col("doc_id"), col("nsh")), "doc_id")
         .filter(col("rk") <=
           // the base prefix DERIVES from PpjoinBaseTauPpm (the τ₀
           // ceil-form n − ⌈τ₀·n⌉ + 1, here ⌈n/2⌉ at τ₀ = 0.5) — one
@@ -294,13 +306,13 @@ object Dedup extends QueryPack {
             s"($PpjoinBaseTauPpm * nsh + 999999) div 1000000") + 1)
         .select("doc_id", "s", "rk", "nsh")
         .persist()
-      val setsInt = kept.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("tid"))).as("tids"))
-        .persist()
+      // one action materializes ranked, setsNs (via the join's build
+      // side) and pref; the window stage cache releases after
       pref.count()
-      ns.count()
-      setsInt.count()
-      (pref, ns, setsInt)
+      setsNs.count()
+      ranked.unpersist()
+      (pref, setsNs.select(col("doc_id"), col("nsh")),
+        setsNs.select(col("doc_id"), col("tids")))
       }
     })
 

@@ -563,7 +563,12 @@ object GraphOps extends QueryPack {
     // instead of a count + a lazy agg leg in the final assembly): the
     // closed form Σ C(|N⁺|, 2) reads every adjacency partition, so it
     // materializes the persist exactly like count() did, and the final
-    // plan carries the value as a literal (one fewer crossJoin leg)
+    // plan carries the value as a literal (one fewer crossJoin leg).
+    // PLAN-AUDIT NOTE: because of this, the LazyPlans/Explain dump of
+    // q_graph_triangles shows n_wedges as a LITERAL, not the wedge
+    // aggregate — the wedge computation happens HERE, at plan-build
+    // time (this is also why building this plan runs jobs; Explain
+    // releases the returned caches afterwards)
     val nWedgesVal = adj
       .select(size(col("nb")).cast("long").as("k"))
       .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)))

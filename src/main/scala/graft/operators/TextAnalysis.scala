@@ -499,7 +499,10 @@ ORDER BY tokenizer"""
     val (held, scores) = classifierScores(s, d)
     // argmax via min_by on the (-score, c) total order — identical to
     // the (score desc, c asc) row_number pick, map-side combinable with
-    // no window sort (r11, guide §2.4/§4)
+    // no window sort (r11, guide §2.4/§4). Invariant making the
+    // negation safe: `score` is an integral LONG token count (see
+    // classifierScores; the fallback below is lit(0L)) — no NaN and no
+    // signed zero exist, so asc-of-negated is exactly desc.
     val best = scores
       .groupBy(col("doc_id"))
       .agg(min_by(struct(col("c"), col("score")),
