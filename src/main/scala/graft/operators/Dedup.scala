@@ -1281,9 +1281,7 @@ object Dedup extends QueryPack {
         val (out, caches) = ppjoinPlan(s, d)
         // output pairs are Zipf-small (bounded by real duplication at
         // any scale) — materialize and release, like the graph pack
-        val rows = out.collect()
-        caches.foreach(_.unpersist())
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        graft.sparkutil.ScalableRank.materializeAndRelease(s, out, caches)
       },
       oracle = Some(s"""
         WITH $shinglesCte,
@@ -1314,9 +1312,7 @@ object Dedup extends QueryPack {
     "q_dedup_ppjoin_t80" -> GraftQuery(
       run = (s, d) => {
         val (out, caches) = ppjoinPlan(s, d, tauPpm = 800000L)
-        val rows = out.collect()
-        caches.foreach(_.unpersist())
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        graft.sparkutil.ScalableRank.materializeAndRelease(s, out, caches)
       },
       oracle = Some(s"""
         WITH $shinglesCte,
@@ -1932,9 +1928,10 @@ object Dedup extends QueryPack {
                 expr("n_hits * 1000000 div n_candidates")).otherwise(0L)
                 .as("precision_ppm"))
         }.reduce(_.unionByName(_)).orderBy("config")
-        val out = perCfg.collect()
-        truth.unpersist(); rowsAll.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(out: _*), perCfg.schema)
+        // 3-row output: shared helper releases both caches in finally
+        // even if the collect throws (the heavy_hitters leak class)
+        graft.sparkutil.ScalableRank.materializeAndRelease(
+          s, perCfg, Seq(truth, rowsAll))
       },
       oracle = Some(s"""
         WITH $shinglesCte,
